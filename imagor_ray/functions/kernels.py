@@ -1,0 +1,933 @@
+"""Text-domain filter kernels — the engine's analogue of imagor's filter
+chain (reference ``processor/vipsprocessor/filter.go``, ``filteroverlay.go``,
+``filterdetection.go``; registry ``processor/vipsprocessor/processor.go:83-111``).
+
+The reference's pixel math is re-expressed over ``text``: a row's payload is
+one string; "width" is characters, "height" is ``\\n``-separated lines. Every
+kernel is deterministic, pure, and vectorized over a ``pandas.Series`` of
+strings. Argument parsing (all filter arguments travel as strings, split on
+top-level commas — ``processor/vipsprocessor/process.go:776-778``) is
+preserved bit-for-bit.
+
+Kernel signature::
+
+    kernel(s: pd.Series, ctx: ChainCtx, args: str) -> pd.Series
+
+``ChainCtx`` is the per-chain context dict analogue of the reference's
+cross-filter state within one record's chain
+(``processor/vipsprocessor/context.go:47-59`` — e.g. ``rotate()`` flips a
+flag that a later ``fill()`` reads).
+
+The deterministic text analogues (semantics chosen for this engine, each
+mirroring the *shape* of the reference transform):
+
+==================  =========================================================
+filter              text analogue
+==================  =========================================================
+background_color(c) replace spaces with the color char (filter.go:95-106)
+blur(sigma)         window-mean smear of char codes (filter.go:216-235)
+brightness(n)       rotate letters by round(n*26/100) (filter.go:153-159)
+contrast(n)         letter-position contrast curve (filter.go:162-171)
+crop(l,t,w,h)       substring, abs or relative args (filter.go:340-382)
+fill(c)             set fill char + letterbox-pad to target (filteroverlay.go:129-211)
+focal(AxB:CxD)      set focal anchor fraction for crops (process.go:541-571)
+format(f)           output encoding utf8|hex|b64 (process.go:206-208)
+grayscale()         lowercase (filter.go:149-151)
+hue(deg)            rotate vowels by deg/72 (filter.go:174-214)
+label(t,x,y,..)     insert [t] at parsed overlay position (filteroverlay.go:213-282)
+max_bytes(n)        truncate UTF-8 bytes at char boundary (process.go:144-177)
+max_frames(n)       cap line count (process.go:366-368)
+no_upscale/upscale  clamp/allow pad-enlargement (process.go:372-375)
+orient(a)           pre-resize rotation (process.go:388-391)
+page(n)             select 1-based line n (process.go:380-382)
+padding(c,l,t,r,b)  pad with fill char counts (filter.go:72-93)
+pixelate(b)         every b-block replaced by its first char (filter.go:246-268)
+proportion(p)       truncate to floor(len*p) (filter.go:124-147)
+quality(n)          encode knob, recorded in ctx (process.go:214-215)
+redact(mode,s)      mask detected spans (filterdetection.go:112-285)
+rgb(r,g,b)          rotate vowels/consonants/digits (filter.go:191-202)
+rotate(a)           rotate line grid 90/180/270, sets ctx flag (filter.go:108-122)
+round_corner(rx)    blank rx corner chars of first/last lines (filter.go:20-70)
+saturation(n)       rotate consonants by n*21/100 (filter.go:174-214)
+sharpen(s)          inverse-smear (filter.go:271-294)
+strip_exif()        drop metadata (filter.go:318-320)
+strip_icc()         NFC-normalize, drop profile tag (filter.go:296-316)
+to_colorspace(p)    NFC-normalize (color.go:18-31)
+trim(tol,pos)       strip boundary-char runs (filter.go:322-338)
+upscale()           allow pad-enlargement
+watermark(k,x,...)  splice dimension-table snippet (filteroverlay.go:66-127)
+avgcolor()          most-frequent char sketch (filter.go:391-441)
+blurhash(x,y)       simhash-style 16-hex sketch (filter.go:444-476)
+thumbhash()         md5-prefix sketch (filter.go:480-513)
+==================  =========================================================
+
+Utility filters (``expire``/``attachment``/``preview``/``raw``/``format``
+pre-scan) are handled by the chain/pre-scan stage, mirroring
+``imagor.go:308-338``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import unicodedata
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+from .imagorpath import split_args
+
+__all__ = ["FILTER_MAP", "ChainCtx", "register_filter", "apply_filter"]
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+_VOWELS = "aeiou"
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
+_DIGITS = "0123456789"
+
+
+class ChainCtx:
+    """Per-chain mutable state shared across kernels of one record chain.
+
+    Mirrors the reference's vips context flags
+    (``processor/vipsprocessor/context.go:47-59``).
+    """
+
+    __slots__ = (
+        "fill_char", "rotate90", "upscale", "focal", "width", "height",
+        "h_align", "v_align", "fit_in", "out_format", "quality", "meta",
+        "attachment", "preview", "raw", "lossless", "knobs", "lookup",
+        "padding", "padding_applied",
+    )
+
+    def __init__(self, lookup: "Callable[[str], str] | None" = None):
+        self.fill_char = " "
+        self.rotate90 = False       # set by rotate(90/270); read by fill
+        self.upscale = False        # pad-enlargement allowed (fit-in)
+        self.focal = None           # (left, top, right, bottom) fractions
+        self.width = 0
+        self.height = 0
+        self.h_align = ""
+        self.v_align = ""
+        self.fit_in = False
+        self.out_format = "utf8"
+        self.quality = 0
+        self.meta = False
+        self.attachment = ""
+        self.preview = False
+        self.raw = False
+        self.lossless = False
+        self.knobs = {}
+        # params-level padding (GxH:IxJ), applied at the fill() position in
+        # the chain like the reference (filteroverlay.go:129-211)
+        self.padding = (0, 0, 0, 0)
+        self.padding_applied = True
+        # watermark()/image() source lookup: key -> text (the broadcast
+        # dimension table / LRU-cached loader, filteroverlay.go:66-127)
+        self.lookup = lookup
+
+
+def _int_arg(s: str, default: int = 0) -> int:
+    try:
+        return int(float(s))
+    except (TypeError, ValueError):
+        return default
+
+
+def _float_arg(s: str, default: float = 0.0) -> float:
+    try:
+        return float(s)
+    except (TypeError, ValueError):
+        return default
+
+
+def _color_char(color: str) -> str:
+    """Map a color arg to its fill char: first char of the color name,
+    '#rgb' hex → char from low hex byte, 'none'/'transparent' → space,
+    'auto'/'blur' handled by callers (color parse analogue of
+    ``processor/vipsprocessor/color.go:105-190``)."""
+    c = (color or "").strip().lower()
+    if c in ("", "none", "transparent"):
+        return " "
+    if c.startswith("#") and len(c) > 1:
+        try:
+            return chr(0x20 + int(c[1:3], 16) % 0x5F)
+        except ValueError:
+            return " "
+    return c[0]
+
+
+def _translate_map(src: str, dst: str) -> dict[int, int]:
+    return {ord(a): ord(b) for a, b in zip(src, dst)}
+
+
+def _rot_alphabet(shift: int) -> dict[int, int]:
+    """Caesar-rotation translation map over a-z and A-Z."""
+    shift %= 26
+    lower_to = _LOWER[shift:] + _LOWER[:shift]
+    return _translate_map(_LOWER + _UPPER, lower_to + lower_to.upper())
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+FILTER_MAP: dict[str, Callable] = {}
+
+
+def register_filter(name: str):
+    def deco(fn):
+        FILTER_MAP[name] = fn
+        return fn
+    return deco
+
+
+def apply_filter(name: str, s: pd.Series, ctx: ChainCtx, args: str) -> pd.Series:
+    fn = FILTER_MAP.get(name)
+    if fn is None:
+        return s  # unknown filters are no-ops, like an absent FilterMap entry
+    return fn(s, ctx, args)
+
+
+# ---------------------------------------------------------------------------
+# tonal / char-code kernels
+
+@register_filter("grayscale")
+def k_grayscale(s, ctx, args):
+    """Colourspace B/W → lowercase (filter.go:149-151)."""
+    return s.str.lower()
+
+
+@register_filter("brightness")
+def k_brightness(s, ctx, args):
+    """Linear brightness +n*255/100 → rotate letters by round(n*26/100)
+    (filter.go:153-159)."""
+    n = _float_arg(split_args(args)[0] if args else "0")
+    shift = int(round(n * 26.0 / 100.0))
+    return s.str.translate(_rot_alphabet(shift))
+
+
+@register_filter("contrast")
+def k_contrast(s, ctx, args):
+    """Linear a*x+b contrast curve over letter positions: p → clamp(
+    round((p-12.5)*(100+n)/100 + 12.5), 0, 25) (filter.go:162-171)."""
+    n = _float_arg(split_args(args)[0] if args else "0")
+    f = (100.0 + n) / 100.0
+    pos = np.arange(26)
+    newpos = np.clip(np.round((pos - 12.5) * f + 12.5), 0, 25).astype(int)
+    lower_to = "".join(_LOWER[i] for i in newpos)
+    table = _translate_map(_LOWER + _UPPER, lower_to + lower_to.upper())
+    return s.str.translate(table)
+
+
+@register_filter("hue")
+def k_hue(s, ctx, args):
+    """Hue rotation → rotate vowels by deg/72 positions (filter.go:174-214)."""
+    deg = _float_arg(split_args(args)[0] if args else "0")
+    shift = int(round(deg / 72.0)) % 5
+    to = _VOWELS[shift:] + _VOWELS[:shift]
+    table = _translate_map(_VOWELS + _VOWELS.upper(), to + to.upper())
+    return s.str.translate(table)
+
+
+@register_filter("saturation")
+def k_saturation(s, ctx, args):
+    """Saturation → rotate consonants by round(n*21/100) (filter.go:174-214)."""
+    n = _float_arg(split_args(args)[0] if args else "0")
+    shift = int(round(n * 21.0 / 100.0)) % 21
+    to = _CONSONANTS[shift:] + _CONSONANTS[:shift]
+    table = _translate_map(_CONSONANTS + _CONSONANTS.upper(), to + to.upper())
+    return s.str.translate(table)
+
+
+@register_filter("modulate")
+def k_modulate(s, ctx, args):
+    """modulate(b,s,h) = brightness + saturation + hue (filter.go:174-214)."""
+    a = split_args(args)
+    b = a[0] if len(a) > 0 else "0"
+    sat = a[1] if len(a) > 1 else "0"
+    h = a[2] if len(a) > 2 else "0"
+    return k_hue(k_saturation(k_brightness(s, ctx, b), ctx, sat), ctx, h)
+
+
+@register_filter("rgb")
+def k_rgb(s, ctx, args):
+    """Per-band offsets → rotate vowels (r), consonants (g), digits (b)
+    (filter.go:191-202)."""
+    a = split_args(args)
+    r = int(round(_float_arg(a[0] if len(a) > 0 else "0") * 5.0 / 100.0)) % 5
+    g = int(round(_float_arg(a[1] if len(a) > 1 else "0") * 21.0 / 100.0)) % 21
+    b = int(round(_float_arg(a[2] if len(a) > 2 else "0") * 10.0 / 100.0)) % 10
+    src = _VOWELS + _CONSONANTS + _DIGITS
+    dst = (_VOWELS[r:] + _VOWELS[:r]
+           + _CONSONANTS[g:] + _CONSONANTS[:g]
+           + _DIGITS[b:] + _DIGITS[:b])
+    table = _translate_map(src + src.upper(), dst + dst.upper())
+    return s.str.translate(table)
+
+
+@register_filter("background_color")
+def k_background_color(s, ctx, args):
+    """Flatten alpha onto color → replace spaces with the color char
+    (filter.go:95-106)."""
+    ch = _color_char(split_args(args)[0] if args else "")
+    if ch == " ":
+        return s
+    return s.str.replace(" ", ch, regex=False)
+
+
+def _smear(text: str, w: int, sharpen: bool = False) -> str:
+    if not text or w <= 0:
+        return text
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.float64)
+    kernel = np.ones(2 * w + 1)
+    padded = np.pad(codes, w, mode="edge")
+    means = np.convolve(padded, kernel, mode="valid") / kernel.size
+    if sharpen:
+        out = np.clip(np.round(codes + (codes - means)), 32, 0x10FFFF)
+    else:
+        out = np.clip(np.round(means), 32, 0x10FFFF)
+    return "".join(map(chr, out.astype(np.uint32)))
+
+
+@register_filter("blur")
+def k_blur(s, ctx, args):
+    """Gaussian blur σ → window-mean of char codes, window=round(σ)
+    (filter.go:216-235)."""
+    w = max(0, int(round(_float_arg(split_args(args)[0] if args else "0"))))
+    if w == 0:
+        return s
+    return s.map(lambda t: _smear(t, w))
+
+
+@register_filter("sharpen")
+def k_sharpen(s, ctx, args):
+    """Sharpen σ=1+2s → inverse smear (filter.go:271-294)."""
+    sv = _float_arg(split_args(args)[0] if args else "0")
+    w = max(1, int(round(1 + 2 * sv)) // 2)
+    return s.map(lambda t: _smear(t, w, sharpen=True))
+
+
+@register_filter("pixelate")
+def k_pixelate(s, ctx, args):
+    """Box shrink+replicate → every b-block replaced by its first char
+    (filter.go:246-268)."""
+    b = _int_arg(split_args(args)[0] if args else "0")
+    if b <= 1:
+        return s
+
+    def px(t: str) -> str:
+        return "".join(t[i] * len(t[i : i + b]) for i in range(0, len(t), b))
+
+    return s.map(px)
+
+
+# ---------------------------------------------------------------------------
+# geometry kernels
+
+@register_filter("crop")
+def k_crop(s, ctx, args):
+    """Post-resize crop(left,top,width,height); args <1 are fractions;
+    clamped (filter.go:340-382). left/width on chars, top/height on lines."""
+    a = split_args(args)
+    if len(a) < 4:
+        return s
+    left, top, wid, hei = (_float_arg(x) for x in a[:4])
+
+    def crop_one(t: str) -> str:
+        lines = t.split("\n")
+        nl = len(lines)
+        tt = int(top * nl) if 0 < top < 1 else int(top)
+        hh = int(hei * nl) if 0 < hei < 1 else int(hei)
+        tt = max(0, min(tt, nl))
+        hh = nl - tt if hh <= 0 else min(hh, nl - tt)
+        sel = lines[tt : tt + hh]
+        out = []
+        for line in sel:
+            n = len(line)
+            ll = int(left * n) if 0 < left < 1 else int(left)
+            ww = int(wid * n) if 0 < wid < 1 else int(wid)
+            ll = max(0, min(ll, n))
+            ww = n - ll if ww <= 0 else min(ww, n - ll)
+            out.append(line[ll : ll + ww])
+        return "\n".join(out)
+
+    if not s.map(lambda t: "\n" in t).any():
+        # single-line fast path, fully vectorized
+        n = s.str.len()
+        ll = (n * left).astype(int) if 0 < left < 1 else pd.Series(int(left), index=s.index)
+        ww = (n * wid).astype(int) if 0 < wid < 1 else pd.Series(int(wid), index=s.index)
+        ll = ll.clip(lower=0).where(ll <= n, n)
+        ww = ww.where(ww > 0, n - ll)
+        return pd.Series(
+            [t[l : l + w] for t, l, w in zip(s.tolist(), ll.tolist(), ww.tolist())],
+            index=s.index, dtype=object,
+        )
+    return s.map(crop_one)
+
+
+def trim_text(t: str, tolerance: int = 0, trim_by: str = "top-left") -> str:
+    """Strip leading+trailing runs of the boundary char: first char for
+    ``top-left``, last char for ``bottom-right``; ``tolerance`` widens the
+    match to chars whose code differs ≤ tolerance/10 from the boundary
+    (path-step trim ``process.go:627-642`` + ``findTrim``
+    ``process.go:1020-1054``; filter form ``filter.go:322-338``)."""
+    if not t:
+        return t
+    boundary = t[0] if trim_by != "bottom-right" else t[-1]
+    tol = tolerance // 10
+    code = ord(boundary)
+
+    def matches(c: str) -> bool:
+        return abs(ord(c) - code) <= tol
+
+    start, end = 0, len(t)
+    while start < end and matches(t[start]):
+        start += 1
+    while end > start and matches(t[end - 1]):
+        end -= 1
+    return t[start:end]
+
+
+@register_filter("trim")
+def k_trim(s, ctx, args):
+    """Filter-form trim(tolerance, position) (filter.go:322-338)."""
+    a = split_args(args)
+    tol = _int_arg(a[0]) if len(a) > 0 and a[0] else 0
+    pos = a[1] if len(a) > 1 else "top-left"
+    if tol == 0:
+        # vectorized: strip runs of the boundary char from both ends
+        if pos == "bottom-right":
+            boundary = s.str[-1].fillna("")
+        else:
+            boundary = s.str[0].fillna("")
+        return pd.Series(
+            [t.strip(b) if b else t for t, b in zip(s.tolist(), boundary.tolist())],
+            index=s.index, dtype=object,
+        )
+    return s.map(lambda t: trim_text(t, tol, pos))
+
+
+@register_filter("proportion")
+def k_proportion(s, ctx, args):
+    """Scale by percentage: p<=1 → fraction, clamp at 100% → truncate to
+    floor(len*p) chars (filter.go:124-147)."""
+    p = _float_arg(split_args(args)[0] if args else "0")
+    if p <= 0:
+        return s
+    if p <= 1:
+        p *= 100.0
+    p = min(p, 100.0) / 100.0
+    lens = (s.str.len() * p).astype(int)
+    return pd.Series(
+        [t[:n] for t, n in zip(s.tolist(), lens.tolist())],
+        index=s.index, dtype=object,
+    )
+
+
+@register_filter("padding")
+def k_padding(s, ctx, args):
+    """padding(color, left, top, right, bottom) — pad chars left/right with
+    the color char, lines top/bottom (filter.go:72-93)."""
+    a = split_args(args)
+    ch = _color_char(a[0] if len(a) > 0 else "")
+    left = _int_arg(a[1]) if len(a) > 1 else 0
+    top = _int_arg(a[2]) if len(a) > 2 else left
+    right = _int_arg(a[3]) if len(a) > 3 else left
+    bottom = _int_arg(a[4]) if len(a) > 4 else top
+    out = s
+    if left or right:
+        out = ch * left + out + ch * right if isinstance(out, str) else (
+            out.map(lambda t: ch * left + t + ch * right)
+        )
+    if top or bottom:
+        def pad_lines(t: str) -> str:
+            lines = t.split("\n")
+            width = max((len(x) for x in lines), default=0)
+            blank = ch * width
+            return "\n".join([blank] * top + lines + [blank] * bottom)
+        out = out.map(pad_lines)
+    return out
+
+
+def apply_params_padding(s: pd.Series, ctx: "ChainCtx") -> pd.Series:
+    """Apply the path-level padding ``GxH:IxJ`` with the current fill char
+    (embed-with-padding after resize, parse ``imagorpath/parse.go:135-145``,
+    apply via fill ``filteroverlay.go:129-211``)."""
+    pl, pt, pr, pb = ctx.padding
+    ctx.padding_applied = True
+    ch = ctx.fill_char
+    out = s.map(lambda t: ch * pl + t + ch * pr) if (pl or pr) else s
+    if pt or pb:
+        def pad_lines(t: str) -> str:
+            lines = t.split("\n")
+            width_ = max((len(x) for x in lines), default=0)
+            blank = ch * width_
+            return "\n".join([blank] * pt + lines + [blank] * pb)
+        out = out.map(pad_lines)
+    return out
+
+
+@register_filter("fill")
+def k_fill(s, ctx, args):
+    """Letterbox fill: set fill char and pad to the target width when
+    fit-in left space; ``auto`` = per-row most-frequent char, ``blur`` =
+    last char, ``none`` = space (filteroverlay.go:129-211). Honors the
+    rotate(90/270) flag by swapping target W/H like the reference."""
+    color = (split_args(args)[0] if args else "").strip().lower()
+    width, height = ctx.width, ctx.height
+    if ctx.rotate90:
+        width, height = height, width
+    if color == "auto":
+        def auto_pad(t: str) -> str:
+            if not t or len(t) >= width:
+                return t
+            counts = pd.Series(list(t)).value_counts()
+            ch = sorted(counts[counts == counts.max()].index)[0]
+            return _anchor_pad(t, width, ch, ctx.h_align)
+        ctx.fill_char = " "
+        out = s.map(auto_pad) if width > 0 else s
+    elif color == "blur":
+        out = s if width <= 0 else s.map(
+            lambda t: _anchor_pad(t, width, t[-1] if t else " ", ctx.h_align)
+        )
+    else:
+        ch = _color_char(color)
+        ctx.fill_char = ch
+        out = s.map(lambda t: _anchor_pad(t, width, ch, ctx.h_align)) if width > 0 else s
+    if not ctx.padding_applied:
+        out = apply_params_padding(out, ctx)
+    return out
+
+
+def _anchor_pad(t: str, width: int, ch: str, h_align: str) -> str:
+    """Pad ``t`` to ``width`` with ``ch`` anchored by align (centre default,
+    mirroring fill/embed gravity filteroverlay.go:129-211)."""
+    pad = width - len(t)
+    if pad <= 0:
+        return t
+    if h_align == "left":
+        return t + ch * pad
+    if h_align == "right":
+        return ch * pad + t
+    lp = pad // 2
+    return ch * lp + t + ch * (pad - lp)
+
+
+def _anchor_cut(t: str, width: int, h_align: str, focal: float | None = None) -> str:
+    """Truncate ``t`` to ``width`` anchored by align or focal fraction
+    (thumbnail crop interesting=centre/low/high, processor.go:334-451)."""
+    extra = len(t) - width
+    if extra <= 0:
+        return t
+    if focal is not None:
+        centre = int(focal * len(t))
+        start = min(max(centre - width // 2, 0), extra)
+        return t[start : start + width]
+    if h_align == "left":
+        return t[:width]
+    if h_align == "right":
+        return t[extra:]
+    lp = extra // 2
+    return t[lp : lp + width]
+
+
+@register_filter("focal")
+def k_focal(s, ctx, args):
+    """focal(AxB:CxD) — record focal rect; crops anchor at its centroid
+    (process.go:541-571, centroid process.go:1000-1018)."""
+    a = (args or "").strip()
+    try:
+        lt, rb = a.split(":")
+        left, top = (float(x) for x in lt.split("x"))
+        right, bottom = (float(x) for x in rb.split("x"))
+        ctx.focal = (left, top, right, bottom)
+    except (ValueError, AttributeError):
+        ctx.focal = None
+    return s
+
+
+# ---------------------------------------------------------------------------
+# structural kernels
+
+@register_filter("rotate")
+def k_rotate(s, ctx, args):
+    """Rotate the char grid by 90/180/270; 90/270 set the context flag read
+    by later fill() (filter.go:108-122, context.go:47-59)."""
+    a = _int_arg(split_args(args)[0] if args else "0")
+    if a not in (90, 180, 270):
+        return s
+    if a in (90, 270):
+        ctx.rotate90 = not ctx.rotate90
+
+    def rot(t: str) -> str:
+        lines = t.split("\n")
+        width = max((len(x) for x in lines), default=0)
+        grid = [line.ljust(width) for line in lines]
+        if a == 180:
+            out = [line[::-1] for line in reversed(grid)]
+        elif a == 90:
+            out = ["".join(row[i] for row in reversed(grid)) for i in range(width)]
+        else:  # 270
+            out = ["".join(row[i] for row in grid) for i in range(width - 1, -1, -1)]
+        return "\n".join(x.rstrip() if "\n" in t else x for x in out)
+
+    if a == 180 and not s.map(lambda t: "\n" in t).any():
+        return s.str[::-1]
+    return s.map(rot)
+
+
+@register_filter("orient")
+def k_orient(s, ctx, args):
+    """Pre-resize rotation, then EXIF orientation cleared
+    (process.go:388-391, 514-523)."""
+    return k_rotate(s, ctx, args)
+
+
+@register_filter("page")
+def k_page(s, ctx, args):
+    """Select 1-based page/frame n → line n (process.go:380-382)."""
+    n = _int_arg(split_args(args)[0] if args else "1", 1)
+    n = max(1, n)
+
+    def pick(t: str) -> str:
+        lines = t.split("\n")
+        return lines[n - 1] if n <= len(lines) else lines[-1]
+
+    return s.map(pick)
+
+
+@register_filter("max_frames")
+def k_max_frames(s, ctx, args):
+    """Cap animation frames → keep first n lines (process.go:366-368)."""
+    n = _int_arg(split_args(args)[0] if args else "0")
+    if n <= 0:
+        return s
+    return s.map(lambda t: "\n".join(t.split("\n")[:n]))
+
+
+@register_filter("round_corner")
+def k_round_corner(s, ctx, args):
+    """Blank out rx corner chars of the first and last lines with the fill
+    char (filter.go:20-70)."""
+    a = split_args(args)
+    rx = _int_arg(a[0]) if a else 0
+    if rx <= 0:
+        return s
+    ch = ctx.fill_char
+
+    def rc(t: str) -> str:
+        lines = t.split("\n")
+
+        def mask(line: str) -> str:
+            k = min(rx, len(line) // 2)
+            return ch * k + line[k : len(line) - k] + ch * k
+
+        if lines:
+            lines[0] = mask(lines[0])
+            lines[-1] = mask(lines[-1])
+        return "\n".join(lines)
+
+    return s.map(rc)
+
+
+# ---------------------------------------------------------------------------
+# encoding / metadata kernels
+
+@register_filter("max_bytes")
+def k_max_bytes(s, ctx, args):
+    """Iteratively shrink until the UTF-8 payload fits n bytes — truncation
+    at a char boundary (export retry loop process.go:144-177)."""
+    n = _int_arg(split_args(args)[0] if args else "0")
+    if n <= 0:
+        return s
+    if (s.str.len() <= n).all() and not s.map(
+        lambda t: any(ord(c) > 127 for c in t[: n + 1])
+    ).any():
+        return s
+
+    def cut(t: str) -> str:
+        b = t.encode("utf-8")
+        if len(b) <= n:
+            return t
+        return b[:n].decode("utf-8", errors="ignore")
+
+    return s.map(cut)
+
+
+@register_filter("format")
+def k_format(s, ctx, args):
+    """Output format tag: utf8 (default) | hex (uppercase hex of UTF-8
+    bytes) | b64 (standard base64) — the text-domain export encodings
+    (process.go:206-208; format map process.go:16-30). Encoding itself is
+    applied by the chain at export time."""
+    ctx.out_format = (split_args(args)[0] if args else "utf8").strip().lower() or "utf8"
+    return s
+
+
+@register_filter("fallback_format")
+def k_fallback_format(s, ctx, args):
+    """Fallback export format knob (process.go:210-212, 260-271)."""
+    ctx.knobs["fallback_format"] = (args or "").strip().lower()
+    return s
+
+
+@register_filter("quality")
+def k_quality(s, ctx, args):
+    """Export quality knob (process.go:214-215)."""
+    ctx.quality = _int_arg(split_args(args)[0] if args else "0")
+    return s
+
+
+@register_filter("lossless")
+def k_lossless(s, ctx, args):
+    """Lossless export flag; skips max_bytes retry (process.go:232-233,151)."""
+    ctx.lossless = True
+    return s
+
+
+for _knob in ("autojpg", "palette", "bitdepth", "compression", "strip_metadata", "dpi"):
+    def _mk(name):
+        def k_knob(s, ctx, args):
+            ctx.knobs[name] = args or ""
+            return s
+        k_knob.__doc__ = f"Export knob {name} (process.go:217-231, 384-386)."
+        return k_knob
+    FILTER_MAP[_knob] = _mk(_knob)
+
+
+@register_filter("no_upscale")
+def k_no_upscale(s, ctx, args):
+    """Clamp enlargement (process.go:372-373)."""
+    ctx.upscale = False
+    return s
+
+
+@register_filter("upscale")
+def k_upscale(s, ctx, args):
+    """Allow enlargement (process.go:374-375)."""
+    ctx.upscale = True
+    return s
+
+
+@register_filter("strip_exif")
+def k_strip_exif(s, ctx, args):
+    """Remove EXIF → drop metadata map (filter.go:318-320)."""
+    ctx.knobs["strip_exif"] = "1"
+    return s
+
+
+@register_filter("strip_icc")
+def k_strip_icc(s, ctx, args):
+    """sRGB-normalize then strip profile → NFC unicode normalize, drop the
+    form tag (filter.go:296-316)."""
+    ctx.knobs["strip_icc"] = "1"
+    return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+
+@register_filter("to_colorspace")
+def k_to_colorspace(s, ctx, args):
+    """ICC transform → NFC unicode normalize (color.go:18-31)."""
+    return s.map(lambda t: unicodedata.normalize("NFC", t))
+
+
+# ---------------------------------------------------------------------------
+# detection / redaction (detector = deterministic digit-run spans)
+
+def detect_spans(t: str) -> list[tuple[int, int]]:
+    """Deterministic detector analogue: spans of digit runs ≥2 chars — the
+    engine's stand-in for face/object regions (detector.go:26-30)."""
+    import re as _re
+    return [(m.start(), m.end()) for m in _re.finditer(r"\d{2,}", t)]
+
+
+@register_filter("redact")
+def k_redact(s, ctx, args):
+    """Obscure detected regions: solid '*' fill / pixelate / blur by mode
+    (filterdetection.go:112-285). Detected regions = digit runs ≥2."""
+    a = split_args(args)
+    mode = (a[0] if a else "solid").strip().lower() or "solid"
+    return s.str.replace(
+        r"\d{2,}",
+        lambda m: (
+            "*" * len(m.group(0)) if mode in ("solid", "") else
+            m.group(0)[0] * len(m.group(0)) if mode == "pixelate" else
+            _smear(m.group(0), 1)
+        ),
+        regex=True,
+    )
+
+
+FILTER_MAP["redact_oval"] = FILTER_MAP["redact"]
+
+
+@register_filter("draw_detections")
+def k_draw_detections(s, ctx, args):
+    """Wrap detected spans in markers; palette pick = FNV-32a(name) % 8
+    (filterdetection.go:46-90, palette 18-40)."""
+    def fnv32a(b: bytes) -> int:
+        h = 0x811C9DC5
+        for c in b:
+            h ^= c
+            h = (h * 0x01000193) & 0xFFFFFFFF
+        return h
+
+    marker = "<>[]{}()"[fnv32a(b"detection") % 8]
+    return s.str.replace(r"\d{2,}", lambda m: marker + m.group(0) + marker, regex=True)
+
+
+# ---------------------------------------------------------------------------
+# overlay kernels (label / watermark / image)
+
+def parse_overlay_position(x: str, base_len: int, item_len: int) -> int | None:
+    """Overlay x-position semantics: abs int, negative-from-end, ``Np`` %,
+    ``0.x`` fraction, left/right/center; ``repeat`` → None sentinel
+    (``processor/vipsprocessor/overlay.go:173-213``)."""
+    x = (x or "").strip().lower()
+    if x == "repeat":
+        return None
+    if x in ("left", ""):
+        return 0
+    if x == "right":
+        return max(0, base_len - item_len)
+    if x in ("center", "centre"):
+        return max(0, (base_len - item_len) // 2)
+    if x.endswith("p"):
+        try:
+            return int(float(x[:-1]) / 100.0 * base_len)
+        except ValueError:
+            return 0
+    try:
+        f = float(x)
+    except ValueError:
+        return 0
+    if -1 < f < 1 and f != int(f):
+        return int(f * base_len) if f >= 0 else max(0, base_len + int(f * base_len) - item_len)
+    n = int(f)
+    if n < 0:
+        return max(0, base_len + n - item_len + 1)
+    return min(n, base_len)
+
+
+def _splice(base: str, item: str, pos: int | None) -> str:
+    """Composite ``item`` over ``base`` at pos (blend=over); ``repeat``
+    tiles across (overlay.go:228-356)."""
+    if pos is None:  # repeat
+        if not item:
+            return base
+        reps = (len(base) // len(item)) + 1
+        return (item * reps)[: len(base)] if base else item
+    return base[:pos] + item + base[pos + len(item):]
+
+
+@register_filter("label")
+def k_label(s, ctx, args):
+    """label(text,x,y,size,color,alpha,font) → insert ``[text]`` at the
+    parsed overlay position (filteroverlay.go:213-282)."""
+    a = split_args(args)
+    if not a:
+        return s
+    try:
+        import urllib.parse as _up
+        txt = _up.unquote_plus(a[0])
+    except Exception:
+        txt = a[0]
+    x = a[1] if len(a) > 1 else "left"
+    item = "[" + txt + "]"
+    return s.map(lambda t: _splice(t, item, parse_overlay_position(x, len(t), len(item))))
+
+
+@register_filter("text")
+def k_text(s, ctx, args):
+    """Rich text overlay with wrap-to-width: text(content, x, width, ...)
+    — content wrapped at the parsed width then spliced
+    (filteroverlay.go:284-408; width parse util.go:67-92)."""
+    a = split_args(args)
+    if not a:
+        return s
+    try:
+        import urllib.parse as _up
+        txt = _up.unquote_plus(a[0])
+    except Exception:
+        txt = a[0]
+    x = a[1] if len(a) > 1 else "left"
+    wid = a[2] if len(a) > 2 else ""
+
+    def one(t: str) -> str:
+        if wid.endswith("p"):
+            w = int(_float_arg(wid[:-1]) / 100.0 * len(t))
+        elif wid in ("f", "full", ""):
+            w = len(t)
+        else:
+            f = _float_arg(wid)
+            w = int(f * len(t)) if 0 < f < 1 else int(f)
+        w = max(1, w)
+        wrapped = "|".join(txt[i : i + w] for i in range(0, len(txt), w)) if txt else ""
+        item = "[" + wrapped + "]"
+        return _splice(t, item, parse_overlay_position(x, len(t), len(item)))
+
+    return s.map(one)
+
+
+@register_filter("watermark")
+def k_watermark(s, ctx, args):
+    """watermark(key,x,y,alpha,w_ratio,h_ratio) → look the snippet up in
+    the broadcast dimension table held in actor state (the stream-table
+    join), resize by ratio, tile on ``repeat``, splice
+    (filteroverlay.go:66-127; cache overlay.go:17-68)."""
+    a = split_args(args)
+    if not a or ctx.lookup is None:
+        return s
+    key = a[0]
+    x = a[1] if len(a) > 1 else "repeat"
+    alpha = _float_arg(a[3]) if len(a) > 3 else 0.0
+    w_ratio = _float_arg(a[4]) if len(a) > 4 else 0.0
+    snippet = ctx.lookup(key)
+    if snippet is None or alpha >= 100:
+        return s
+
+    def one(t: str) -> str:
+        item = snippet
+        if w_ratio > 0:
+            item = item[: max(1, int(len(t) * w_ratio / 100.0))]
+        return _splice(t, item, parse_overlay_position(x, len(t), len(item)))
+
+    return s.map(one)
+
+
+# ---------------------------------------------------------------------------
+# sketch kernels (per-row aggregates → metadata side outputs)
+
+def avgcolor_text(t: str) -> str:
+    """Most-frequent char, ties → smallest codepoint (downscale+mean
+    analogue of filter.go:391-441)."""
+    if not t:
+        return ""
+    counts: dict[str, int] = {}
+    for c in t:
+        counts[c] = counts.get(c, 0) + 1
+    best = max(counts.items(), key=lambda kv: (kv[1], -ord(kv[0])))
+    return best[0]
+
+
+def blurhash_text(t: str) -> str:
+    """16-hex simhash-style sketch over word 3-shingles (DCT-sketch
+    analogue of filter.go:444-476)."""
+    words = t.split()
+    if not words:
+        return "0" * 16
+    acc = [0] * 64
+    for i in range(len(words)):
+        sh = " ".join(words[i : i + 3])
+        h = int.from_bytes(hashlib.md5(sh.encode("utf-8")).digest()[:8], "big")
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return f"{out:016x}"
+
+
+def thumbhash_text(t: str) -> str:
+    """8-hex md5-prefix sketch (filter.go:480-513)."""
+    return hashlib.md5(t.encode("utf-8")).hexdigest()[:8]

@@ -1,0 +1,389 @@
+"""FilterChain — ordered application of geometry steps + named filter
+kernels per record, the engine analogue of the reference's
+``applyTransformations`` (``processor/vipsprocessor/process.go:596-798``)
+and the ordered filter loop (``process.go:761-797``).
+
+Execution model: one ``map_batches`` stage. Within a batch, rows are
+grouped by their canonical path (each distinct path compiles to one chain,
+compiled once and LRU-cached per actor), and each group's chain runs
+vectorized over a ``pandas.Series`` of the group's texts. This mirrors the
+reference's per-request sequential chain while staying columnar: the
+common case — few distinct chains per batch — is fully vectorized.
+
+Honored reference semantics:
+
+- geometry order: trim → crop → resize/fit/stretch → flips → padding,
+  then the ordered named-filter loop (process.go:596-798).
+- per-filter disable list + ``MaxFilterOps`` cap
+  (process.go:768-774, 783-786; registry processor.go:83-120).
+- cross-filter state within one chain via ``ChainCtx``
+  (vipsprocessor/context.go:47-59).
+- utility-filter pre-scan: ``expire``/``attachment`` are stripped from the
+  result path before keying; ``preview``/``raw``/``format`` detected
+  (imagor.go:308-338).
+- negative-dimension flip fold W<0 → HFlip=!HFlip (imagor.go:380-387).
+- export encoding (``format``) applied at the end of the chain
+  (process.go:877-994).
+- recursive ``image()`` filter: nested imagor path evaluated through this
+  same chain compiler with bounded depth like ``MaxFilterOps``
+  (filteroverlay.go:15-64; full-dim ``f`` token resolution
+  overlay.go:99-151).
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import Callable
+
+import pandas as pd
+
+from ..functions import imagorpath as ip
+from ..functions import kernels as K
+
+__all__ = ["CompiledChain", "compile_chain", "FilterChainStage", "prescan_utility_filters"]
+
+DEFAULT_MAX_FILTER_OPS = 64
+DEFAULT_MAX_NESTED_DEPTH = 3
+
+#: filters handled by the pre-scan / orchestration layer, never by kernels
+UTILITY_FILTERS = frozenset({"expire", "attachment", "preview", "raw"})
+
+
+def prescan_utility_filters(p: ip.Params) -> tuple[ip.Params, dict]:
+    """Strip ``expire``/``attachment`` from the result path and detect
+    ``preview``/``raw``/``format`` — mirrors ``imagor.go:308-338``.
+
+    Returns the rewritten Params (canonical result-key input) plus a dict
+    of the extracted utility values.
+    """
+    util = {"expire_ms": 0, "attachment": "", "preview": False, "raw": False, "format": ""}
+    kept = []
+    for f in p.filters:
+        if f.name == "expire":
+            try:
+                util["expire_ms"] = int(f.args)
+            except (TypeError, ValueError):
+                pass
+        elif f.name == "attachment":
+            util["attachment"] = f.args
+            kept.append(f)
+        else:
+            if f.name == "preview":
+                util["preview"] = True
+            elif f.name == "raw":
+                util["raw"] = True
+            elif f.name == "format":
+                util["format"] = f.args
+            kept.append(f)
+    q = ip.params_copy(p)
+    q.filters = kept
+    q.path = ip.generate_path(q)
+    return q, util
+
+
+class CompiledChain:
+    """An ordered list of vectorized steps for one canonical path."""
+
+    __slots__ = ("params", "steps", "out_format", "raw", "focal", "has_fill")
+
+    def __init__(self, params: ip.Params, steps: list, raw: bool = False):
+        self.params = params
+        self.steps = steps
+        self.raw = raw
+        # focal() is parsed from the filter list BEFORE the thumbnail step
+        # runs in the reference (process.go:537-587) — pre-scan it here so
+        # the resize anchor sees it.
+        self.focal = None
+        self.has_fill = any(f.name == "fill" for f in params.filters)
+        for f in params.filters:
+            if f.name == "focal":
+                try:
+                    lt, rb = f.args.split(":")
+                    left, top = (float(x) for x in lt.split("x"))
+                    right, bottom = (float(x) for x in rb.split("x"))
+                    self.focal = (left, top, right, bottom)
+                except (ValueError, AttributeError):
+                    pass
+                break
+
+    def run(self, s: pd.Series, lookup: Callable[[str], str] | None = None) -> pd.Series:
+        """Apply the chain to a Series of texts (one path-group)."""
+        if self.raw:
+            return s
+        ctx = K.ChainCtx(lookup=lookup)
+        p = self.params
+        ctx.width, ctx.height = p.width, p.height
+        ctx.h_align, ctx.v_align = p.h_align, p.v_align
+        ctx.fit_in = p.fit_in
+        ctx.meta = p.meta
+        ctx.focal = self.focal
+        # params padding travels in ctx and is applied by the fill filter at
+        # its chain position (filteroverlay.go:129-211), or with the default
+        # fill char at the end when no fill() is present.
+        ctx.padding = (p.padding_left, p.padding_top, p.padding_right, p.padding_bottom)
+        ctx.padding_applied = not any(ctx.padding)
+        for step in self.steps:
+            s = step(s, ctx)
+        if not ctx.padding_applied:
+            s = K.apply_params_padding(s, ctx)
+        return _encode(s, ctx)
+
+
+def _encode(s: pd.Series, ctx: K.ChainCtx) -> pd.Series:
+    """Export encoding — text-domain format() analogue
+    (process.go:877-994). hex matches DuckDB ``hex()`` (uppercase);
+    b64 matches DuckDB ``to_base64`` (standard alphabet, padded)."""
+    fmt = ctx.out_format
+    if fmt in ("", "utf8", "txt", "text"):
+        return s
+    if fmt == "hex":
+        return s.map(lambda t: t.encode("utf-8").hex().upper())
+    if fmt in ("b64", "base64"):
+        return s.map(lambda t: base64.b64encode(t.encode("utf-8")).decode("ascii"))
+    if fmt == "upper":
+        return s.str.upper()
+    if fmt == "lower":
+        return s.str.lower()
+    return s
+
+
+def _geometry_steps(p: ip.Params) -> list:
+    """Params-driven pre-filter pipeline steps (process.go:596-798)."""
+    steps = []
+
+    if p.trim:
+        tol, by = p.trim_tolerance, p.trim_by or "top-left"
+        steps.append(lambda s, ctx: K.k_trim(s, ctx, f"{tol},{by}" if tol else f",{by}"))
+
+    if ip.has_crop(p):
+        left, top, right, bottom = p.crop_left, p.crop_top, p.crop_right, p.crop_bottom
+
+        def crop_step(s, ctx):
+            # manual crop AxB:CxD — floats <1 are fractions of dims,
+            # clamped (process.go:607-649). right/bottom are coordinates,
+            # not sizes.
+            def one(t: str) -> str:
+                n = len(t)
+                l = int(left * n) if 0 < left < 1 else int(left)
+                r = int(right * n) if 0 < right < 1 else int(right)
+                l = max(0, min(l, n))
+                r = max(l, min(r if r > 0 else n, n))
+                if "\n" not in t:
+                    return t[l:r]
+                lines = t.split("\n")
+                nl = len(lines)
+                tt = int(top * nl) if 0 < top < 1 else int(top)
+                bb = int(bottom * nl) if 0 < bottom < 1 else int(bottom)
+                tt = max(0, min(tt, nl))
+                bb = max(tt, min(bb if bb > 0 else nl, nl))
+                return "\n".join(x[l:r] for x in lines[tt:bb])
+
+            return s.map(one)
+
+        steps.append(crop_step)
+
+    # resize family (thumbnail decision process.go:402-507; fit variants
+    # process.go:684-713; adaptive swap process.go:662-668)
+    width, height = p.width, p.height
+    h_flip, v_flip = p.h_flip, p.v_flip
+    if width < 0:
+        h_flip, width = not h_flip, -width
+    if height < 0:
+        v_flip, height = not v_flip, -height
+
+    if width > 0 or height > 0:
+        fit_in, full_fit, adaptive = p.fit_in, p.full_fit_in, p.adaptive_fit_in
+        stretch, h_align = p.stretch, p.h_align
+        smart = p.smart
+
+        def resize_step(s, ctx):
+            w, h = width, height
+
+            def one(t: str) -> str:
+                tw, th = w, h
+                if adaptive:
+                    # swap target W/H when orientations differ
+                    # (process.go:662-668): text is "landscape" when it has
+                    # more chars per line than lines.
+                    lines_n = t.count("\n") + 1
+                    text_landscape = len(t) >= lines_n
+                    target_landscape = (tw or 1) >= (th or 1)
+                    if text_landscape != target_landscape:
+                        tw, th = th, tw
+                if th > 0 and "\n" in t:
+                    lines = t.split("\n")
+                    if len(lines) > th:
+                        lines = lines[:th]
+                    t = "\n".join(lines)
+                if tw <= 0:
+                    return t
+                if stretch:
+                    # force exact length ignoring aspect (process.go:706-713)
+                    t = _cut(t, tw)
+                    return _pad(t, tw)
+                if fit_in:
+                    if full_fit:
+                        # cover: pad up to at least tw (process.go:686-698)
+                        return _pad(t, tw)
+                    # fit without crop: shrink only, upscale pads
+                    if len(t) > tw:
+                        return _cut(t, tw)
+                    if ctx.upscale:
+                        return _pad(t, tw)
+                    return t
+                # plain resize: cut or pad to exactly tw, anchored
+                if len(t) > tw:
+                    return _cut(t, tw)
+                return _pad(t, tw)
+
+            def _cut(t: str, tw: int) -> str:
+                focal = None
+                if ctx.focal is not None:
+                    fl, ftop, fr, fb = ctx.focal
+                    cx = (fl + fr) / 2.0
+                    focal = cx if cx <= 1 else cx / max(1, len(t))
+                elif smart:
+                    # "most interesting span": centre of the longest token
+                    # run (smart-crop detector analogue, process.go:577-587)
+                    words = t.split()
+                    if words:
+                        longest = max(words, key=len)
+                        idx = t.find(longest)
+                        focal = (idx + len(longest) / 2.0) / max(1, len(t))
+                return K._anchor_cut(t, tw, ctx.h_align, focal)
+
+            def _pad(t: str, tw: int) -> str:
+                return K._anchor_pad(t, tw, ctx.fill_char, ctx.h_align)
+
+            return s.map(one)
+
+        steps.append(resize_step)
+
+    if h_flip:
+        steps.append(lambda s, ctx: s.map(
+            lambda t: "\n".join(x[::-1] for x in t.split("\n")) if "\n" in t else t[::-1]
+        ))
+    if v_flip:
+        steps.append(lambda s, ctx: s.map(
+            lambda t: "\n".join(reversed(t.split("\n")))
+        ))
+
+    return steps
+
+
+def compile_chain(
+    path_or_params: "str | ip.Params",
+    disabled_filters: frozenset[str] = frozenset(),
+    max_filter_ops: int = DEFAULT_MAX_FILTER_OPS,
+    _depth: int = 0,
+) -> CompiledChain:
+    """Compile a canonical path (or Params) into an ordered step list.
+
+    Mirrors ``applyTransformations`` (process.go:596-798): geometry first,
+    then the ordered filter loop honoring the disable list and the
+    ``MaxFilterOps`` cap (process.go:768-786).
+    """
+    p = ip.parse(path_or_params) if isinstance(path_or_params, str) else path_or_params
+    p, util = prescan_utility_filters(p)
+    if util["raw"]:
+        return CompiledChain(p, [], raw=True)
+
+    steps = _geometry_steps(p)
+
+    n_ops = 0
+    for f in p.filters:
+        if f.name in disabled_filters or f.name in UTILITY_FILTERS:
+            continue
+        if n_ops >= max_filter_ops:
+            break
+        n_ops += 1
+        if f.name == "image" and _depth < DEFAULT_MAX_NESTED_DEPTH:
+            steps.append(_nested_image_step(f.args, disabled_filters, max_filter_ops, _depth))
+            continue
+        name, args = f.name, f.args
+        steps.append(lambda s, ctx, _n=name, _a=args: K.apply_filter(_n, s, ctx, _a))
+
+    return CompiledChain(p, steps)
+
+
+def _nested_image_step(args: str, disabled, max_ops, depth):
+    """Recursive composition: parse the nested imagor path, run the whole
+    chain on the referenced source, splice at x (filteroverlay.go:15-64;
+    bounded recursion like MaxFilterOps process.go:768-774)."""
+    a = ip.split_args(args)
+    nested_path = a[0] if a else ""
+    x = a[1] if len(a) > 1 else "left"
+    nested = compile_chain(
+        nested_path.lstrip("/"), disabled, max_ops, _depth=depth + 1
+    )
+
+    def step(s: pd.Series, ctx: K.ChainCtx) -> pd.Series:
+        if ctx.lookup is None:
+            return s
+        src = ctx.lookup(nested.params.image)
+        if src is None:
+            return s
+        item = nested.run(pd.Series([src]), lookup=ctx.lookup).iloc[0]
+        return s.map(
+            lambda t: K._splice(t, item, K.parse_overlay_position(x, len(t), len(item)))
+        )
+
+    return step
+
+
+class FilterChainStage:
+    """Actor-pool ``map_batches`` callable running the filter chain.
+
+    Stateful per-actor setup in ``__init__`` (once per actor): the compiled-
+    chain LRU and the broadcast dimension lookup — the analogue of the
+    reference's per-replica processor state: vips startup
+    (processor.go:127-209), ristretto result cache (cache.go:14-163) and
+    watermark cache (overlay.go:17-94).
+
+    Use::
+
+        ds.map_batches(FilterChainStage, fn_constructor_kwargs={...},
+                       batch_format="pandas", concurrency=N, batch_size=B)
+
+    Input batch columns: ``path`` (canonical imagor path) and ``text``.
+    Output: same batch with ``text`` replaced by the chain result.
+    """
+
+    def __init__(
+        self,
+        dim_ref=None,
+        text_col: str = "text",
+        path_col: str = "path",
+        disabled_filters: frozenset[str] = frozenset(),
+        max_filter_ops: int = DEFAULT_MAX_FILTER_OPS,
+        cache_size: int = 4096,
+    ):
+        self._chains: dict[str, CompiledChain] = {}
+        self._cache_size = cache_size
+        self._text_col = text_col
+        self._path_col = path_col
+        self._disabled = disabled_filters
+        self._max_ops = max_filter_ops
+        self._lookup = None
+        if dim_ref is not None:
+            import ray
+            dim = ray.get(dim_ref) if not isinstance(dim_ref, dict) else dim_ref
+            self._lookup = dim.get
+
+    def _chain(self, path: str) -> CompiledChain:
+        c = self._chains.get(path)
+        if c is None:
+            if len(self._chains) >= self._cache_size:
+                self._chains.clear()  # simple epoch eviction; paths recompile
+            c = compile_chain(path, self._disabled, self._max_ops)
+            self._chains[path] = c
+        return c
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self._text_col]
+        out = texts.copy()
+        for path, idx in texts.groupby(batch[self._path_col]).groups.items():
+            chain = self._chain(path)
+            out.loc[idx] = chain.run(texts.loc[idx].astype(str), lookup=self._lookup)
+        batch[self._text_col] = out
+        return batch
