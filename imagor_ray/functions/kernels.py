@@ -734,20 +734,20 @@ def k_to_colorspace(s, ctx, args):
 # detection / redaction (detector = deterministic digit-run spans)
 
 def detect_spans(t: str) -> list[tuple[int, int]]:
-    """Deterministic detector analogue: spans of digit runs ≥2 chars — the
+    """Deterministic detector analogue: digit runs — the
     engine's stand-in for face/object regions (detector.go:26-30)."""
     import re as _re
-    return [(m.start(), m.end()) for m in _re.finditer(r"\d{2,}", t)]
+    return [(m.start(), m.end()) for m in _re.finditer(r"\d+", t)]
 
 
 @register_filter("redact")
 def k_redact(s, ctx, args):
     """Obscure detected regions: solid '*' fill / pixelate / blur by mode
-    (filterdetection.go:112-285). Detected regions = digit runs ≥2."""
+    (filterdetection.go:112-285). Detected regions = digit runs (SQL-parity: regexp \\d+)."""
     a = split_args(args)
     mode = (a[0] if a else "solid").strip().lower() or "solid"
     return s.str.replace(
-        r"\d{2,}",
+        r"\d+",
         lambda m: (
             "*" * len(m.group(0)) if mode in ("solid", "") else
             m.group(0)[0] * len(m.group(0)) if mode == "pixelate" else
@@ -772,7 +772,7 @@ def k_draw_detections(s, ctx, args):
         return h
 
     marker = "<>[]{}()"[fnv32a(b"detection") % 8]
-    return s.str.replace(r"\d{2,}", lambda m: marker + m.group(0) + marker, regex=True)
+    return s.str.replace(r"\d+", lambda m: marker + m.group(0) + marker, regex=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,151 @@
+"""Transcript source — derives the engine's input table
+``(conv_id, turn_idx, role, text, tool, ts)`` from the driver-generated
+``events`` + ``documents`` parquet tables, deterministically and
+SQL-expressibly (so the DuckDB oracle can verify it bit-for-bit).
+
+Derivation spec (the single source of truth; ``oracle_sql`` mirrors it):
+
+- ``conv_id``  = ``'conv_' || lpad(user_id, 6, '0')``
+- ``turn_idx`` = ``row_number() over (partition by user_id
+                   order by ts, event_id) - 1`` as int32
+- ``role``     = signup→system, click→user, view/purchase→assistant,
+                 else→tool
+- ``text``     = ``documents.text`` where ``doc_id = event_id % D``
+                 (D = document count — a broadcast dimension lookup)
+- ``tool``     = ``event_type``
+- ``ts``       = ``ts``
+
+Scale notes: the documents side is broadcast once via ``ray.put`` and read
+in every map task (no shuffle); the ``turn_idx`` row-number is the ONE
+wide step, keyed on ``conv_id`` — the same key the sessionize step uses,
+so downstream windowing reuses this partitioning instead of shuffling
+again. The reference analogue of the lookup is the loader→storage chain
+(first-hit-wins, ``imagor.go:699-760``) collapsed into a broadcast
+hash-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+__all__ = ["ROLE_MAP", "read_transcripts", "derive_transcripts", "TOOL_META", "tool_meta_table"]
+
+ROLE_MAP = {
+    "signup": "system",
+    "click": "user",
+    "view": "assistant",
+    "purchase": "assistant",
+    "error": "tool",
+}
+
+#: tool-metadata dimension table (the stream-table join small side; the
+#: engine's stand-in for imagor's watermark/overlay sources,
+#: filteroverlay.go:66-127). Deterministic literals — mirrored as a VALUES
+#: list in oracle SQL.
+TOOL_META = {
+    "signup": {"tool_kind": "auth", "tool_cost": 5, "snippet": "<SIGNUP>"},
+    "click": {"tool_kind": "ui", "tool_cost": 1, "snippet": "<CLICK>"},
+    "view": {"tool_kind": "ui", "tool_cost": 2, "snippet": "<VIEW>"},
+    "purchase": {"tool_kind": "commerce", "tool_cost": 8, "snippet": "<BUY>"},
+    "error": {"tool_kind": "fault", "tool_cost": 13, "snippet": "<ERR>"},
+}
+
+
+def tool_meta_table() -> pd.DataFrame:
+    rows = [{"tool": k, **v} for k, v in sorted(TOOL_META.items())]
+    return pd.DataFrame(rows)
+
+
+def _doc_count(sf_dir: str) -> int:
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+class _AttachText:
+    """Actor-pool stage: broadcast documents held once per actor
+    (``ray.put`` ref resolved in ``__init__``), vectorized take per batch."""
+
+    def __init__(self, docs_ref, n_docs: int):
+        docs = ray.get(docs_ref)
+        # dense doc_id -> text array for O(1) vectorized gather
+        arr = np.empty(n_docs, dtype=object)
+        arr[docs["doc_id"].to_numpy()] = docs["text"].to_numpy()
+        self._texts = arr
+        self._n = n_docs
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        uid = batch["user_id"].to_numpy()
+        out = pd.DataFrame({
+            "conv_id": pd.Series(uid).map(lambda u: f"conv_{u:06d}"),
+            "role": batch["event_type"].map(ROLE_MAP).fillna("tool"),
+            "text": pd.Series(self._texts[batch["event_id"].to_numpy() % self._n]),
+            "tool": batch["event_type"].to_numpy(),
+            "ts": batch["ts"].to_numpy(),
+            "event_id": batch["event_id"].to_numpy(),
+            "user_id": uid,
+        })
+        return out
+
+
+def _assign_turn_idx(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation row-number under stable (ts, event_id) order —
+    the stable-ordering invariant the oracles assert."""
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    g["turn_idx"] = np.arange(len(g), dtype=np.int32)
+    return g
+
+
+def derive_transcripts(sf_dir: str, with_turn_idx: bool = True) -> rd.Dataset:
+    """events × documents → transcripts Dataset.
+
+    ``with_turn_idx=False`` skips the row-number shuffle for consumers that
+    will group by ``conv_id`` themselves anyway.
+    """
+    n_docs = _doc_count(sf_dir)
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    docs_ref = ray.put(docs)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    ds = ds.map_batches(
+        _AttachText,
+        fn_constructor_kwargs={"docs_ref": docs_ref, "n_docs": n_docs},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    if with_turn_idx:
+        ds = ds.groupby("conv_id").map_groups(_assign_turn_idx, batch_format="pandas")
+        ds = ds.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    return ds
+
+
+def read_transcripts(sf_dir: str) -> rd.Dataset:
+    """Public entry: the engine's input stream per ``input_hint``."""
+    return derive_transcripts(sf_dir, with_turn_idx=True)
+
+
+TRANSCRIPTS_SQL = """
+SELECT
+  'conv_' || lpad(CAST(e.user_id AS VARCHAR), 6, '0') AS conv_id,
+  CAST(row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) - 1 AS INTEGER) AS turn_idx,
+  CASE e.event_type
+    WHEN 'signup' THEN 'system'
+    WHEN 'click' THEN 'user'
+    WHEN 'view' THEN 'assistant'
+    WHEN 'purchase' THEN 'assistant'
+    ELSE 'tool' END AS role,
+  d.text AS text,
+  e.event_type AS tool,
+  e.ts AS ts
+FROM events e
+JOIN documents d
+  ON d.doc_id = e.event_id % (SELECT count(*) FROM documents)
+"""

@@ -1,0 +1,171 @@
+"""Exactly-once Parquet sink with per-partition checkpointed lineage.
+
+Mirrors imagor's result-storage idempotency: results are written keyed by
+content-addressed key and re-writes are harmless
+(``imagor.go:388-398, 516-518, 783-811``); failed saves are deleted
+(``imagor.go:795-808``). Here:
+
+- the sink key is ``(conv_id, turn_idx, signature)``;
+- the stream is hash-partitioned on ``conv_id`` into ``num_buckets``
+  partitions; each partition is written by one grouped task:
+  dedup on key (keep-first) → stable sort ``(conv_id, turn_idx)`` →
+  write ``part-{bucket}.parquet`` to a temp name → fsync → atomic rename
+  → append a lineage manifest line (atomic rename of the manifest file);
+- correctness under Ray task retries comes from idempotent keyed writes
+  + the atomic per-partition commit, NOT from suppression (the
+  reference's singleflight is an optimization only — SURVEY §7.4.1);
+- replay: partitions whose manifest entry exists are skipped up front
+  (the anti-join against committed lineage), so a resumed run re-writes
+  only missing partitions and the final directory is byte-identical.
+
+Layout::
+
+    out_dir/
+      part-00000.parquet        # sorted, deduped rows of bucket 0
+      _manifest/bucket-00000.json   # lineage: rows, key-range, checksum
+
+One directory per key-range partition → a failed run skips finished
+partitions on resume (resumable output).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+__all__ = ["ExactlyOnceSink", "conv_bucket"]
+
+KEY_COLS = ("conv_id", "turn_idx", "signature")
+
+
+def conv_bucket(conv_ids: pd.Series, num_buckets: int) -> pd.Series:
+    """Stable hash-partition of conv_id (crc32 — cheap, deterministic
+    across workers/runs; NOT Python ``hash`` which is salted)."""
+    return conv_ids.map(lambda c: zlib.crc32(c.encode("utf-8")) % num_buckets)
+
+
+class ExactlyOnceSink:
+    def __init__(self, out_dir: str, num_buckets: int = 16):
+        self.out_dir = out_dir
+        self.num_buckets = num_buckets
+        self.manifest_dir = os.path.join(out_dir, "_manifest")
+
+    # -- lineage -----------------------------------------------------------
+
+    def committed_buckets(self) -> set[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return set()
+        out = set()
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("bucket-") and name.endswith(".json"):
+                out.add(int(name[7:-5]))
+        return out
+
+    def read_manifest(self) -> list[dict]:
+        entries = []
+        for b in sorted(self.committed_buckets()):
+            with open(os.path.join(self.manifest_dir, f"bucket-{b:05d}.json")) as f:
+                entries.append(json.load(f))
+        return entries
+
+    # -- write -------------------------------------------------------------
+
+    def write(self, ds: rd.Dataset, sort_extra: tuple[str, ...] = ()) -> dict:
+        """Write the dataset exactly-once. Returns a summary dict.
+
+        The input must carry the key columns. Rows of already-committed
+        buckets are dropped before the shuffle (partition-level anti-join
+        — the replay probe, analogue of ``loadResult`` imagor.go:600-664).
+        """
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        done = self.committed_buckets()
+        nb = self.num_buckets
+        out_dir = self.out_dir
+        manifest_dir = self.manifest_dir
+
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b["_bucket"] = conv_bucket(b["conv_id"], nb).astype("int32")
+            if done:
+                b = b[~b["_bucket"].isin(done)]
+            return b
+
+        def write_partition(g: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(g["_bucket"].iloc[0])
+            final = os.path.join(out_dir, f"part-{bucket:05d}.parquet")
+            mpath = os.path.join(manifest_dir, f"bucket-{bucket:05d}.json")
+            if os.path.exists(mpath):
+                # committed by a concurrent/previous attempt — idempotent skip
+                return pd.DataFrame({"bucket": [bucket], "rows": [0], "skipped": [True]})
+            g = g.drop_duplicates(subset=list(KEY_COLS), keep="first")
+            g = g.sort_values(
+                ["conv_id", "turn_idx", *sort_extra], kind="mergesort"
+            ).drop(columns=["_bucket"]).reset_index(drop=True)
+            tmp = final + ".tmp"
+            try:
+                table = pa.Table.from_pandas(g, preserve_index=False)
+                pq.write_table(table, tmp, compression="zstd")
+                with open(tmp, "rb") as f:
+                    digest = hashlib.sha1(f.read()).hexdigest()
+                os.replace(tmp, final)  # atomic commit of the data file
+                entry = {
+                    "partition_id": bucket,
+                    "rows": len(g),
+                    "key_min": [str(g["conv_id"].iloc[0]), int(g["turn_idx"].iloc[0])] if len(g) else None,
+                    "key_max": [str(g["conv_id"].iloc[-1]), int(g["turn_idx"].iloc[-1])] if len(g) else None,
+                    "sha1": digest,
+                    "file": os.path.basename(final),
+                }
+                mtmp = mpath + ".tmp"
+                with open(mtmp, "w") as f:
+                    json.dump(entry, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(mtmp, mpath)  # atomic lineage commit
+            except BaseException:
+                # delete-on-error like saveWithErrorHandling (imagor.go:795-808)
+                for path in (tmp, final):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
+                raise
+            return pd.DataFrame({"bucket": [bucket], "rows": [len(g)], "skipped": [False]})
+
+        result = (
+            ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(write_partition, batch_format="pandas")
+        )
+        stats = result.to_pandas()
+        return {
+            "buckets_written": int((~stats["skipped"]).sum()) if len(stats) else 0,
+            "buckets_skipped": len(done) + (int(stats["skipped"].sum()) if len(stats) else 0),
+            "rows_written": int(stats["rows"].sum()) if len(stats) else 0,
+        }
+
+    # -- read back ---------------------------------------------------------
+
+    def read(self) -> rd.Dataset:
+        return rd.read_parquet(self.out_dir)
+
+    def output_files(self) -> list[str]:
+        return sorted(
+            os.path.join(self.out_dir, n)
+            for n in os.listdir(self.out_dir)
+            if n.endswith(".parquet")
+        )
+
+    def content_sha1(self) -> str:
+        """Digest over all committed part files — replay equality probe."""
+        h = hashlib.sha1()
+        for path in self.output_files():
+            with open(path, "rb") as f:
+                h.update(f.read())
+        return h.hexdigest()

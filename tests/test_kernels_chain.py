@@ -136,7 +136,7 @@ class TestEncodingKernels:
         assert out == "YWI="
 
     def test_redact(self):
-        assert k("redact", "call 555 at 9") == "call *** at 9"
+        assert k("redact", "call 555 at 9") == "call *** at *"
         assert k("redact", "n 1234 x", "pixelate") == "n 1111 x"
 
     def test_draw_detections(self):
