@@ -65,30 +65,39 @@ def _doc_count(sf_dir: str) -> int:
     return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 
 
-class _AttachText:
-    """Actor-pool stage: broadcast documents held once per actor
-    (``ray.put`` ref resolved in ``__init__``), vectorized take per batch."""
+# per-worker-process cache of the resolved broadcast side: stateless map
+# tasks re-use the dense array without re-shipping it per batch (ray.get of
+# a ray.put ref is zero-copy from the local object store).
+_DOC_CACHE: dict[str, np.ndarray] = {}
 
-    def __init__(self, docs_ref, n_docs: int):
+
+def _doc_array(docs_ref, n_docs: int) -> np.ndarray:
+    key = str(docs_ref)
+    arr = _DOC_CACHE.get(key)
+    if arr is None:
         docs = ray.get(docs_ref)
-        # dense doc_id -> text array for O(1) vectorized gather
         arr = np.empty(n_docs, dtype=object)
         arr[docs["doc_id"].to_numpy()] = docs["text"].to_numpy()
-        self._texts = arr
-        self._n = n_docs
+        _DOC_CACHE.clear()
+        _DOC_CACHE[key] = arr
+    return arr
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        uid = batch["user_id"].to_numpy()
-        out = pd.DataFrame({
-            "conv_id": pd.Series(uid).map(lambda u: f"conv_{u:06d}"),
-            "role": batch["event_type"].map(ROLE_MAP).fillna("tool"),
-            "text": pd.Series(self._texts[batch["event_id"].to_numpy() % self._n]),
-            "tool": batch["event_type"].to_numpy(),
-            "ts": batch["ts"].to_numpy(),
-            "event_id": batch["event_id"].to_numpy(),
-            "user_id": uid,
-        })
-        return out
+
+def _attach_text(batch: pd.DataFrame, docs_ref, n_docs: int) -> pd.DataFrame:
+    """Broadcast-join the documents side: vectorized O(1) gather per batch
+    (the loader chain lookup collapsed into a broadcast hash-join,
+    imagor.go:699-760)."""
+    texts = _doc_array(docs_ref, n_docs)
+    uid = batch["user_id"].to_numpy()
+    return pd.DataFrame({
+        "conv_id": pd.Series(uid).map(lambda u: f"conv_{u:06d}"),
+        "role": batch["event_type"].map(ROLE_MAP).fillna("tool"),
+        "text": pd.Series(texts[batch["event_id"].to_numpy() % n_docs]),
+        "tool": batch["event_type"].to_numpy(),
+        "ts": batch["ts"].to_numpy(),
+        "event_id": batch["event_id"].to_numpy(),
+        "user_id": uid,
+    })
 
 
 def _assign_turn_idx(g: pd.DataFrame) -> pd.DataFrame:
@@ -116,10 +125,9 @@ def derive_transcripts(sf_dir: str, with_turn_idx: bool = True) -> rd.Dataset:
         columns=["event_id", "ts", "user_id", "event_type"],
     )
     ds = ds.map_batches(
-        _AttachText,
-        fn_constructor_kwargs={"docs_ref": docs_ref, "n_docs": n_docs},
+        _attach_text,
+        fn_kwargs={"docs_ref": docs_ref, "n_docs": n_docs},
         batch_format="pandas",
-        concurrency=(1, 8),
     )
     if with_turn_idx:
         ds = ds.groupby("conv_id").map_groups(_assign_turn_idx, batch_format="pandas")

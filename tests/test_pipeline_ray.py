@@ -1,0 +1,305 @@
+"""Ray Data integration tests: transcripts derivation vs DuckDB, the
+parse/sign fast path, windows vs SQL window functions, the flagship DAG,
+and the exactly-once sink (dedup, replay, resume, byte-identical output).
+
+Model: the reference's orchestrator behavioural tests with counting fake
+storages (``imagor_test.go:684-744, 945-1116``) and the golden end-to-end
+corpus (``processor_test.go:1383-1460``)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def oracle(q: str, sf_dir: str = SF) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    try:
+        return con.sql(q).df()
+    finally:
+        con.close()
+
+
+@pytest.fixture(scope="module")
+def transcripts_df(ray_session):
+    from imagor_ray.sources.transcripts import read_transcripts
+
+    return (
+        read_transcripts(SF)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+class TestTranscriptsDerivation:
+    def test_matches_duckdb_oracle(self, transcripts_df):
+        from imagor_ray.sources.transcripts import TRANSCRIPTS_SQL
+
+        oracle_df = (
+            oracle(TRANSCRIPTS_SQL)
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        got = transcripts_df[oracle_df.columns.tolist()]
+        got = got.assign(ts=got["ts"].astype("datetime64[us]"))
+        oracle_df = oracle_df.assign(ts=oracle_df["ts"].astype("datetime64[us]"))
+        pd.testing.assert_frame_equal(got, oracle_df, check_dtype=False)
+
+    def test_turn_ordering_invariant(self, transcripts_df):
+        # per-turn stable ordering: turn_idx is 0..n-1 within each conv,
+        # monotone in (ts, event order)
+        for _, g in transcripts_df.groupby("conv_id"):
+            assert g["turn_idx"].tolist() == list(range(len(g)))
+            assert g.sort_values("turn_idx")["ts"].is_monotonic_increasing
+
+
+class TestParseSignStage:
+    def test_fast_path_equals_full_roundtrip(self):
+        from imagor_ray.functions import imagorpath as ip
+        from imagor_ray.stages.parse_sign import ParseSignStage
+
+        stage = ParseSignStage()
+        df = pd.DataFrame({
+            "conv_id": ["conv_000001", "conv_000002"],
+            "turn_idx": [0, 17],
+            "tool": ["signup", "purchase"],
+        })
+        out = stage(df.copy())
+        for _, row in out.iterrows():
+            p = ip.parse(row["path"])
+            # canonical: generate(parse(path)) is a fixed point
+            assert ip.generate_path(p) == row["path"]
+            assert stage.signer.sign(row["path"]) == row["signature"]
+
+    def test_signature_is_sha256_hmac(self):
+        from imagor_ray.stages.parse_sign import ParseSignStage
+        import base64, hashlib, hmac
+
+        stage = ParseSignStage(secret="s3cr3t")
+        df = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0], "tool": ["view"]})
+        out = stage(df)
+        expect = base64.urlsafe_b64encode(
+            hmac.new(b"s3cr3t", out["path"].iloc[0].encode(), hashlib.sha256).digest()
+        ).decode()
+        assert out["signature"].iloc[0] == expect
+
+
+class TestWindows:
+    def test_tumbling_matches_sql(self, ray_session):
+        from imagor_ray.sources.transcripts import read_transcripts
+        from imagor_ray.stages.windows import tumbling_tool_stats
+
+        got = (
+            tumbling_tool_stats(read_transcripts(SF), size_s=3600)
+            .to_pandas().sort_values(["tool", "window_start"]).reset_index(drop=True)
+        )
+        from imagor_ray.sources.transcripts import TRANSCRIPTS_SQL
+        want = oracle(f"""
+            WITH t AS ({TRANSCRIPTS_SQL})
+            SELECT tool,
+                   epoch_us(ts) // 3600000000 * 3600 AS window_start,
+                   count(*) AS n_turns,
+                   sum(length(text)) AS sum_len,
+                   min(ts) AS min_ts, max(ts) AS max_ts
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2
+        """).reset_index(drop=True)
+        assert got["n_turns"].sum() == want["n_turns"].sum()
+        pd.testing.assert_frame_equal(
+            got[["tool", "window_start", "n_turns", "sum_len"]],
+            want[["tool", "window_start", "n_turns", "sum_len"]],
+            check_dtype=False,
+        )
+
+    def test_sessions_match_sql(self, ray_session):
+        from imagor_ray.sources.transcripts import TRANSCRIPTS_SQL, read_transcripts
+        from imagor_ray.stages.windows import session_windows
+
+        got = (
+            session_windows(read_transcripts(SF), gap_s=1800)
+            .to_pandas().sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+        )
+        want = oracle(f"""
+            WITH t AS ({TRANSCRIPTS_SQL}),
+            g AS (
+              SELECT *,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                     > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+              FROM t),
+            s AS (
+              SELECT *, CAST(sum(new_s) OVER (PARTITION BY conv_id
+                        ORDER BY ts, turn_idx) AS INTEGER) AS session_id
+              FROM g)
+            SELECT conv_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_turns, sum(length(text)) AS sum_len
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """).reset_index(drop=True)
+        for c in ("session_start", "session_end"):
+            got[c] = got[c].astype("datetime64[us]")
+            want[c] = want[c].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_salted_sessions_equal_unsalted(self, ray_session):
+        from imagor_ray.sources.transcripts import read_transcripts
+        from imagor_ray.stages.windows import session_windows
+
+        plain = (
+            session_windows(read_transcripts(SF), gap_s=1800)
+            .to_pandas().sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+        )
+        salted = (
+            session_windows(read_transcripts(SF), gap_s=1800, salt_bucket_s=6 * 3600)
+            .to_pandas().sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+        )
+        for c in ("session_start", "session_end"):
+            plain[c] = plain[c].astype("datetime64[us]")
+            salted[c] = salted[c].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+    def test_sliding_each_row_in_k_windows(self):
+        from imagor_ray.stages.windows import explode_sliding
+
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 00:10:00"]),
+            "tool": ["click"], "text": ["x"],
+        })
+        out = explode_sliding(df, size_s=3600, slide_s=900)
+        assert len(out) == 4
+        starts = sorted(out["window_start"])
+        base = pd.Timestamp("2024-01-01 00:00:00").value // 10**9
+        assert starts == [base - 2700, base - 1800, base - 900, base]
+
+    def test_split_late(self):
+        from imagor_ray.stages.windows import split_late
+
+        df = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01", "2024-01-03"])})
+        wm = pd.Timestamp("2024-01-02").value // 1000
+        ontime, late = split_late(df, wm)
+        assert len(ontime) == 1 and len(late) == 1
+
+
+class TestFlagship:
+    def test_processed_turns_schema_and_determinism(self, ray_session):
+        from imagor_ray.pipelines.flagship import processed_turns
+
+        df = processed_turns(SF).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert set(df.columns) >= {
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "path", "signature", "tool_kind", "tool_cost",
+        }
+        assert len(df) == 1000
+        df2 = processed_turns(SF).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(df, df2[df.columns])
+
+    def test_chain_outputs_per_tool(self, ray_session):
+        from imagor_ray.pipelines.flagship import processed_turns
+
+        df = processed_turns(SF).to_pandas()
+        # signup: trimmed → padded/cut to 200 left → lower → ≤160 chars
+        sig = df[df.tool == "signup"]["text"]
+        assert (sig.str.len() == 160).all()
+        assert (sig == sig.str.lower()).all()
+        # purchase: exact 120 with <BUY> spliced at right
+        buy = df[df.tool == "purchase"]["text"]
+        assert (buy.str.len() == 120).all()
+        assert buy.str.endswith("<BUY>").all()
+        # view: ends with [VIEW] (label applied after grayscale)
+        view = df[df.tool == "view"]["text"]
+        assert view.str.endswith("[VIEW]").all()
+        # error: hex encoded, digits redacted pre-encoding
+        err = df[df.tool == "error"]["text"]
+        assert err.str.fullmatch("[0-9A-F]*").all()
+        # click: ≤160, no digits (redacted), letters shifted by 5
+        clk = df[df.tool == "click"]["text"]
+        assert (clk.str.len() <= 160).all()
+        assert not clk.str.contains(r"\d").any()
+
+
+class TestExactlyOnceSink:
+    def _turns(self):
+        from imagor_ray.pipelines.flagship import processed_turns
+        return processed_turns(SF)
+
+    def test_write_dedup_and_replay_identical(self, ray_session, tmp_path):
+        import ray.data as rd
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d1 = str(tmp_path / "out1")
+        sink = ExactlyOnceSink(d1, num_buckets=4)
+        turns = self._turns()
+        # inject duplicates: union the stream with itself → sink must dedup
+        dup = turns.union(self._turns())
+        summary = sink.write(dup)
+        assert summary["rows_written"] == 1000
+        assert summary["buckets_written"] == 4
+
+        # full replay into a fresh directory is byte-identical
+        d2 = str(tmp_path / "out2")
+        sink2 = ExactlyOnceSink(d2, num_buckets=4)
+        sink2.write(self._turns())
+        assert sink.content_sha1() == sink2.content_sha1()
+
+    def test_resume_skips_committed_partitions(self, ray_session, tmp_path):
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d = str(tmp_path / "out")
+        sink = ExactlyOnceSink(d, num_buckets=4)
+        sink.write(self._turns())
+        first_sha = sink.content_sha1()
+        # simulate a failed run resumed: drop one partition + its manifest
+        os.remove(os.path.join(d, "part-00002.parquet"))
+        os.remove(os.path.join(d, "_manifest", "bucket-00002.json"))
+        summary = sink.write(self._turns())
+        assert summary["buckets_written"] == 1  # only the missing one
+        assert sink.content_sha1() == first_sha  # byte-identical after resume
+
+    def test_manifest_lineage(self, ray_session, tmp_path):
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d = str(tmp_path / "out")
+        sink = ExactlyOnceSink(d, num_buckets=4)
+        sink.write(self._turns())
+        entries = sink.read_manifest()
+        assert len(entries) == 4
+        assert sum(e["rows"] for e in entries) == 1000
+        for e in entries:
+            assert e["sha1"] and e["key_min"] and e["key_max"]
+
+    def test_sorted_output(self, ray_session, tmp_path):
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d = str(tmp_path / "out")
+        sink = ExactlyOnceSink(d, num_buckets=4)
+        sink.write(self._turns())
+        for f in sink.output_files():
+            part = pd.read_parquet(f)
+            key = part[["conv_id", "turn_idx"]]
+            assert key.equals(key.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from imagor_ray.state.checkpoint import Checkpoint
+
+        cp = Checkpoint(str(tmp_path / "cp"))
+        st = cp.load()
+        assert st["watermark_us"] == 0
+        st["watermark_us"] = 123
+        st["processed"] = ["f1.parquet"]
+        cp.save(st)
+        assert cp.load()["watermark_us"] == 123
+        df = pd.DataFrame({"conv_id": ["a"], "last_ts": pd.to_datetime(["2024-01-01"])})
+        cp.save_open_sessions(df)
+        got = cp.load_open_sessions()
+        assert got["conv_id"].tolist() == ["a"]
