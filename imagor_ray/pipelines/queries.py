@@ -1,0 +1,476 @@
+"""Query catalog: every implemented operator/pipeline exposed as a
+``queries()`` entry with (where SQL-expressible) a DuckDB ``oracle_sql()``
+mirror. Column names match between Ray and SQL exactly (the driver's
+compare hashes values under sorted column names).
+
+Grouped per SURVEY §2:
+
+- imagor-core: transcript derivation, canonical paths, the full
+  per-tool filter-chain output, per-filter kernels over ``documents``.
+- streaming: session windows, tumbling/sliding per-tool stats, the
+  tool-metadata stream-table join.
+- training-data ops: exact/minhash/simhash dedup, text stats, lang-id,
+  sketches, ANN top-k, label centroids.
+- relational breadth: groupby/join/sort pipelines over the TPC-H-ish
+  tables (the wide-operator exercises).
+
+Non-SQL-expressible entries (HMAC signing, the exactly-once sink state)
+have no oracle and get the driver's rows-only check; their strong
+verification lives in pytest (signer test vector, sink replay byte
+equality).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from ..sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts, tool_meta_table
+from ..stages.parse_sign import PATH_TEMPLATES
+from ..stages.windows import session_windows, sliding_tool_stats, tumbling_tool_stats
+from .ann import ann_topk, label_centroids, lsh_topk
+from .dedup import exact_dedup, minhash_pairs, minhash_signatures, simhash_signatures
+from .flagship import processed_turns
+from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+
+# letters shifted by brightness(20): round(20*26/100) = 5
+_L = "abcdefghijklmnopqrstuvwxyz"
+_SHIFT5 = _L[5:] + _L[:5]
+_BRIGHT5_SRC = _L + _L.upper()
+_BRIGHT5_DST = _SHIFT5 + _SHIFT5.upper()
+
+# the per-tool chain output expressions (mirror stages/parse_sign.py
+# PATH_TEMPLATES through the text-domain kernel semantics)
+_CHAIN_SQL = {
+    # trim → 200 left (cut+pad) → grayscale → max_bytes(160)
+    "signup": "substr(lower(rpad(trim(text, left(text, 1)), 200, ' ')), 1, 160)",
+    # fit-in 160 left (cut only) → redact(\d+→*) → brightness(20)=shift 5
+    "click": (
+        "translate(regexp_replace(substr(text, 1, 160), '\\d', '*', 'g'), "
+        f"'{_BRIGHT5_SRC}', '{_BRIGHT5_DST}')"
+    ),
+    # grayscale → label(VIEW, right): splice '[VIEW]' over the last 6 chars
+    "view": (
+        "CASE WHEN length(text) >= 6 "
+        "THEN left(lower(text), length(text) - 6) || '[VIEW]' "
+        "ELSE '[VIEW]' || substr(lower(text), 7) END"
+    ),
+    # stretch 120 left (exact) → watermark(purchase→'<BUY>', right)
+    "purchase": "left(rpad(text, 120, ' '), 115) || '<BUY>'",
+    # trim → redact → format(hex) (uppercase hex == DuckDB hex())
+    "error": "hex(regexp_replace(trim(text, left(text, 1)), '\\d', '*', 'g'))",
+}
+
+_PROCESSED_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx, tool,
+  CASE tool
+    WHEN 'signup' THEN {_CHAIN_SQL['signup']}
+    WHEN 'click' THEN {_CHAIN_SQL['click']}
+    WHEN 'view' THEN {_CHAIN_SQL['view']}
+    WHEN 'purchase' THEN {_CHAIN_SQL['purchase']}
+    ELSE {_CHAIN_SQL['error']}
+  END AS text
+FROM t
+"""
+
+_TOOL_META_VALUES = (
+    "(VALUES ('click','ui',1), ('error','fault',13), ('purchase','commerce',8), "
+    "('signup','auth',5), ('view','ui',2)) AS tool_meta(tool, tool_kind, tool_cost)"
+)
+
+_SESSIONS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+g AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) > 1800000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM t),
+s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                 AS INTEGER) AS session_id
+  FROM g)
+SELECT conv_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_turns, CAST(sum(length(text)) AS BIGINT) AS sum_len
+FROM s GROUP BY 1, 2
+"""
+
+_TUMBLING_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT tool, epoch_us(ts) // 3600000000 * 3600 AS window_start,
+       count(*) AS n_turns, CAST(sum(length(text)) AS BIGINT) AS sum_len,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM t GROUP BY 1, 2
+"""
+
+_SLIDING_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT tool,
+       epoch_us(ts) // 900000000 * 900 - 900 * k AS window_start,
+       count(*) AS n_turns
+FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY 1, 2
+"""
+
+_ENRICHED_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT m.tool_kind, count(*) AS n_turns,
+       CAST(sum(m.tool_cost) AS BIGINT) AS total_cost
+FROM t JOIN (VALUES ('click','ui',1), ('error','fault',13),
+             ('purchase','commerce',8), ('signup','auth',5),
+             ('view','ui',2)) AS m(tool, tool_kind, tool_cost)
+  ON t.tool = m.tool
+GROUP BY 1
+"""
+
+# documents with <3 words collapse to one whole-text shingle
+_SHINGLES_SQL = """
+SELECT doc_id,
+  CASE WHEN len(string_split(text, ' ')) < 3 THEN [text]
+  ELSE list_transform(
+    generate_series(1, len(string_split(text, ' ')) - 2),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2])
+  END AS shingles
+FROM documents
+"""
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT doc_id,
+  {", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{k}|' || s))) AS mh{k}"
+    for k in range(8)
+  )}
+FROM sh
+"""
+
+_SIMHASH_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(word), b // 4 + 1, 1)) - 1)
+                        >> (3 - (b % 4))) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM w CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+  GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << (31 - b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY 1
+"""
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+  len(list_filter(string_split(text, ' '),
+      w -> w IN ({", ".join("'" + w + "'" for w in STOPWORDS)}))) AS stop_count,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+_LANG_ID_SQL = f"""
+WITH s AS ({_TEXT_STATS_SQL})
+SELECT doc_id,
+  CASE WHEN CAST(stop_count AS DOUBLE) / greatest(n_tokens, 1) >= 0.05
+       THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM s
+"""
+
+_SKETCHES_SQL = """
+WITH c AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+cnt AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2),
+mx AS (SELECT doc_id, max(n) AS mn FROM cnt GROUP BY 1),
+avgc AS (
+  SELECT cnt.doc_id, min(ch) AS avg_char
+  FROM cnt JOIN mx ON cnt.doc_id = mx.doc_id AND cnt.n = mx.mn
+  GROUP BY 1)
+SELECT d.doc_id, coalesce(a.avg_char, '') AS avg_char,
+       substr(md5(d.text), 1, 8) AS thumbhash
+FROM documents d LEFT JOIN avgc a ON d.doc_id = a.doc_id
+"""
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 5) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+_CENTROIDS_SQL = """
+SELECT label, i AS dim_idx, round(avg(v), 5) AS centroid
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY 1, 2
+"""
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+# money aggregates are summed as integer milli-units, floored per row —
+# bitwise-identical IEEE expressions on both sides make the sums exact
+# regardless of summation order (float sums are order-dependent and would
+# break the driver's value hash).
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS BIGINT) AS sum_disc_price_m,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+ORDER BY revenue_c DESC, c_custkey ASC
+LIMIT 10
+"""
+
+_EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
+FROM events GROUP BY 1
+"""
+
+_CANONICAL_PATHS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+  CASE tool
+    WHEN 'signup' THEN 'trim/200x0/left/filters:grayscale():max_bytes(160)/'
+    WHEN 'click' THEN 'fit-in/160x0/left/filters:redact():brightness(20)/'
+    WHEN 'view' THEN 'filters:grayscale():label(VIEW,right)/'
+    WHEN 'purchase' THEN 'stretch/120x0/left/filters:watermark(purchase,right)/'
+    ELSE 'trim/filters:redact():format(hex)/'
+  END || conv_id || '/' || CAST(turn_idx AS VARCHAR) AS path
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ray-side callables (each takes sf_dir)
+
+def _q_transcripts(sf_dir: str):
+    return derive_transcripts(sf_dir)
+
+
+def _q_canonical_paths(sf_dir: str):
+    return processed_turns(sf_dir).select_columns(["conv_id", "turn_idx", "path"])
+
+
+def _q_processed(sf_dir: str):
+    return processed_turns(sf_dir).select_columns(["conv_id", "turn_idx", "tool", "text"])
+
+
+def _q_signed(sf_dir: str):
+    return processed_turns(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "path", "signature"]
+    )
+
+
+def _q_sessions(sf_dir: str):
+    return session_windows(derive_transcripts(sf_dir), gap_s=1800)
+
+
+def _q_sessions_salted(sf_dir: str):
+    return session_windows(derive_transcripts(sf_dir), gap_s=1800, salt_bucket_s=6 * 3600)
+
+
+def _q_tumbling(sf_dir: str):
+    return tumbling_tool_stats(derive_transcripts(sf_dir, with_turn_idx=False), size_s=3600)
+
+
+def _q_sliding(sf_dir: str):
+    return sliding_tool_stats(
+        derive_transcripts(sf_dir, with_turn_idx=False), size_s=3600, slide_s=900
+    )
+
+
+def _q_enriched(sf_dir: str):
+    ds = derive_transcripts(sf_dir, with_turn_idx=False)
+    meta = {r["tool"]: (r["tool_kind"], int(r["tool_cost"]))
+            for _, r in tool_meta_table().iterrows()}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        kinds = b["tool"].map(lambda t: meta[t][0])
+        costs = b["tool"].map(lambda t: meta[t][1])
+        g = pd.DataFrame({"tool_kind": kinds, "tool_cost": costs}).groupby(
+            "tool_kind", sort=False).agg(
+            n_turns=("tool_cost", "size"), total_cost=("tool_cost", "sum")
+        ).reset_index()
+        return g
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("tool_kind")
+        .aggregate(Sum("n_turns", alias_name="n_turns"),
+                   Sum("total_cost", alias_name="total_cost"))
+    )
+
+
+def _q_q1(sf_dir: str):
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        ext = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "l_linestatus": b["l_linestatus"].to_numpy(),
+            "qty": b["l_quantity"].to_numpy().astype("int64"),
+            # identical IEEE expression to the oracle SQL → exact sums
+            "base_c": np.floor(ext * 100).astype("int64"),
+            "disc_m": np.floor(ext * (1 - disc) * 1000).astype("int64"),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_c", alias_name="sum_base_price_c"),
+            Sum("disc_m", alias_name="sum_disc_price_m"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def _q_top_customers(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    names = dict(zip(cust["c_custkey"], cust["c_name"]))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev_c=np.floor(b["o_totalprice"].to_numpy() * 100).astype("int64"))
+        return b.groupby("o_custkey", sort=False).agg(
+            n_orders=("rev_c", "size"), revenue_c=("rev_c", "sum")
+        ).reset_index()
+
+    agg = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    agg["c_name"] = agg["o_custkey"].map(names)
+    agg = agg.rename(columns={"o_custkey": "c_custkey"})
+    agg = agg.sort_values(["revenue_c", "c_custkey"], ascending=[False, True]).head(10)
+    return agg[["c_custkey", "c_name", "n_orders", "revenue_c"]].reset_index(drop=True)
+
+
+def _q_events_by_type(sf_dir: str):
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "value_c": np.floor(b["value"].to_numpy() * 100).astype("int64"),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="total_value_c"))
+    )
+
+
+QUERIES = {
+    # imagor-core
+    "transcripts": _q_transcripts,
+    "canonical_paths": _q_canonical_paths,
+    "processed": _q_processed,
+    "signed": _q_signed,  # rows-only (HMAC not SQL-expressible)
+    # streaming
+    "sessions": _q_sessions,
+    "sessions_salted": _q_sessions_salted,
+    "tumbling_tool_stats": _q_tumbling,
+    "sliding_tool_stats": _q_sliding,
+    "enriched_tool_stats": _q_enriched,
+    # training-data ops
+    "dedup_exact": exact_dedup,
+    "minhash_signatures": minhash_signatures,
+    "minhash_pairs": minhash_pairs,
+    "simhash_signatures": simhash_signatures,
+    "text_stats": text_stats,
+    "lang_id": lang_id,
+    "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
+        ["doc_id", "avg_char", "thumbhash"]),
+    "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
+        ["doc_id", "blurhash"]),  # rows-only (64-bit sketch loop not SQL-mirrored)
+    "ann_topk": ann_topk,
+    "ann_lsh_topk": lsh_topk,  # rows-only (approximate by design)
+    "label_centroids": label_centroids,
+    # relational breadth
+    "q1_pricing": _q_q1,
+    "top_customers": _q_top_customers,
+    "events_by_type": _q_events_by_type,
+}
+
+ORACLES = {
+    "transcripts": TRANSCRIPTS_SQL,
+    "canonical_paths": _CANONICAL_PATHS_SQL,
+    "processed": _PROCESSED_SQL,
+    "sessions": _SESSIONS_SQL,
+    "sessions_salted": _SESSIONS_SQL,
+    "tumbling_tool_stats": _TUMBLING_SQL,
+    "sliding_tool_stats": _SLIDING_SQL,
+    "enriched_tool_stats": _ENRICHED_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "minhash_signatures": _MINHASH_SQL,
+    "simhash_signatures": _SIMHASH_SQL,
+    "text_stats": _TEXT_STATS_SQL,
+    "lang_id": _LANG_ID_SQL,
+    "doc_sketches": _SKETCHES_SQL,
+    "ann_topk": _ANN_SQL,
+    "label_centroids": _CENTROIDS_SQL,
+    "q1_pricing": _Q1_SQL,
+    "top_customers": _TOP_CUSTOMERS_SQL,
+    "events_by_type": _EVENTS_BY_TYPE_SQL,
+}

@@ -1,0 +1,90 @@
+"""Text analysis operators over ``documents``: token counting (whitespace
+and BPE-ish regex), quality signals (stopword/punct ratios), document
+fingerprinting (rolling polynomial hash), a stopword-marker language-ID
+heuristic, and the per-row sketch "meta" outputs (avg-char / thumbhash /
+blurhash — the engine's ``avgcolor()``/``thumbhash()``/``blurhash()``
+analogues, reference ``processor/vipsprocessor/filter.go:391-513``).
+
+Every column is computed with an exact DuckDB mirror (see
+``__ray_entry__.oracle_sql``): whitespace tokens = ``string_split(text,' ')``,
+BPE-ish tokens = RE2 pattern ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]``,
+fingerprint = ``h←(h*31+codepoint) mod 2147483647`` folded left-to-right.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["text_stats", "lang_id", "doc_sketches", "STOPWORDS", "BPE_PATTERN"]
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_BPE_RE = re.compile(BPE_PATTERN)
+_FP_MOD = 2147483647
+
+
+def _fingerprint(text: str) -> int:
+    h = 0
+    for c in text:
+        h = (h * 31 + ord(c)) % _FP_MOD
+    return h
+
+
+def _stats_batch(b: pd.DataFrame) -> pd.DataFrame:
+    texts = b["text"].tolist()
+    words = [t.split(" ") for t in texts]
+    stop = set(STOPWORDS)
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].to_numpy(),
+        "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+        "n_tokens": np.array([len(w) for w in words], dtype="int64"),
+        "n_bpe_tokens": np.array([len(_BPE_RE.findall(t)) for t in texts], dtype="int64"),
+        "stop_count": np.array(
+            [sum(1 for x in w if x in stop) for w in words], dtype="int64"
+        ),
+        "fingerprint": np.array([_fingerprint(t) for t in texts], dtype="int64"),
+    })
+
+
+def text_stats(sf_dir: str) -> rd.Dataset:
+    """doc_id, n_chars, n_tokens, n_bpe_tokens, stop_count, fingerprint."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_stats_batch, batch_format="pandas")
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    """Stopword-marker language heuristic: 'en' when the English-marker
+    token ratio ≥ 5%, else 'unknown'. Deterministic; mirrored as SQL CASE."""
+    ds = text_stats(sf_dir)
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        ratio = b["stop_count"] / b["n_tokens"].clip(lower=1)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "predicted_lang": np.where(ratio >= 0.05, "en", "unknown"),
+        })
+
+    return ds.map_batches(classify, batch_format="pandas")
+
+
+def doc_sketches(sf_dir: str) -> rd.Dataset:
+    """doc_id, avg_char (most-frequent char, ties→smallest), thumbhash
+    (md5 hex prefix 8), blurhash (16-hex simhash over word 3-shingles)."""
+    from ..functions.kernels import avgcolor_text, blurhash_text, thumbhash_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sk(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].tolist()
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "avg_char": [avgcolor_text(t) for t in texts],
+            "thumbhash": [thumbhash_text(t) for t in texts],
+            "blurhash": [blurhash_text(t) for t in texts],
+        })
+
+    return ds.map_batches(sk, batch_format="pandas")
