@@ -1,0 +1,127 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "turns_per_sec", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling``: run the headline flagship job twice in fresh processes
+(num_cpus=8 then 32) on the same input and report both throughputs plus
+the N→4N scaling efficiency (the sandbox protocol for the two-cluster-
+size criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _headline(sf_dir: str, out_root: str, replicas: int = 1) -> dict[str, float]:
+    """Timed sections; each consumes its stream fully."""
+    import shutil
+
+    from imagor_ray.pipelines.flagship import processed_turns
+    from imagor_ray.sources.transcripts import derive_transcripts
+    from imagor_ray.stages.windows import session_windows, tumbling_tool_stats
+    from imagor_ray.state.sink import ExactlyOnceSink
+
+    times: dict[str, float] = {}
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    t0 = time.perf_counter()
+    n_turns = derive_transcripts(sf_dir, with_turn_idx=False, replicas=replicas).count()
+    times["warm_read"] = time.perf_counter() - t0
+
+    # headline: full flagship chain → exactly-once sink
+    sink_dir = os.path.join(out_root, "sink")
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    sink = ExactlyOnceSink(sink_dir, num_buckets=64)
+    sink.write(processed_turns(sf_dir, replicas=replicas))
+    times["flagship_sink"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    session_windows(derive_transcripts(sf_dir, replicas=replicas), gap_s=1800).count()
+    times["sessions"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tumbling_tool_stats(derive_transcripts(sf_dir, with_turn_idx=False, replicas=replicas),
+                        size_s=3600).count()
+    times["tumbling_stats"] = time.perf_counter() - t0
+
+    times["_n_turns"] = float(n_turns)
+    return times
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    out_root = os.environ.get("GRAFT_BENCH_OUT", "/tmp/imagor_ray_bench")
+    os.makedirs(out_root, exist_ok=True)
+    replicas = int(os.environ.get("GRAFT_BENCH_REPLICAS", "1"))
+
+    times = _headline(sf_dir, out_root, replicas=replicas)
+    n_turns = times.pop("_n_turns")
+    headline = times["flagship_sink"]
+    total = sum(times.values())
+    result = {
+        "metric": "flagship_end_to_end",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(n_turns / headline, 1),
+        "total_sec": round(total, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_OUT=f"/tmp/imagor_ray_bench_{ncpu}",
+                   GRAFT_BENCH_REPLICAS=os.environ.get("GRAFT_BENCH_REPLICAS", "8"))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tput_lo, tput_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "turns_per_sec_8": tput_lo,
+        "turns_per_sec_32": tput_hi,
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "n_turns": lo.get("n_turns"),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

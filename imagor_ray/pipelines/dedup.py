@@ -54,20 +54,37 @@ def _read_docs(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 # exact
 
-def exact_dedup(sf_dir: str) -> rd.Dataset:
+def exact_dedup(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
     """Keep the smallest doc_id per identical text; report the group size.
 
-    Output: doc_id (kept), dup_count — sorted by doc_id.
+    Output: doc_id (kept), dup_count.
+
+    Shuffle key is a content-hash bucket (md5 prefix of the text), not the
+    text itself: the all-to-all moves each doc once, grouped into
+    O(buckets) reducer groups with a vectorized pandas groupby inside —
+    per-unique-text groups would pay per-group Python overhead at scale.
     """
     ds = _read_docs(sf_dir)
 
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].min())],
-            "dup_count": [len(g)],
-        })
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bucket"] = [
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % num_buckets
+            for t in b["text"].tolist()
+        ]
+        return b
 
-    return ds.groupby("text").map_groups(first_per_text, batch_format="pandas")
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("text", sort=False).agg(
+            doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        ).reset_index(drop=True)
+        return out.astype({"doc_id": "int64", "dup_count": "int64"})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -47,15 +47,24 @@ def snippet_dim() -> dict[str, str]:
 def processed_turns(
     sf_dir: str,
     secret: str = DEFAULT_SECRET,
-    chain_concurrency=(1, 8),
+    chain_concurrency=None,
     batch_size: int = 8192,
+    replicas: int = 1,
 ) -> rd.Dataset:
     """Transcripts through parse→sign→filter-chain→enrich; per-turn rows.
 
     Output columns: conv_id, turn_idx, role, text (processed), tool, ts,
     path, signature, tool_kind, tool_cost.
+
+    The chain actor pool autoscales (1, cluster CPUs) — a fixed cap would
+    serialize the chain at higher cluster sizes (the pool is the analogue
+    of imagor's ProcessConcurrency semaphore, imagor.go:134-137, but
+    sized to the cluster, not a constant).
     """
-    ds = derive_transcripts(sf_dir)
+    if chain_concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        chain_concurrency = (1, max(2, ncpu))
+    ds = derive_transcripts(sf_dir, replicas=replicas)
     ds = ds.map_batches(
         parse_sign_batch, fn_kwargs={"secret": secret},
         batch_format="pandas", batch_size=batch_size,

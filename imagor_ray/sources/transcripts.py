@@ -100,19 +100,35 @@ def _attach_text(batch: pd.DataFrame, docs_ref, n_docs: int) -> pd.DataFrame:
     })
 
 
-def _assign_turn_idx(g: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation row-number under stable (ts, event_id) order —
-    the stable-ordering invariant the oracles assert."""
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    g["turn_idx"] = np.arange(len(g), dtype=np.int32)
+def _assign_turn_idx_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-conversation row-number over one hash bucket of
+    conversations, under stable (ts, event_id) order — the stable-ordering
+    invariant the oracles assert. Bucketing (not per-conv groups) keeps
+    the group-UDF count at O(buckets), so the per-group pandas overhead
+    never dominates and one hot conversation cannot hot-spot a reducer
+    beyond its bucket."""
+    g = g.sort_values(["conv_id", "ts", "event_id"], kind="mergesort")
+    g["turn_idx"] = g.groupby("conv_id", sort=False).cumcount().astype(np.int32)
     return g
 
 
-def derive_transcripts(sf_dir: str, with_turn_idx: bool = True) -> rd.Dataset:
+def derive_transcripts(
+    sf_dir: str,
+    with_turn_idx: bool = True,
+    num_buckets: int = 64,
+    replicas: int = 1,
+) -> rd.Dataset:
     """events × documents → transcripts Dataset.
 
     ``with_turn_idx=False`` skips the row-number shuffle for consumers that
-    will group by ``conv_id`` themselves anyway.
+    will group by ``conv_id`` themselves anyway. The shuffle key is a
+    conversation hash bucket (``user_id % num_buckets``) — the ONE
+    partitioning key reused by sessionize and the sink.
+
+    ``replicas>1`` (bench-only) unions R copies of the event stream with
+    disjoint user/event id spaces — scales the workload so throughput
+    measurements are compute-bound rather than fixed-overhead-bound; the
+    correctness oracles always run with replicas=1.
     """
     n_docs = _doc_count(sf_dir)
     docs = pq.read_table(
@@ -120,18 +136,50 @@ def derive_transcripts(sf_dir: str, with_turn_idx: bool = True) -> rd.Dataset:
     ).to_pandas()
     docs_ref = ray.put(docs)
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
+    # size blocks to ~16k rows: Ray auto-splits one small file into
+    # 2×num_cpus tiny blocks otherwise, and per-block overhead then
+    # dominates every downstream stage (worse at higher CPU counts). At
+    # real scale the natural file/row-group layout governs block size and
+    # this override is a no-op-sized clamp.
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    read_blocks = max(4, min(256, n_events // 16384 + 1))
+
+    def _read_one(r: int) -> rd.Dataset:
+        one = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+            override_num_blocks=read_blocks,
+        )
+        if r == 0:
+            return one
+
+        def shift(b: pd.DataFrame, _r=r) -> pd.DataFrame:
+            b = b.copy()
+            b["user_id"] = b["user_id"] + _r * 1_000_000
+            b["event_id"] = b["event_id"] + _r * 1_000_000_000
+            return b
+
+        return one.map_batches(shift, batch_format="pandas")
+
+    ds = _read_one(0)
+    for r in range(1, replicas):
+        ds = ds.union(_read_one(r))
     ds = ds.map_batches(
         _attach_text,
         fn_kwargs={"docs_ref": docs_ref, "n_docs": n_docs},
         batch_format="pandas",
     )
     if with_turn_idx:
-        ds = ds.groupby("conv_id").map_groups(_assign_turn_idx, batch_format="pandas")
-        ds = ds.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b["_bucket"] = (b["user_id"] % num_buckets).astype("int32")
+            return b
+
+        ds = (
+            ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(_assign_turn_idx_bucket, batch_format="pandas")
+            .select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        )
     return ds
 
 

@@ -135,77 +135,148 @@ def sessionize_group(
     return g
 
 
-def _session_summaries(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
-    g = sessionize_group(g, gap_s)
-    return g.groupby(["conv_id", "session_id"], sort=True).agg(
+def _bucket_of(conv_ids: pd.Series, num_buckets: int) -> pd.Series:
+    """Deterministic crc32 hash bucket of conv_id (stable across runs —
+    NOT salted Python hash)."""
+    import zlib
+
+    return conv_ids.map(lambda c: zlib.crc32(c.encode("utf-8")) % num_buckets)
+
+
+def _session_summaries_bucket(
+    g: pd.DataFrame, gap_s: int, extra_break: str | None = None
+) -> pd.DataFrame:
+    """Vectorized sessionize over one hash bucket of conversations: ONE
+    sort + numpy cumsum per bucket, no per-conversation Python. A new
+    session starts on conversation change, (salted) ``extra_break`` column
+    change, or event-time gap > gap_s."""
+    order = ["conv_id"] + ([extra_break] if extra_break else []) + ["ts"]
+    if "turn_idx" in g.columns:
+        order.append("turn_idx")
+    g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+    if len(g) == 0:
+        return pd.DataFrame({
+            "conv_id": pd.Series([], dtype=object),
+            "session_id": pd.Series([], dtype="int32"),
+            "session_start": pd.Series([], dtype="datetime64[us]"),
+            "session_end": pd.Series([], dtype="datetime64[us]"),
+            "n_turns": pd.Series([], dtype="int64"),
+            "sum_len": pd.Series([], dtype="int64"),
+        })
+    us = ts_us(g["ts"])
+    conv = g["conv_id"].to_numpy()
+    new = np.empty(len(g), dtype=bool)
+    new[0] = True
+    new[1:] = (conv[1:] != conv[:-1]) | (np.diff(us) > gap_s * 1_000_000)
+    if extra_break:
+        brk = g[extra_break].to_numpy()
+        new[1:] |= brk[1:] != brk[:-1]
+    gsid = np.cumsum(new)
+    agg = g.assign(_gsid=gsid).groupby("_gsid", sort=True).agg(
+        conv_id=("conv_id", "first"),
         session_start=("ts", "min"),
         session_end=("ts", "max"),
         n_turns=("ts", "size"),
         sum_len=("text_len", "sum"),
-    ).reset_index()
+    ).reset_index(drop=True)
+    agg["session_id"] = agg.groupby("conv_id", sort=False).cumcount().astype("int32")
+    return agg[["conv_id", "session_id", "session_start", "session_end",
+                "n_turns", "sum_len"]]
 
 
-def _merge_partial_sessions(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+def _merge_partial_sessions_bucket(g: pd.DataFrame, gap_s: int) -> pd.DataFrame:
     """Second narrow pass of the salted variant: partial sessions from
-    adjacent ts-buckets of one conv_id merge when their boundary gap ≤
-    gap (two-phase merge, SURVEY §7.4.3). Input rows are session
-    summaries; output is final session summaries with re-numbered ids."""
-    g = g.sort_values(["session_start"], kind="mergesort").reset_index(drop=True)
+    adjacent ts-buckets merge when the boundary gap ≤ gap (two-phase
+    merge, SURVEY §7.4.3). Input is one row per partial session —
+    orders of magnitude smaller than the turn stream. Vectorized."""
+    g = g.sort_values(["conv_id", "session_start"], kind="mergesort").reset_index(drop=True)
+    if len(g) == 0:
+        return g.drop(columns=["_bucket"], errors="ignore")
     start_us = ts_us(g["session_start"])
     end_us = ts_us(g["session_end"])
-    prev_end = np.concatenate(([start_us[0] if len(g) else 0], end_us[:-1]))
-    new_session = (start_us - prev_end) > gap_s * 1_000_000
-    sid = np.cumsum(new_session).astype(np.int32)
-    out = g.assign(session_id=sid).groupby(["conv_id", "session_id"], sort=True).agg(
+    conv = g["conv_id"].to_numpy()
+    new = np.empty(len(g), dtype=bool)
+    new[0] = True
+    new[1:] = (conv[1:] != conv[:-1]) | (
+        (start_us[1:] - end_us[:-1]) > gap_s * 1_000_000
+    )
+    gsid = np.cumsum(new)
+    agg = g.assign(_gsid=gsid).groupby("_gsid", sort=True).agg(
+        conv_id=("conv_id", "first"),
         session_start=("session_start", "min"),
         session_end=("session_end", "max"),
         n_turns=("n_turns", "sum"),
         sum_len=("sum_len", "sum"),
-    ).reset_index()
-    return out
+    ).reset_index(drop=True)
+    agg["session_id"] = agg.groupby("conv_id", sort=False).cumcount().astype("int32")
+    return agg[["conv_id", "session_id", "session_start", "session_end",
+                "n_turns", "sum_len"]]
 
 
 def session_windows(
     ds: rd.Dataset,
     gap_s: int = 1800,
     salt_bucket_s: int | None = None,
+    num_buckets: int = 64,
 ) -> rd.Dataset:
     """Per-conversation session summaries.
 
     Output: conv_id, session_id, session_start, session_end, n_turns,
     sum_len.
 
-    ``salt_bucket_s`` enables the skew-safe two-phase path: shuffle on the
-    salted key ``(conv_id, floor(ts/bucket))``, sessionize within each
-    salt bucket, then merge adjacent partial sessions per conv_id. The
-    merge input is one row per partial session — orders of magnitude
-    smaller than the turn stream — so the hot conv_id no longer dominates
-    a single reducer.
+    The shuffle key is a conversation hash bucket (vectorized work per
+    bucket). ``salt_bucket_s`` enables the skew-safe two-phase path:
+    shuffle on the salted key ``hash(conv_id, floor(ts/salt_bucket))``,
+    sessionize within each salt bucket, then merge adjacent partial
+    sessions per conv_id — the hot conversation is split across reducers
+    and the merge input is tiny.
     """
     def add_len(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
         b["text_len"] = b["text"].str.len().astype("int64")
         return b
 
     ds = ds.map_batches(add_len, batch_format="pandas")
 
     if salt_bucket_s is None:
-        return ds.groupby("conv_id").map_groups(
-            lambda g: _session_summaries(g, gap_s), batch_format="pandas"
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b["_bucket"] = _bucket_of(b["conv_id"], num_buckets).astype("int32")
+            return b
+
+        return (
+            ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(lambda g: _session_summaries_bucket(g, gap_s),
+                        batch_format="pandas")
         )
 
     bucket_us = salt_bucket_s * 1_000_000
 
-    def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+    def add_salted_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b["_salt"] = ts_us(b["ts"]) // bucket_us
+        salted = b["conv_id"] + "|" + b["_salt"].astype(str)
+        b["_bucket"] = _bucket_of(salted, num_buckets).astype("int32")
         return b
 
     partial = (
-        ds.map_batches(add_salt, batch_format="pandas")
-        .groupby(["conv_id", "_salt"])
-        .map_groups(lambda g: _session_summaries(g, gap_s), batch_format="pandas")
+        ds.map_batches(add_salted_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: _session_summaries_bucket(g, gap_s, extra_break="_salt"),
+            batch_format="pandas",
+        )
     )
-    return partial.groupby("conv_id").map_groups(
-        lambda g: _merge_partial_sessions(g, gap_s), batch_format="pandas"
+
+    def add_merge_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bucket"] = _bucket_of(b["conv_id"], num_buckets).astype("int32")
+        return b
+
+    return (
+        partial.map_batches(add_merge_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lambda g: _merge_partial_sessions_bucket(g, gap_s),
+                    batch_format="pandas")
     )
 
 
