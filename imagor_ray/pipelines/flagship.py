@@ -27,11 +27,12 @@ sign are embarrassingly parallel map stages that fuse into the read.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
 from ..sources.transcripts import TOOL_META, derive_transcripts, tool_meta_table
-from ..stages.chain import FilterChainStage
+from ..stages.chain import FilterChainStage, filter_chain_batch
 from ..stages.parse_sign import DEFAULT_SECRET, parse_sign_batch
 from ..stages.windows import session_windows, tumbling_tool_stats
 from ..state.sink import ExactlyOnceSink
@@ -61,21 +62,28 @@ def processed_turns(
     of imagor's ProcessConcurrency semaphore, imagor.go:134-137, but
     sized to the cluster, not a constant).
     """
-    if chain_concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        chain_concurrency = (1, max(2, ncpu))
     ds = derive_transcripts(sf_dir, replicas=replicas)
     ds = ds.map_batches(
         parse_sign_batch, fn_kwargs={"secret": secret},
         batch_format="pandas", batch_size=batch_size,
     )
     dim_ref = ray.put(snippet_dim())
-    ds = ds.map_batches(
-        FilterChainStage,
-        fn_constructor_kwargs={"dim_ref": dim_ref, "path_col": "chain_path"},
-        batch_format="pandas", batch_size=batch_size,
-        concurrency=chain_concurrency,
-    )
+    if chain_concurrency is not None:
+        # explicit actor pool (heavy per-actor state path)
+        ds = ds.map_batches(
+            FilterChainStage,
+            fn_constructor_kwargs={"dim_ref": dim_ref, "path_col": "chain_path"},
+            batch_format="pandas", batch_size=batch_size,
+            concurrency=chain_concurrency,
+        )
+    else:
+        # stateless tasks + per-process chain cache: same amortization,
+        # no actor startup/autoscale latency, fuses with the shuffle reduce
+        ds = ds.map_batches(
+            filter_chain_batch,
+            fn_kwargs={"dim_ref": dim_ref, "path_col": "chain_path"},
+            batch_format="pandas", batch_size=batch_size,
+        )
     meta = {
         row["tool"]: (row["tool_kind"], row["tool_cost"])
         for _, row in tool_meta_table().iterrows()
@@ -88,6 +96,81 @@ def processed_turns(
         return b.drop(columns=["chain_path", "sig_ok"], errors="ignore")
 
     return ds.map_batches(enrich, batch_format="pandas", batch_size=batch_size)
+
+
+def flagship_write(
+    sf_dir: str,
+    out_dir: str,
+    secret: str = DEFAULT_SECRET,
+    num_buckets: int = 64,
+    replicas: int = 1,
+) -> dict:
+    """Fused flagship → exactly-once sink with ONE shuffle end-to-end.
+
+    The conv-bucket groupby co-locates each conversation once; the grouped
+    UDF then runs the whole partition-local pipeline — turn_idx row-number,
+    parse/sign, filter chain, tool-meta enrich, key dedup, stable sort and
+    the atomic partition write — producing byte-identical files to the
+    composable ``processed_turns() → sink.write()`` path (asserted in
+    tests) at half the shuffle cost. This is the 100 TB shape: one
+    all-to-all, then partition-local compute streaming straight to the
+    partitioned store.
+    """
+    import numpy as np
+
+    from ..sources.transcripts import _assign_turn_idx_bucket, derive_transcripts
+    from ..stages.chain import filter_chain_batch
+
+    sink = ExactlyOnceSink(out_dir, num_buckets=num_buckets)
+    ds = derive_transcripts(
+        sf_dir, with_turn_idx=False, num_buckets=num_buckets,
+        replicas=replicas, keep_bucket=True,
+    )
+    done = sink.committed_buckets()
+    import os
+
+    os.makedirs(sink.manifest_dir, exist_ok=True)
+    dim_ref = ray.put(snippet_dim())
+    meta = {
+        row["tool"]: (row["tool_kind"], row["tool_cost"])
+        for _, row in tool_meta_table().iterrows()
+    }
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    if done:
+        import pyarrow.compute as _pc
+
+        done_list = sorted(done)
+        ds = ds.map_batches(
+            lambda t: t.filter(_pc.invert(
+                _pc.is_in(t["_bucket"], value_set=pa.array(done_list, type=pa.int32()))
+            )),
+            batch_format="pyarrow",
+        )
+
+    def process_and_write(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = g["_bucket"].iloc[0]
+        g = _assign_turn_idx_bucket(g)[cols + ["_bucket"]]
+        from ..stages.parse_sign import parse_sign_batch
+
+        g = parse_sign_batch(g, secret=secret)
+        g = filter_chain_batch(g, dim_ref=dim_ref, path_col="chain_path")
+        kinds = g["tool"].map(lambda t: meta.get(t, ("unknown", 0)))
+        g["tool_kind"] = kinds.map(lambda kv: kv[0])
+        g["tool_cost"] = kinds.map(lambda kv: kv[1]).astype("int64")
+        g = g.drop(columns=["chain_path", "sig_ok"], errors="ignore")
+        g["_bucket"] = bucket
+        return sink.write_partition_df(g)
+
+    result = ds.groupby("_bucket").map_groups(
+        process_and_write, batch_format="pandas"
+    )
+    stats = result.to_pandas()
+    return {
+        "buckets_written": int((~stats["skipped"]).sum()) if len(stats) else 0,
+        "buckets_skipped": len(done) + (int(stats["skipped"].sum()) if len(stats) else 0),
+        "rows_written": int(stats["rows"].sum()) if len(stats) else 0,
+    }
 
 
 def flagship(

@@ -1,0 +1,233 @@
+"""Micro-batch streaming driver: the event-time loop that turns the batch
+DAG into a structured-streaming job.
+
+Ray Data has no native event-time runtime (ray_guide: streaming-shaped
+workloads), so progress lives in the driver + checkpoint (SURVEY §7.4.2):
+
+- the input is an ordered log of parquet micro-batch files (a directory,
+  ordered by name == arrival order);
+- each cycle processes the next unprocessed file through the flagship
+  chain into the exactly-once sink (bucket partitions are keyed per
+  cycle so replays of a cycle are idempotent);
+- the **watermark** advances to ``max(event ts seen) − allowed_lateness``
+  and is persisted in the checkpoint; rows arriving with
+  ``ts < watermark`` are routed to a late/dead-letter output — the
+  event-time analogue of imagor's ``expire()`` rejection
+  (``imagor.go:314-322, 991-1003``);
+- **open sessions** (conversations whose last turn is within the session
+  gap of the watermark) are carried across cycles in the checkpoint and
+  re-injected, so sessions spanning micro-batches close exactly once,
+  when the watermark passes ``last_ts + gap``;
+- killing the driver between cycles and restarting resumes from the
+  checkpoint with byte-identical emitted output (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..stages.windows import ts_us
+from ..state.checkpoint import Checkpoint
+
+__all__ = ["StreamingSessionJob"]
+
+
+class StreamingSessionJob:
+    """Sessionization over a micro-batch file stream with watermarks.
+
+    Emits CLOSED session summaries per cycle (a session closes when the
+    watermark passes its end + gap); keeps open sessions in the
+    checkpoint. Late rows (ts < watermark at arrival) go to the
+    late-rows output, not into sessions.
+    """
+
+    def __init__(
+        self,
+        input_dir: str,
+        state_dir: str,
+        gap_s: int = 1800,
+        allowed_lateness_s: int = 0,
+    ):
+        self.input_dir = input_dir
+        self.cp = Checkpoint(state_dir)
+        self.gap_s = gap_s
+        self.lateness_us = allowed_lateness_s * 1_000_000
+        self.closed_dir = os.path.join(state_dir, "closed")
+        self.late_dir = os.path.join(state_dir, "late")
+        os.makedirs(self.closed_dir, exist_ok=True)
+        os.makedirs(self.late_dir, exist_ok=True)
+
+    # -- helpers -----------------------------------------------------------
+
+    def pending_files(self) -> list[str]:
+        state = self.cp.load()
+        done = set(state.get("processed", []))
+        return [
+            f for f in sorted(os.listdir(self.input_dir))
+            if f.endswith(".parquet") and f not in done
+        ]
+
+    @staticmethod
+    def _sessionize(df: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+        """Vectorized sessionize of (conv_id-sorted) turns → summaries."""
+        df = df.sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "n_turns": pd.Series([], dtype="int64"),
+            })
+        us = ts_us(df["ts"])
+        conv = df["conv_id"].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = (conv[1:] != conv[:-1]) | (np.diff(us) > gap_s * 1_000_000)
+        gsid = np.cumsum(new)
+        return df.assign(_g=gsid).groupby("_g", sort=True).agg(
+            conv_id=("conv_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_turns=("n_turns", "sum") if "n_turns" in df.columns else ("ts", "size"),
+        ).reset_index(drop=True)
+
+    # -- one cycle ---------------------------------------------------------
+
+    def run_cycle(self) -> dict | None:
+        """Process the next micro-batch file; returns the cycle summary or
+        None when the input is exhausted."""
+        pending = self.pending_files()
+        if not pending:
+            return None
+        fname = pending[0]
+        state = self.cp.load()
+        watermark = int(state.get("watermark_us", 0))
+
+        batch = pd.read_parquet(os.path.join(self.input_dir, fname))
+        us = ts_us(batch["ts"])
+
+        # late-data routing against the PRE-advance watermark
+        late_mask = us < watermark
+        late = batch[late_mask]
+        if len(late):
+            late.to_parquet(
+                os.path.join(self.late_dir, f"late-{fname}"), index=False
+            )
+        batch = batch[~late_mask]
+        us = us[~late_mask.to_numpy()] if late_mask.any() else us
+
+        # watermark advance: max event time seen − allowed lateness
+        new_watermark = max(
+            watermark, (int(us.max()) - self.lateness_us) if len(us) else watermark
+        )
+
+        # merge open sessions (carried summaries) with this batch's turns
+        open_prev = self.cp.load_open_sessions()
+        turns = batch[["conv_id", "ts"]].copy()
+        turns["n_turns"] = 1
+        if open_prev is not None and len(open_prev):
+            prev = pd.DataFrame({
+                "conv_id": open_prev["conv_id"],
+                "ts": open_prev["session_end"],
+                "n_turns": open_prev["n_turns"],
+                "_start": open_prev["session_start"],
+            })
+            turns["_start"] = turns["ts"]
+            turns = pd.concat([prev, turns], ignore_index=True)
+        else:
+            turns["_start"] = turns["ts"]
+
+        sessions = self._sessionize_with_start(turns, self.gap_s)
+
+        # close sessions whose end + gap < watermark; keep the rest open
+        end_us = ts_us(sessions["session_end"])
+        closed_mask = (end_us + self.gap_s * 1_000_000) < new_watermark
+        closed = sessions[closed_mask].sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+        still_open = sessions[~closed_mask].reset_index(drop=True)
+
+        cycle = int(state.get("cycles", 0))
+        if len(closed):
+            closed.to_parquet(
+                os.path.join(self.closed_dir, f"closed-{cycle:05d}.parquet"),
+                index=False,
+            )
+
+        self.cp.save_open_sessions(still_open)
+        state["watermark_us"] = new_watermark
+        state["processed"] = list(state.get("processed", [])) + [fname]
+        state["late_rows"] = int(state.get("late_rows", 0)) + int(late_mask.sum())
+        state["cycles"] = cycle + 1
+        self.cp.save(state)
+        return {
+            "file": fname,
+            "watermark_us": new_watermark,
+            "closed": len(closed),
+            "open": len(still_open),
+            "late": int(late_mask.sum()),
+        }
+
+    @staticmethod
+    def _sessionize_with_start(turns: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+        """Like _sessionize but carries forward true session_start from
+        re-injected open-session summaries."""
+        df = turns.sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+        if len(df) == 0:
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "n_turns": pd.Series([], dtype="int64"),
+            })
+        us = ts_us(df["ts"])
+        conv = df["conv_id"].to_numpy()
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = (conv[1:] != conv[:-1]) | (np.diff(us) > gap_s * 1_000_000)
+        gsid = np.cumsum(new)
+        return df.assign(_g=gsid).groupby("_g", sort=True).agg(
+            conv_id=("conv_id", "first"),
+            session_start=("_start", "min"),
+            session_end=("ts", "max"),
+            n_turns=("n_turns", "sum"),
+        ).reset_index(drop=True)
+
+    def run_all(self) -> list[dict]:
+        out = []
+        while True:
+            r = self.run_cycle()
+            if r is None:
+                break
+            out.append(r)
+        return out
+
+    def flush(self) -> pd.DataFrame:
+        """End-of-stream: close all remaining open sessions (watermark →
+        +inf). Returns the final closed batch."""
+        state = self.cp.load()
+        open_prev = self.cp.load_open_sessions()
+        if open_prev is None or not len(open_prev):
+            return pd.DataFrame()
+        closed = open_prev.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+        cycle = int(state.get("cycles", 0))
+        closed.to_parquet(
+            os.path.join(self.closed_dir, f"closed-{cycle:05d}.parquet"), index=False
+        )
+        self.cp.save_open_sessions(closed.iloc[0:0])
+        state["cycles"] = cycle + 1
+        self.cp.save(state)
+        return closed
+
+    def closed_sessions(self) -> pd.DataFrame:
+        files = sorted(
+            os.path.join(self.closed_dir, f)
+            for f in os.listdir(self.closed_dir)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            return pd.DataFrame()
+        return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)

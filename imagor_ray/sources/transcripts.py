@@ -83,21 +83,40 @@ def _doc_array(docs_ref, n_docs: int) -> np.ndarray:
     return arr
 
 
-def _attach_text(batch: pd.DataFrame, docs_ref, n_docs: int) -> pd.DataFrame:
+def _attach_text(
+    batch: pd.DataFrame, docs_ref, n_docs: int, num_buckets: int = 0
+) -> pa.Table:
     """Broadcast-join the documents side: vectorized O(1) gather per batch
     (the loader chain lookup collapsed into a broadcast hash-join,
-    imagor.go:699-760)."""
+    imagor.go:699-760). Returns an Arrow table so the stored block is
+    zero-copy buffers, not pickled pandas object arrays — block
+    serialization is the memory-bandwidth hot spot of the whole DAG.
+    ``num_buckets>0`` also emits the conv hash-bucket shuffle key."""
+    import zlib
+
     texts = _doc_array(docs_ref, n_docs)
     uid = batch["user_id"].to_numpy()
-    return pd.DataFrame({
-        "conv_id": pd.Series(uid).map(lambda u: f"conv_{u:06d}"),
-        "role": batch["event_type"].map(ROLE_MAP).fillna("tool"),
-        "text": pd.Series(texts[batch["event_id"].to_numpy() % n_docs]),
-        "tool": batch["event_type"].to_numpy(),
-        "ts": batch["ts"].to_numpy(),
-        "event_id": batch["event_id"].to_numpy(),
-        "user_id": uid,
-    })
+    conv = [f"conv_{u:06d}" for u in uid]
+    cols = {
+        "conv_id": pa.array(conv, type=pa.string()),
+        "role": pa.array(
+            batch["event_type"].map(ROLE_MAP).fillna("tool").to_numpy(),
+            type=pa.string(),
+        ),
+        "text": pa.array(texts[batch["event_id"].to_numpy() % n_docs], type=pa.string()),
+        "tool": pa.array(batch["event_type"].to_numpy(), type=pa.string()),
+        "ts": pa.array(batch["ts"].to_numpy().astype("datetime64[us]")),
+        "event_id": pa.array(batch["event_id"].to_numpy(), type=pa.int64()),
+        "user_id": pa.array(uid, type=pa.int64()),
+    }
+    if num_buckets > 0:
+        cols["_bucket"] = pa.array(
+            np.fromiter(
+                (zlib.crc32(c.encode()) % num_buckets for c in conv),
+                dtype=np.int32, count=len(conv),
+            )
+        )
+    return pa.table(cols)
 
 
 def _assign_turn_idx_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -117,6 +136,7 @@ def derive_transcripts(
     with_turn_idx: bool = True,
     num_buckets: int = 64,
     replicas: int = 1,
+    keep_bucket: bool = False,
 ) -> rd.Dataset:
     """events × documents → transcripts Dataset.
 
@@ -142,41 +162,61 @@ def derive_transcripts(
     # real scale the natural file/row-group layout governs block size and
     # this override is a no-op-sized clamp.
     n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    # block count sized to ~16k rows — read parallelism caps every
+    # downstream map stage, and Ray over-splits one small file otherwise
     read_blocks = max(4, min(256, n_events // 16384 + 1))
 
-    def _read_one(r: int) -> rd.Dataset:
-        one = rd.read_parquet(
+    if replicas > 1:
+        # one task per replica, each reading the (page-cached) events
+        # file itself and emitting shifted chunks. Amplifying 100× inside
+        # a single map operator makes Ray's memory-based scheduler see
+        # giant projected outputs from tiny inputs and throttle the
+        # operator to ~1 concurrent task; a nested union tree serializes
+        # the plan. Disjoint id spaces keep shuffle cardinality realistic.
+        events_path = f"{sf_dir}/events.parquet"
+
+        def replica_events(batch):
+            import pyarrow.compute as pc
+
+            tbl = pq.read_table(
+                events_path,
+                columns=["event_id", "ts", "user_id", "event_type"],
+            )
+            for r in batch["id"]:
+                shifted = pa.table({
+                    "event_id": pc.add(tbl["event_id"], int(r) * 1_000_000_000),
+                    "ts": tbl["ts"],
+                    "user_id": pc.add(tbl["user_id"], int(r) * 1_000_000),
+                    "event_type": tbl["event_type"],
+                })
+                for i in range(0, len(shifted), 16384):
+                    yield shifted.slice(i, 16384)
+
+        ds = rd.range(replicas).map_batches(
+            replica_events, batch_size=1, batch_format="numpy"
+        )
+    else:
+        ds = rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "ts", "user_id", "event_type"],
             override_num_blocks=read_blocks,
         )
-        if r == 0:
-            return one
-
-        def shift(b: pd.DataFrame, _r=r) -> pd.DataFrame:
-            b = b.copy()
-            b["user_id"] = b["user_id"] + _r * 1_000_000
-            b["event_id"] = b["event_id"] + _r * 1_000_000_000
-            return b
-
-        return one.map_batches(shift, batch_format="pandas")
-
-    ds = _read_one(0)
-    for r in range(1, replicas):
-        ds = ds.union(_read_one(r))
+    # the attach stage emits the conv hash-bucket key when a shuffle
+    # follows — the same key the exactly-once sink partitions on, so the
+    # fused flagship pipeline needs only ONE shuffle end-to-end
+    want_bucket = with_turn_idx or keep_bucket
     ds = ds.map_batches(
         _attach_text,
-        fn_kwargs={"docs_ref": docs_ref, "n_docs": n_docs},
+        fn_kwargs={
+            "docs_ref": docs_ref,
+            "n_docs": n_docs,
+            "num_buckets": num_buckets if want_bucket else 0,
+        },
         batch_format="pandas",
     )
     if with_turn_idx:
-        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
-            b["_bucket"] = (b["user_id"] % num_buckets).astype("int32")
-            return b
-
         ds = (
-            ds.map_batches(add_bucket, batch_format="pandas")
-            .groupby("_bucket")
+            ds.groupby("_bucket")
             .map_groups(_assign_turn_idx_bucket, batch_format="pandas")
             .select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
         )

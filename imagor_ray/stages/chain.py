@@ -199,6 +199,42 @@ def _geometry_steps(p: ip.Params) -> list:
         def resize_step(s, ctx):
             w, h = width, height
 
+            # vectorized fast path: the overwhelmingly common shape —
+            # fixed width, no adaptive/smart/focal anchoring needed, or
+            # a deterministic left/right anchor — is pure pandas str ops.
+            if (
+                w > 0
+                and not adaptive
+                and not smart
+                and ctx.focal is None
+                and h_align in ("left", "right")
+                and (h <= 0 or not s.str.contains("\n", regex=False).any())
+            ):
+                side_cut = (0, w) if h_align == "left" else (-w, None)
+                if stretch:
+                    cut = s.str.slice(*side_cut)
+                    return cut.str.pad(
+                        w, side="right" if h_align == "left" else "left",
+                        fillchar=ctx.fill_char,
+                    )
+                if fit_in:
+                    if full_fit:
+                        return s.str.pad(
+                            w, side="right" if h_align == "left" else "left",
+                            fillchar=ctx.fill_char,
+                        )
+                    cut = s.str.slice(*side_cut)
+                    if ctx.upscale:
+                        return cut.str.pad(
+                            w, side="right" if h_align == "left" else "left",
+                            fillchar=ctx.fill_char,
+                        )
+                    return cut
+                return s.str.slice(*side_cut).str.pad(
+                    w, side="right" if h_align == "left" else "left",
+                    fillchar=ctx.fill_char,
+                )
+
             def one(t: str) -> str:
                 tw, th = w, h
                 if adaptive:
@@ -387,3 +423,28 @@ class FilterChainStage:
             out.loc[idx] = chain.run(texts.loc[idx].astype(str), lookup=self._lookup)
         batch[self._text_col] = out
         return batch
+
+
+# Stateless-task form of the chain stage: compiled chains and the resolved
+# broadcast dimension live in a per-worker-process cache, so plain map
+# tasks amortize setup exactly like an actor would — without actor-pool
+# startup/autoscaling latency. Use the class form when per-actor state is
+# genuinely heavy (models, big caches); use this for cheap state.
+_CHAIN_STAGE_CACHE: dict[tuple, FilterChainStage] = {}
+
+
+def filter_chain_batch(
+    batch: pd.DataFrame,
+    dim_ref=None,
+    text_col: str = "text",
+    path_col: str = "path",
+) -> pd.DataFrame:
+    key = (str(dim_ref), text_col, path_col)
+    stage = _CHAIN_STAGE_CACHE.get(key)
+    if stage is None:
+        if len(_CHAIN_STAGE_CACHE) > 8:
+            _CHAIN_STAGE_CACHE.clear()
+        stage = _CHAIN_STAGE_CACHE.setdefault(
+            key, FilterChainStage(dim_ref=dim_ref, text_col=text_col, path_col=path_col)
+        )
+    return stage(batch)

@@ -97,46 +97,7 @@ class ExactlyOnceSink:
             return b
 
         def write_partition(g: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(g["_bucket"].iloc[0])
-            final = os.path.join(out_dir, f"part-{bucket:05d}.parquet")
-            mpath = os.path.join(manifest_dir, f"bucket-{bucket:05d}.json")
-            if os.path.exists(mpath):
-                # committed by a concurrent/previous attempt — idempotent skip
-                return pd.DataFrame({"bucket": [bucket], "rows": [0], "skipped": [True]})
-            g = g.drop_duplicates(subset=list(KEY_COLS), keep="first")
-            g = g.sort_values(
-                ["conv_id", "turn_idx", *sort_extra], kind="mergesort"
-            ).drop(columns=["_bucket"]).reset_index(drop=True)
-            tmp = final + ".tmp"
-            try:
-                table = pa.Table.from_pandas(g, preserve_index=False)
-                pq.write_table(table, tmp, compression="zstd")
-                with open(tmp, "rb") as f:
-                    digest = hashlib.sha1(f.read()).hexdigest()
-                os.replace(tmp, final)  # atomic commit of the data file
-                entry = {
-                    "partition_id": bucket,
-                    "rows": len(g),
-                    "key_min": [str(g["conv_id"].iloc[0]), int(g["turn_idx"].iloc[0])] if len(g) else None,
-                    "key_max": [str(g["conv_id"].iloc[-1]), int(g["turn_idx"].iloc[-1])] if len(g) else None,
-                    "sha1": digest,
-                    "file": os.path.basename(final),
-                }
-                mtmp = mpath + ".tmp"
-                with open(mtmp, "w") as f:
-                    json.dump(entry, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(mtmp, mpath)  # atomic lineage commit
-            except BaseException:
-                # delete-on-error like saveWithErrorHandling (imagor.go:795-808)
-                for path in (tmp, final):
-                    try:
-                        os.remove(path)
-                    except OSError:
-                        pass
-                raise
-            return pd.DataFrame({"bucket": [bucket], "rows": [len(g)], "skipped": [False]})
+            return self.write_partition_df(g, sort_extra=sort_extra)
 
         result = (
             ds.map_batches(add_bucket, batch_format="pandas")
@@ -149,6 +110,58 @@ class ExactlyOnceSink:
             "buckets_skipped": len(done) + (int(stats["skipped"].sum()) if len(stats) else 0),
             "rows_written": int(stats["rows"].sum()) if len(stats) else 0,
         }
+
+    def write_partition_df(
+        self, g: pd.DataFrame, sort_extra: tuple[str, ...] = ()
+    ) -> pd.DataFrame:
+        """Atomic exactly-once write of ONE hash-bucket partition: dedup on
+        key (keep-first) → stable sort (conv_id, turn_idx) → temp write →
+        fsync → atomic rename → lineage manifest commit. Callable from any
+        grouped stage whose groups carry a ``_bucket`` column — the fused
+        flagship pipeline calls this directly inside its one shuffle.
+
+        Retry-safe: the manifest existence check makes a re-executed task
+        an idempotent skip; a failed write deletes its partials
+        (delete-on-error, imagor.go:795-808)."""
+        bucket = int(g["_bucket"].iloc[0])
+        final = os.path.join(self.out_dir, f"part-{bucket:05d}.parquet")
+        mpath = os.path.join(self.manifest_dir, f"bucket-{bucket:05d}.json")
+        if os.path.exists(mpath):
+            return pd.DataFrame({"bucket": [bucket], "rows": [0], "skipped": [True]})
+        g = g.drop_duplicates(subset=list(KEY_COLS), keep="first")
+        g = g.sort_values(
+            ["conv_id", "turn_idx", *sort_extra], kind="mergesort"
+        ).drop(columns=["_bucket"]).reset_index(drop=True)
+        tmp = final + ".tmp"
+        try:
+            table = pa.Table.from_pandas(g, preserve_index=False)
+            pq.write_table(table, tmp, compression="snappy")
+            with open(tmp, "rb") as f:
+                digest = hashlib.sha1(f.read()).hexdigest()
+            os.replace(tmp, final)  # atomic commit of the data file
+            entry = {
+                "partition_id": bucket,
+                "rows": len(g),
+                "key_min": [str(g["conv_id"].iloc[0]), int(g["turn_idx"].iloc[0])] if len(g) else None,
+                "key_max": [str(g["conv_id"].iloc[-1]), int(g["turn_idx"].iloc[-1])] if len(g) else None,
+                "sha1": digest,
+                "file": os.path.basename(final),
+            }
+            mtmp = mpath + ".tmp"
+            with open(mtmp, "w") as f:
+                json.dump(entry, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mtmp, mpath)  # atomic lineage commit
+        except BaseException:
+            # delete-on-error like saveWithErrorHandling (imagor.go:795-808)
+            for path in (tmp, final):
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+            raise
+        return pd.DataFrame({"bucket": [bucket], "rows": [len(g)], "skipped": [False]})
 
     # -- read back ---------------------------------------------------------
 

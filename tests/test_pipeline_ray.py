@@ -303,3 +303,33 @@ class TestCheckpoint:
         cp.save_open_sessions(df)
         got = cp.load_open_sessions()
         assert got["conv_id"].tolist() == ["a"]
+
+
+class TestFusedFlagship:
+    def test_fused_equals_composable_byte_identical(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.flagship import flagship_write, processed_turns
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d1 = str(tmp_path / "composable")
+        sink1 = ExactlyOnceSink(d1, num_buckets=4)
+        sink1.write(processed_turns(SF))
+
+        d2 = str(tmp_path / "fused")
+        summary = flagship_write(SF, d2, num_buckets=4)
+        assert summary["rows_written"] == 1000
+        sink2 = ExactlyOnceSink(d2, num_buckets=4)
+        assert sink1.content_sha1() == sink2.content_sha1()
+
+    def test_fused_resume(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.flagship import flagship_write
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d = str(tmp_path / "out")
+        flagship_write(SF, d, num_buckets=4)
+        sink = ExactlyOnceSink(d, num_buckets=4)
+        sha = sink.content_sha1()
+        os.remove(os.path.join(d, "part-00001.parquet"))
+        os.remove(os.path.join(d, "_manifest", "bucket-00001.json"))
+        summary = flagship_write(SF, d, num_buckets=4)
+        assert summary["buckets_written"] == 1
+        assert sink.content_sha1() == sha
