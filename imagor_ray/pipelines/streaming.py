@@ -118,7 +118,7 @@ class StreamingSessionJob:
                 os.path.join(self.late_dir, f"late-{fname}"), index=False
             )
         batch = batch[~late_mask]
-        us = us[~late_mask.to_numpy()] if late_mask.any() else us
+        us = us[~late_mask]
 
         # watermark advance: max event time seen − allowed lateness
         new_watermark = max(

@@ -1,0 +1,150 @@
+"""Streaming driver tests: watermarks, late-data routing, sessions
+spanning micro-batches, and kill/resume determinism from checkpoint —
+the engine's analogues of the reference's result-reuse and
+cleanup-on-failure behaviours (``imagor_test.go:945-1116, 2756-2987``)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from imagor_ray.pipelines.streaming import StreamingSessionJob
+
+
+def write_stream(tmp_path, batches):
+    """batches: list of list[(conv, ts_str)]; one parquet file per batch."""
+    d = str(tmp_path / "stream")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = pd.DataFrame({
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": np.arange(len(rows), dtype="int32"),
+            "role": "user",
+            "text": "x",
+            "tool": "click",
+            "ts": pd.to_datetime([r[1] for r in rows]).astype("datetime64[us]"),
+        })
+        df.to_parquet(os.path.join(d, f"batch-{i:05d}.parquet"), index=False)
+    return d
+
+
+class TestStreamingSessions:
+    def test_session_spanning_micro_batches_closes_once(self, tmp_path):
+        stream = write_stream(tmp_path, [
+            [("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:10:00")],
+            # continues session a (gap < 30min), starts b
+            [("a", "2024-01-01 00:30:00"), ("b", "2024-01-01 01:00:00")],
+            # far future turn advances the watermark past a's end + gap
+            [("c", "2024-01-01 12:00:00")],
+        ])
+        job = StreamingSessionJob(stream, str(tmp_path / "state"), gap_s=1800)
+        results = job.run_all()
+        assert len(results) == 3
+        closed = job.closed_sessions()
+        # a (3 turns, one session) and b closed by cycle 3's watermark
+        got = {(r.conv_id, r.n_turns) for r in closed.itertuples()}
+        assert ("a", 3) in got and ("b", 1) in got
+        # c still open
+        open_df = job.cp.load_open_sessions()
+        assert open_df["conv_id"].tolist() == ["c"]
+        job.flush()
+        final = job.closed_sessions()
+        assert len(final) == 3
+        assert final["n_turns"].sum() == 5
+
+    def test_late_rows_routed_to_dead_letter(self, tmp_path):
+        stream = write_stream(tmp_path, [
+            [("a", "2024-01-02 00:00:00")],
+            # ts before the watermark established by batch 0 → late
+            [("b", "2024-01-01 00:00:00"), ("c", "2024-01-02 01:00:00")],
+        ])
+        job = StreamingSessionJob(stream, str(tmp_path / "state"), gap_s=1800)
+        r0 = job.run_cycle()
+        r1 = job.run_cycle()
+        assert r0["late"] == 0
+        assert r1["late"] == 1
+        state = job.cp.load()
+        assert state["late_rows"] == 1
+        late_files = os.listdir(job.late_dir)
+        assert len(late_files) == 1
+        late = pd.read_parquet(os.path.join(job.late_dir, late_files[0]))
+        assert late["conv_id"].tolist() == ["b"]
+
+    def test_allowed_lateness_admits_rows(self, tmp_path):
+        stream = write_stream(tmp_path, [
+            [("a", "2024-01-02 00:00:00")],
+            [("b", "2024-01-01 23:30:00")],  # 30 min "late"
+        ])
+        job = StreamingSessionJob(stream, str(tmp_path / "state"),
+                                  gap_s=1800, allowed_lateness_s=3600)
+        job.run_all()
+        assert job.cp.load()["late_rows"] == 0
+
+    def test_kill_and_resume_is_deterministic(self, tmp_path):
+        batches = [
+            [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00")],
+            [("a", "2024-01-01 02:00:00")],
+            [("c", "2024-01-01 09:00:00")],
+            [("d", "2024-01-02 00:00:00")],
+        ]
+        s1 = write_stream(tmp_path, batches)
+        # uninterrupted run
+        job1 = StreamingSessionJob(s1, str(tmp_path / "state1"), gap_s=1800)
+        job1.run_all()
+        job1.flush()
+        want = job1.closed_sessions().sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+
+        # interrupted run: process 2 cycles, "kill", new driver resumes
+        job2a = StreamingSessionJob(s1, str(tmp_path / "state2"), gap_s=1800)
+        job2a.run_cycle()
+        job2a.run_cycle()
+        del job2a
+        job2b = StreamingSessionJob(s1, str(tmp_path / "state2"), gap_s=1800)
+        job2b.run_all()
+        job2b.flush()
+        got = job2b.closed_sessions().sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_watermark_monotone(self, tmp_path):
+        stream = write_stream(tmp_path, [
+            [("a", "2024-01-03 00:00:00")],
+            [("b", "2024-01-02 00:00:00")],  # older batch cannot regress wm
+        ])
+        job = StreamingSessionJob(stream, str(tmp_path / "state"), gap_s=1800)
+        r0 = job.run_cycle()
+        r1 = job.run_cycle()
+        assert r1["watermark_us"] == r0["watermark_us"]
+
+
+class TestSkewedSessionize:
+    def test_zipf_skew_salted_equals_plain(self, ray_session):
+        import ray.data as rd
+
+        from imagor_ray.sources.datagen import gen_transcripts
+        from imagor_ray.stages.windows import session_windows
+
+        df = gen_transcripts(n_convs=40, mean_turns=12, seed=7, zipf_a=1.3)
+        # verify the generator actually produced skew (a hot conversation)
+        sizes = df.groupby("conv_id").size()
+        assert sizes.max() >= 5 * sizes.median()
+
+        ds = rd.from_pandas(df)
+        plain = (
+            session_windows(ds, gap_s=900)
+            .to_pandas().sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+        )
+        ds2 = rd.from_pandas(df)
+        salted = (
+            session_windows(ds2, gap_s=900, salt_bucket_s=4 * 3600)
+            .to_pandas().sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+        )
+        for c in ("session_start", "session_end"):
+            plain[c] = plain[c].astype("datetime64[us]")
+            salted[c] = salted[c].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
