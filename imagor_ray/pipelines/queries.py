@@ -421,6 +421,78 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+_PROPS_TYPE_SQL = """
+SELECT event_id,
+  CASE
+    WHEN props = '' THEN 'empty'
+    WHEN left(ltrim(left(props, 512), ' '), 1) IN ('{', '[') THEN 'json'
+    WHEN length(props) % 2 = 0 AND regexp_full_match(props, '[0-9A-F]+') THEN 'hex'
+    WHEN regexp_full_match(props, '[A-Za-z0-9+/]+={1,2}') THEN 'b64'
+    ELSE 'text'
+  END AS content_type
+FROM events
+"""
+
+
+def _q_props_type(sf_dir: str):
+    """Blob content-type sniffing (blob.go:354-521 analogue) over the
+    events ``props`` JSON payload column."""
+    from ..functions.blob import sniff_content_type
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def sniff(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "content_type": b["props"].map(sniff_content_type),
+        })
+
+    return ds.map_batches(sniff, batch_format="pandas")
+
+
+_STREAMING_SESSIONS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+g AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) > 1800000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM t),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS sid
+  FROM g)
+SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_turns
+FROM s GROUP BY conv_id, sid
+"""
+
+
+def _q_streaming_sessions(sf_dir: str):
+    """End-to-end streaming invariant: the micro-batch driver (watermark +
+    open-session carryover across per-day files) must produce EXACTLY the
+    batch sessionization result. The sf tables are small enough to stage
+    through driver-side files here; the production loop consumes a file
+    stream without materializing."""
+    import os
+    import tempfile
+
+    from .streaming import StreamingSessionJob
+
+    t = derive_transcripts(sf_dir).to_pandas()
+    d = tempfile.mkdtemp(prefix="imray_stream_")
+    input_dir = os.path.join(d, "in")
+    os.makedirs(input_dir, exist_ok=True)
+    for i, (_, g) in enumerate(t.groupby(t["ts"].astype("datetime64[us]").dt.floor("D"))):
+        g.to_parquet(os.path.join(input_dir, f"batch-{i:05d}.parquet"), index=False)
+    job = StreamingSessionJob(input_dir, os.path.join(d, "state"), gap_s=1800)
+    job.run_all()
+    job.flush()
+    out = job.closed_sessions()
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
+    out["session_end"] = out["session_end"].astype("datetime64[us]")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+
+
 QUERIES = {
     # imagor-core
     "transcripts": _q_transcripts,
@@ -430,9 +502,11 @@ QUERIES = {
     # streaming
     "sessions": _q_sessions,
     "sessions_salted": _q_sessions_salted,
+    "streaming_sessions": _q_streaming_sessions,
     "tumbling_tool_stats": _q_tumbling,
     "sliding_tool_stats": _q_sliding,
     "enriched_tool_stats": _q_enriched,
+    "event_props_type": _q_props_type,
     # training-data ops
     "dedup_exact": exact_dedup,
     "minhash_signatures": minhash_signatures,
@@ -459,6 +533,8 @@ ORACLES = {
     "processed": _PROCESSED_SQL,
     "sessions": _SESSIONS_SQL,
     "sessions_salted": _SESSIONS_SQL,
+    "streaming_sessions": _STREAMING_SESSIONS_SQL,
+    "event_props_type": _PROPS_TYPE_SQL,
     "tumbling_tool_stats": _TUMBLING_SQL,
     "sliding_tool_stats": _SLIDING_SQL,
     "enriched_tool_stats": _ENRICHED_SQL,

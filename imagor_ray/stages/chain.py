@@ -393,6 +393,8 @@ class FilterChainStage:
         disabled_filters: frozenset[str] = frozenset(),
         max_filter_ops: int = DEFAULT_MAX_FILTER_OPS,
         cache_size: int = 4096,
+        result_cache_bytes: int = 0,
+        suppress_duplicates: bool = False,
     ):
         self._chains: dict[str, CompiledChain] = {}
         self._cache_size = cache_size
@@ -401,6 +403,20 @@ class FilterChainStage:
         self._disabled = disabled_filters
         self._max_ops = max_filter_ops
         self._lookup = None
+        # per-actor LRU result cache keyed by (chain path, input text) —
+        # the engine analogue of imagor's byte-budgeted ristretto result
+        # cache keyed by signed-path hash (cache.go:14-163; eligibility
+        # imagor.go:52-62, 429-453). Byte budget, insertion-order evict.
+        self._result_cache_bytes = result_cache_bytes
+        self._result_cache: "dict[tuple[str, str], str]" = {}
+        self._result_cache_used = 0
+        self.cache_hits = 0
+        self.cache_misses = 0
+        # within-batch duplicate suppression — singleflight collapse
+        # (imagor.go:114, 842-884): identical (path, text) keys compute
+        # once per batch and fan back; across batches the idempotent sink
+        # makes duplicates harmless.
+        self._suppress = suppress_duplicates
         if dim_ref is not None:
             import ray
             dim = ray.get(dim_ref) if not isinstance(dim_ref, dict) else dim_ref
@@ -415,12 +431,45 @@ class FilterChainStage:
             self._chains[path] = c
         return c
 
+    def _cache_put(self, key: tuple[str, str], value: str) -> None:
+        size = len(key[1]) + len(value) + 64
+        while self._result_cache and self._result_cache_used + size > self._result_cache_bytes:
+            k, v = next(iter(self._result_cache.items()))
+            self._result_cache.pop(k)
+            self._result_cache_used -= len(k[1]) + len(v) + 64
+        if size <= self._result_cache_bytes:
+            self._result_cache[key] = value
+            self._result_cache_used += size
+
+    def _run_group(self, path: str, texts: pd.Series) -> pd.Series:
+        chain = self._chain(path)
+        if self._result_cache_bytes <= 0 and not self._suppress:
+            return chain.run(texts.astype(str), lookup=self._lookup)
+        texts = texts.astype(str)
+        uniq = texts.drop_duplicates()
+        results: dict[str, str] = {}
+        todo = []
+        for t in uniq:
+            hit = self._result_cache.get((path, t)) if self._result_cache_bytes else None
+            if hit is not None:
+                results[t] = hit
+                self.cache_hits += 1
+            else:
+                todo.append(t)
+                self.cache_misses += 1
+        if todo:
+            computed = chain.run(pd.Series(todo), lookup=self._lookup)
+            for t, r in zip(todo, computed):
+                results[t] = r
+                if self._result_cache_bytes:
+                    self._cache_put((path, t), r)
+        return texts.map(results)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self._text_col]
         out = texts.copy()
         for path, idx in texts.groupby(batch[self._path_col]).groups.items():
-            chain = self._chain(path)
-            out.loc[idx] = chain.run(texts.loc[idx].astype(str), lookup=self._lookup)
+            out.loc[idx] = self._run_group(path, texts.loc[idx])
         batch[self._text_col] = out
         return batch
 
