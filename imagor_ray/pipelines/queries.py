@@ -493,6 +493,52 @@ def _q_streaming_sessions(sf_dir: str):
     return out.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
 
 
+_DOC_META_SQL = f"""
+WITH s AS ({_TEXT_STATS_SQL}), k AS ({_SKETCHES_SQL})
+SELECT s.doc_id, s.n_chars AS width, 1 AS height, s.n_tokens,
+       k.avg_char, k.thumbhash
+FROM s JOIN k ON s.doc_id = k.doc_id
+"""
+
+
+def _q_doc_meta(sf_dir: str):
+    """The /meta endpoint analogue: one structured metadata record per
+    document — format dims (width=chars, height=lines), token count and
+    the avgcolor/thumbhash sketches (Metadata struct,
+    processor/vipsprocessor/process.go:811-830)."""
+    from ..functions.kernels import avgcolor_text, thumbhash_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def meta(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].tolist()
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "width": pd.Series([len(t) for t in texts], dtype="int64"),
+            "height": pd.Series([t.count("\n") + 1 for t in texts], dtype="int64"),
+            "n_tokens": pd.Series([len(t.split(" ")) for t in texts], dtype="int64"),
+            "avg_char": [avgcolor_text(t) for t in texts],
+            "thumbhash": [thumbhash_text(t) for t in texts],
+        })
+
+    return ds.map_batches(meta, batch_format="pandas")
+
+
+def _q_media_meta(sf_dir: str):
+    """Multimodal decode pipeline over the deterministic fake media table
+    (binary payload columns; actor-pool decode stage). Rows-only check —
+    no SQL surface for binary payload decoding."""
+    import ray.data as _rd
+
+    from ..stages.multimodal import MediaDecodeStage, gen_media
+
+    ds = _rd.from_arrow(gen_media(128))
+    return ds.map_batches(
+        MediaDecodeStage, batch_format="pyarrow", batch_size=16,
+        concurrency=2, num_cpus=1,
+    )
+
+
 QUERIES = {
     # imagor-core
     "transcripts": _q_transcripts,
@@ -507,6 +553,8 @@ QUERIES = {
     "sliding_tool_stats": _q_sliding,
     "enriched_tool_stats": _q_enriched,
     "event_props_type": _q_props_type,
+    "doc_meta": _q_doc_meta,
+    "media_meta": _q_media_meta,  # rows-only: binary decode has no SQL surface
     # training-data ops
     "dedup_exact": exact_dedup,
     "minhash_signatures": minhash_signatures,
@@ -535,6 +583,7 @@ ORACLES = {
     "sessions_salted": _SESSIONS_SQL,
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
     "event_props_type": _PROPS_TYPE_SQL,
+    "doc_meta": _DOC_META_SQL,
     "tumbling_tool_stats": _TUMBLING_SQL,
     "sliding_tool_stats": _SLIDING_SQL,
     "enriched_tool_stats": _ENRICHED_SQL,
