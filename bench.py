@@ -71,7 +71,9 @@ def run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 object_store_memory=int(os.environ.get(
+                     "GRAFT_BENCH_OBJ_STORE", str(80_000_000_000))))
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     if os.environ.get("GRAFT_BENCH_HASH_SHUFFLE", "0") == "1":
@@ -125,17 +127,21 @@ def run_scaling() -> dict:
         trials = [one(ncpu) for _ in range(int(os.environ.get("GRAFT_BENCH_TRIALS", "2")))]
         return min(trials, key=lambda d: d["value"])
 
-    lo, hi = best(8), best(32)
+    n_lo = int(os.environ.get("GRAFT_BENCH_CPUS_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_BENCH_CPUS_HI", str(n_lo * 4)))
+    lo, hi = best(n_lo), best(n_hi)
     tput_lo, tput_hi = lo["turns_per_sec"], hi["turns_per_sec"]
-    eff = (tput_hi / tput_lo) / (32 / 8)
+    eff = (tput_hi / tput_lo) / (n_hi / n_lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "turns_per_sec_8": tput_lo,
-        "turns_per_sec_32": tput_hi,
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
+        "turns_per_sec_lo": tput_lo,
+        "turns_per_sec_hi": tput_hi,
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
         "n_turns": lo.get("n_turns"),
         "sf": lo["sf"],
     }

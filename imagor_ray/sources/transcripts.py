@@ -189,8 +189,8 @@ def derive_transcripts(
                     "user_id": pc.add(tbl["user_id"], int(r) * 1_000_000),
                     "event_type": tbl["event_type"],
                 })
-                for i in range(0, len(shifted), 16384):
-                    yield shifted.slice(i, 16384)
+                for i in range(0, len(shifted), 65536):
+                    yield shifted.slice(i, 65536)
 
         ds = rd.range(replicas).map_batches(
             replica_events, batch_size=1, batch_format="numpy"
