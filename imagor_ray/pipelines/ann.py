@@ -133,6 +133,50 @@ def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, bits: int = 4, seed: 
     )
 
 
+def embedding_neardup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_id_a < vec_id_b, cos)
+    with cos ≥ threshold (rounded 5). Brute force against the broadcast
+    matrix per batch — the N×N scan is restricted per batch row-block so
+    the shuffle carries only qualifying pairs; at 100 TB the LSH-bucketed
+    variant (see ``lsh_topk``) pre-filters candidates instead."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    all_ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype("float64")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((all_ids, mat))
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        ids, m = ray.get(ref)
+        vecs = np.stack(b["embedding"].to_numpy()).astype("float64")
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        vid = b["vec_id"].to_numpy()
+        sims = vecs @ m.T
+        rows_a, rows_b, cos = [], [], []
+        for i in range(len(vid)):
+            mask = (sims[i] >= threshold) & (ids > vid[i])
+            if mask.any():
+                rows_a.extend([vid[i]] * int(mask.sum()))
+                rows_b.extend(ids[mask].tolist())
+                cos.extend(np.round(sims[i][mask], 5).tolist())
+        return pd.DataFrame({
+            "vec_id_a": pd.Series(rows_a, dtype="int64"),
+            "vec_id_b": pd.Series(rows_b, dtype="int64"),
+            "cos": pd.Series(cos, dtype="float64"),
+        })
+
+    out = _read_emb(sf_dir).map_batches(pairs, batch_format="pandas").to_pandas()
+    if "vec_id_a" not in out.columns:  # all batches empty → columnless frame
+        out = pd.DataFrame({
+            "vec_id_a": pd.Series([], dtype="int64"),
+            "vec_id_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        })
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+
+
 def label_centroids(sf_dir: str) -> pd.DataFrame:
     """Per-label centroid, exploded to (label, dim_idx, centroid round 5)."""
     def partial(b: pd.DataFrame) -> pd.DataFrame:

@@ -28,7 +28,7 @@ import ray.data as rd
 from ..sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts, tool_meta_table
 from ..stages.parse_sign import PATH_TEMPLATES
 from ..stages.windows import session_windows, sliding_tool_stats, tumbling_tool_stats
-from .ann import ann_topk, label_centroids, lsh_topk
+from .ann import ann_topk, embedding_neardup, label_centroids, lsh_topk
 from .dedup import exact_dedup, minhash_pairs, minhash_signatures, simhash_signatures
 from .flagship import processed_turns
 from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
@@ -199,6 +199,15 @@ avgc AS (
 SELECT d.doc_id, coalesce(a.avg_char, '') AS avg_char,
        substr(md5(d.text), 1, 8) AS thumbhash
 FROM documents d LEFT JOIN avgc a ON d.doc_id = a.doc_id
+"""
+
+_NEARDUP_SQL = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cos
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
 """
 
 _ANN_SQL = """
@@ -567,6 +576,7 @@ QUERIES = {
     "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
         ["doc_id", "blurhash"]),  # rows-only (64-bit sketch loop not SQL-mirrored)
     "ann_topk": ann_topk,
+    "embedding_neardup": embedding_neardup,
     "ann_lsh_topk": lsh_topk,  # rows-only (approximate by design)
     "label_centroids": label_centroids,
     # relational breadth
@@ -594,6 +604,7 @@ ORACLES = {
     "lang_id": _LANG_ID_SQL,
     "doc_sketches": _SKETCHES_SQL,
     "ann_topk": _ANN_SQL,
+    "embedding_neardup": _NEARDUP_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "q1_pricing": _Q1_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
