@@ -93,15 +93,34 @@ def tumbling_tool_stats(ds: rd.Dataset, size_s: int = 3600) -> rd.Dataset:
 
     Output: tool, window_start (epoch s), n_turns, sum_len, min_ts, max_ts.
     """
+    # large combine batches: with small batches the per-batch partials
+    # barely reduce ((tool, window) cardinality ~ batch size) and the
+    # merge shuffle re-moves nearly every row
     partials = ds.map_batches(
         lambda b: _partial_tool_stats(assign_tumbling(b, size_s)),
-        batch_format="pandas",
+        batch_format="pandas", batch_size=65536,
     )
-    return partials.groupby(["tool", "window_start"]).aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Sum("sum_len", alias_name="sum_len"),
-        Min("min_ts", alias_name="min_ts"),
-        Max("max_ts", alias_name="max_ts"),
+
+    # final merge via bucketed map_groups — Ray's built-in multi-key
+    # .aggregate() is an order of magnitude slower on this workload; a
+    # hash-bucket groupby with one vectorized pandas merge per bucket is
+    # the same pattern the sessionize path uses
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_wb"] = (b["window_start"] % 16).astype("int32")
+        return b
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["tool", "window_start"], sort=True).agg(
+            n_turns=("n_turns", "sum"),
+            sum_len=("sum_len", "sum"),
+            min_ts=("min_ts", "min"),
+            max_ts=("max_ts", "max"),
+        ).reset_index()
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -114,9 +133,22 @@ def sliding_tool_stats(ds: rd.Dataset, size_s: int = 3600, slide_s: int = 900) -
             n_turns=("text", "size")
         ).reset_index()
 
-    partials = ds.map_batches(explode_partial, batch_format="pandas")
-    return partials.groupby(["tool", "window_start"]).aggregate(
-        Sum("n_turns", alias_name="n_turns"),
+    partials = ds.map_batches(explode_partial, batch_format="pandas",
+                              batch_size=32768)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["_wb"] = (b["window_start"] % 16).astype("int32")
+        return b
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["tool", "window_start"], sort=True).agg(
+            n_turns=("n_turns", "sum"),
+        ).reset_index()
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
