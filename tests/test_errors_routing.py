@@ -1,0 +1,92 @@
+"""Error model + dead-letter routing tests — mirrors the reference's
+signing tests (imagor_test.go:302-357), expire handling
+(imagor.go:314-322) and auto-format negotiation (imagor_test.go:1381-1701
+shapes)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from imagor_ray.functions import imagorpath as ip
+from imagor_ray.stages.errors import (
+    ERR_EXPIRED,
+    ERR_INVALID_PARAM,
+    ERR_SIGNATURE_MISMATCH,
+    ERR_UNSUPPORTED_FORMAT,
+    auto_format_path,
+    route,
+    verify_batch,
+)
+
+SECRET = "s3cr3t"
+SIGNER = ip.HMACSigner("sha256", 0, SECRET)
+
+
+def make_row(path, hash_=None):
+    return {"path": path, "hash": hash_ if hash_ is not None else SIGNER.sign(path)}
+
+
+class TestVerifyBatch:
+    def test_valid_signature_passes(self):
+        df = pd.DataFrame([make_row("filters:grayscale()/img")])
+        out = verify_batch(df, SECRET)
+        assert out["error_code"].tolist() == [""]
+
+    def test_tampered_signature_rejected(self):
+        df = pd.DataFrame([make_row("filters:grayscale()/img", "bogus-hash")])
+        out = verify_batch(df, SECRET)
+        assert out["error_code"].tolist() == [ERR_SIGNATURE_MISMATCH]
+
+    def test_unsafe_bypasses_signature(self):
+        # unsafe mode bypass (imagor.go:294-302)
+        df = pd.DataFrame([make_row("filters:grayscale()/img", "unsafe")])
+        out = verify_batch(df, SECRET)
+        assert out["error_code"].tolist() == [""]
+
+    def test_expired_by_watermark(self):
+        path = "filters:expire(1000)/img"
+        df = pd.DataFrame([make_row(path)])
+        assert verify_batch(df.copy(), SECRET, watermark_ms=999)["error_code"].iloc[0] == ""
+        assert verify_batch(df.copy(), SECRET, watermark_ms=1001)["error_code"].iloc[0] == ERR_EXPIRED
+
+    def test_unknown_format_rejected(self):
+        df = pd.DataFrame([make_row("filters:format(avif)/img")])
+        assert verify_batch(df, SECRET)["error_code"].iloc[0] == ERR_UNSUPPORTED_FORMAT
+
+    def test_empty_path_invalid(self):
+        df = pd.DataFrame([{"path": "", "hash": "unsafe"}])
+        assert verify_batch(df, SECRET)["error_code"].iloc[0] == ERR_INVALID_PARAM
+
+
+class TestRouting:
+    def test_ok_and_dead_letter_split(self, ray_session):
+        import ray.data as rd
+
+        rows = [
+            make_row("filters:grayscale()/a"),
+            make_row("filters:grayscale()/b", "tampered"),
+            make_row("filters:expire(5)/c"),
+        ]
+        ds = rd.from_pandas(pd.DataFrame(rows))
+        ok, dead = route(ds, SECRET, watermark_ms=10)
+        okd, deadd = ok.to_pandas(), dead.to_pandas()
+        assert len(okd) == 1 and okd["path"].iloc[0].endswith("/a")
+        assert sorted(deadd["error_code"]) == [ERR_EXPIRED, ERR_SIGNATURE_MISMATCH]
+
+
+class TestAutoFormat:
+    def test_appends_format_when_missing(self):
+        path, vary = auto_format_path("filters:grayscale()/img", "hex")
+        assert path == "filters:grayscale():format(hex)/img" and vary
+
+    def test_respects_existing_format(self):
+        path, vary = auto_format_path("filters:format(b64)/img", "hex")
+        assert path == "filters:format(b64)/img" and not vary
+
+    def test_unknown_accept_noop(self):
+        path, vary = auto_format_path("filters:grayscale()/img", "webp")
+        assert path == "filters:grayscale()/img" and not vary
+
+    def test_plain_accept_noop(self):
+        path, vary = auto_format_path("img", "")
+        assert path == "img" and not vary
