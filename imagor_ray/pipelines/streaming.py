@@ -120,6 +120,10 @@ class StreamingSessionJob:
         batch = batch[~late_mask]
         us = us[~late_mask]
 
+        # subclass hook: per-cycle processing of the on-time rows (the
+        # chain → exactly-once sink leg of the DAG)
+        self._process_batch(batch, int(state.get("cycles", 0)))
+
         # watermark advance: max event time seen − allowed lateness
         new_watermark = max(
             watermark, (int(us.max()) - self.lateness_us) if len(us) else watermark
@@ -222,6 +226,9 @@ class StreamingSessionJob:
         self.cp.save(state)
         return closed
 
+    def _process_batch(self, batch: pd.DataFrame, cycle: int) -> None:
+        """Hook for subclasses; the base job only sessionizes."""
+
     def closed_sessions(self) -> pd.DataFrame:
         files = sorted(
             os.path.join(self.closed_dir, f)
@@ -231,3 +238,82 @@ class StreamingSessionJob:
         if not files:
             return pd.DataFrame()
         return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+
+class StreamingFlagshipJob(StreamingSessionJob):
+    """The full north-star DAG as one continuous micro-batch job:
+
+    per cycle — late-data routing vs the watermark, then the imagor chain
+    (parse → sign → filter chain → tool-meta enrich) over the on-time
+    turns into a cycle-scoped exactly-once sink (keyed dedup + atomic
+    per-bucket commit + lineage), then session-window maintenance with
+    open-session carryover. Killing the driver at ANY point and rerunning
+    reproduces the emitted bytes: cycle replays are absorbed by the
+    sink's committed-bucket skip, and the checkpoint only advances after
+    the cycle's sink commit.
+    """
+
+    def __init__(
+        self,
+        input_dir: str,
+        state_dir: str,
+        gap_s: int = 1800,
+        allowed_lateness_s: int = 0,
+        secret: str | None = None,
+        num_buckets: int = 8,
+    ):
+        super().__init__(input_dir, state_dir, gap_s, allowed_lateness_s)
+        from ..stages.parse_sign import DEFAULT_SECRET
+
+        self.secret = secret or DEFAULT_SECRET
+        self.num_buckets = num_buckets
+        self.processed_dir = os.path.join(state_dir, "processed_turns")
+        os.makedirs(self.processed_dir, exist_ok=True)
+
+    def _process_batch(self, batch: pd.DataFrame, cycle: int) -> None:
+        if len(batch) == 0:
+            return
+        import ray.data as _rd
+
+        from ..pipelines.flagship import snippet_dim
+        from ..sources.transcripts import tool_meta_table
+        from ..stages.chain import filter_chain_batch
+        from ..stages.parse_sign import parse_sign_batch
+        from ..state.sink import ExactlyOnceSink
+
+        meta = {
+            r["tool"]: (r["tool_kind"], int(r["tool_cost"]))
+            for _, r in tool_meta_table().iterrows()
+        }
+        dim = snippet_dim()
+        secret = self.secret
+
+        def proc(b: pd.DataFrame) -> pd.DataFrame:
+            b = parse_sign_batch(b.copy(), secret=secret)
+            b = filter_chain_batch(b, dim_ref=dim, path_col="chain_path")
+            kinds = b["tool"].map(lambda t: meta.get(t, ("unknown", 0)))
+            b["tool_kind"] = kinds.map(lambda kv: kv[0])
+            b["tool_cost"] = kinds.map(lambda kv: kv[1]).astype("int64")
+            return b.drop(columns=["chain_path", "sig_ok"], errors="ignore")
+
+        ds = _rd.from_pandas(batch.reset_index(drop=True)).map_batches(
+            proc, batch_format="pandas"
+        )
+        sink = ExactlyOnceSink(
+            os.path.join(self.processed_dir, f"cycle-{cycle:05d}"),
+            num_buckets=self.num_buckets,
+        )
+        sink.write(ds)
+
+    def processed_sha1(self) -> str:
+        """Digest over every committed cycle partition — replay probe."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for cyc in sorted(os.listdir(self.processed_dir)):
+            cdir = os.path.join(self.processed_dir, cyc)
+            for f in sorted(os.listdir(cdir)):
+                if f.endswith(".parquet"):
+                    with open(os.path.join(cdir, f), "rb") as fh:
+                        h.update(fh.read())
+        return h.hexdigest()

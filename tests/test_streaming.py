@@ -148,3 +148,45 @@ class TestSkewedSessionize:
             plain[c] = plain[c].astype("datetime64[us]")
             salted[c] = salted[c].astype("datetime64[us]")
         pd.testing.assert_frame_equal(plain, salted, check_dtype=False)
+
+
+class TestStreamingFlagship:
+    def test_full_dag_and_kill_resume_bytes(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.streaming import StreamingFlagshipJob
+
+        batches = [
+            [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00")],
+            [("a", "2024-01-01 02:00:00"), ("c", "2024-01-01 03:00:00")],
+            [("d", "2024-01-02 00:00:00")],
+        ]
+        s = write_stream(tmp_path, batches)
+
+        j1 = StreamingFlagshipJob(s, str(tmp_path / "s1"), gap_s=1800, num_buckets=2)
+        j1.run_all()
+        j1.flush()
+        want_sha = j1.processed_sha1()
+        want_sessions = j1.closed_sessions().sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+        assert want_sessions["n_turns"].sum() == 5
+
+        # processed output carries the chain results + signatures
+        import pandas as pd
+        import os
+        cdir = os.path.join(str(tmp_path / "s1"), "processed_turns", "cycle-00000")
+        part = pd.concat([
+            pd.read_parquet(os.path.join(cdir, f))
+            for f in sorted(os.listdir(cdir)) if f.endswith(".parquet")
+        ])
+        assert {"path", "signature", "tool_kind"} <= set(part.columns)
+
+        # interrupted run resumes to identical bytes
+        j2 = StreamingFlagshipJob(s, str(tmp_path / "s2"), gap_s=1800, num_buckets=2)
+        j2.run_cycle()
+        del j2
+        j3 = StreamingFlagshipJob(s, str(tmp_path / "s2"), gap_s=1800, num_buckets=2)
+        j3.run_all()
+        j3.flush()
+        assert j3.processed_sha1() == want_sha
+        got_sessions = j3.closed_sessions().sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_sessions, want_sessions)
