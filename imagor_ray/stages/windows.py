@@ -33,7 +33,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 __all__ = [
     "ts_us",
