@@ -548,6 +548,56 @@ def _q_media_meta(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# standalone per-filter parity queries over documents (each runs ONE chain
+# through the real compiler/kernels and is mirrored exactly in SQL)
+
+_FILTER_QUERY_SPECS = {
+    # manual fractional crop (process.go:607-649)
+    "filter_crop_frac": (
+        "0.2x0:0.7x0/img",
+        "substr(text, CAST(floor(CAST(0.2 AS DOUBLE) * length(text)) AS INT) + 1, "
+        "CAST(floor(CAST(0.7 AS DOUBLE) * length(text)) AS INT) "
+        "- CAST(floor(CAST(0.2 AS DOUBLE) * length(text)) AS INT))",
+    ),
+    # proportion(40) → truncate to floor(len*0.4) (filter.go:124-147)
+    "filter_proportion": (
+        "filters:proportion(40)/img",
+        "substr(text, 1, CAST(floor(length(text) * CAST(0.4 AS DOUBLE)) AS INT))",
+    ),
+    # rotate(180) on single-line text = reverse (filter.go:108-122)
+    "filter_rotate180": ("filters:rotate(180)/img", "reverse(text)"),
+    # padding(x,3,0,2,0) (filter.go:72-93)
+    "filter_padding": ("filters:padding(x,3,0,2,0)/img", "'xxx' || text || 'xx'"),
+    # hue(72) rotates vowels by one position (filter.go:174-214)
+    "filter_hue": (
+        "filters:hue(72)/img",
+        "translate(text, 'aeiouAEIOU', 'eiouaEIOUA')",
+    ),
+    # background_color(red) fills blanks with the color char (filter.go:95-106)
+    "filter_background": (
+        "filters:background_color(red)/img",
+        "replace(text, ' ', 'r')",
+    ),
+}
+
+
+def _mk_filter_query(path: str):
+    def q(sf_dir: str):
+        from ..stages.chain import compile_chain
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def run(b: pd.DataFrame) -> pd.DataFrame:
+            chain = compile_chain(path)
+            b["text"] = chain.run(b["text"].astype(str))
+            return b
+
+        return ds.map_batches(run, batch_format="pandas")
+
+    return q
+
+
 QUERIES = {
     # imagor-core
     "transcripts": _q_transcripts,
@@ -563,6 +613,8 @@ QUERIES = {
     "enriched_tool_stats": _q_enriched,
     "event_props_type": _q_props_type,
     "doc_meta": _q_doc_meta,
+    **{name: _mk_filter_query(path)
+       for name, (path, _) in _FILTER_QUERY_SPECS.items()},
     "media_meta": _q_media_meta,  # rows-only: binary decode has no SQL surface
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -594,6 +646,8 @@ ORACLES = {
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
     "event_props_type": _PROPS_TYPE_SQL,
     "doc_meta": _DOC_META_SQL,
+    **{name: f"SELECT doc_id, {sql} AS text FROM documents"
+       for name, (_, sql) in _FILTER_QUERY_SPECS.items()},
     "tumbling_tool_stats": _TUMBLING_SQL,
     "sliding_tool_stats": _SLIDING_SQL,
     "enriched_tool_stats": _ENRICHED_SQL,

@@ -33,7 +33,7 @@ import ray.data as rd
 from ..stages.windows import ts_us
 from ..state.checkpoint import Checkpoint
 
-__all__ = ["StreamingSessionJob"]
+__all__ = ["StreamingSessionJob", "StreamingFlagshipJob"]
 
 
 class StreamingSessionJob:
@@ -166,14 +166,18 @@ class StreamingSessionJob:
         state["processed"] = list(state.get("processed", [])) + [fname]
         state["late_rows"] = int(state.get("late_rows", 0)) + int(late_mask.sum())
         state["cycles"] = cycle + 1
-        self.cp.save(state)
-        return {
+        result = {
             "file": fname,
             "watermark_us": new_watermark,
+            "rows": int(len(batch)),
             "closed": len(closed),
             "open": len(still_open),
             "late": int(late_mask.sum()),
         }
+        # per-cycle metrics ride in the checkpoint (lineage + metrics)
+        state["cycle_metrics"] = list(state.get("cycle_metrics", [])) + [result]
+        self.cp.save(state)
+        return result
 
     @staticmethod
     def _sessionize_with_start(turns: pd.DataFrame, gap_s: int) -> pd.DataFrame:

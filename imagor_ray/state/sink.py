@@ -123,6 +123,9 @@ class ExactlyOnceSink:
         Retry-safe: the manifest existence check makes a re-executed task
         an idempotent skip; a failed write deletes its partials
         (delete-on-error, imagor.go:795-808)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         bucket = int(g["_bucket"].iloc[0])
         final = os.path.join(self.out_dir, f"part-{bucket:05d}.parquet")
         mpath = os.path.join(self.manifest_dir, f"bucket-{bucket:05d}.json")
@@ -146,6 +149,10 @@ class ExactlyOnceSink:
                 "key_max": [str(g["conv_id"].iloc[-1]), int(g["turn_idx"].iloc[-1])] if len(g) else None,
                 "sha1": digest,
                 "file": os.path.basename(final),
+                # per-partition metrics (lineage + metrics, north rule);
+                # not part of the replay-compared data bytes
+                "bytes": os.path.getsize(final),
+                "write_ms": int((_time.perf_counter() - t0) * 1000),
             }
             mtmp = mpath + ".tmp"
             with open(mtmp, "w") as f:
