@@ -598,10 +598,61 @@ def _mk_filter_query(path: str):
     return q
 
 
+def _q_params_fields(sf_dir: str):
+    """Params endpoint analogue (imagor.go:204-209): expose the PARSED
+    fields of each turn's canonical path. The Ray side genuinely parses
+    per tool with functions/imagorpath; the oracle mirrors the expected
+    parse results as literals per tool — a second, independent check that
+    parsing the flagship templates yields the intended plan."""
+    from ..functions import imagorpath as _ip
+    from ..stages.parse_sign import PATH_TEMPLATES
+
+    parsed = {}
+    for tool, tpl in PATH_TEMPLATES.items():
+        p = _ip.parse(tpl.format(img="k"))
+        parsed[tool] = (
+            int(p.width), int(p.fit_in), int(p.stretch), int(p.trim),
+            len(p.filters), p.h_align or "",
+        )
+
+    ds = derive_transcripts(sf_dir)
+
+    def fields(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b["tool"].map(parsed)
+        return pd.DataFrame({
+            "conv_id": b["conv_id"].to_numpy(),
+            "turn_idx": b["turn_idx"].to_numpy(),
+            "width": vals.map(lambda v: v[0]).astype("int64"),
+            "fit_in": vals.map(lambda v: v[1]).astype("int64"),
+            "stretch": vals.map(lambda v: v[2]).astype("int64"),
+            "trim": vals.map(lambda v: v[3]).astype("int64"),
+            "n_filters": vals.map(lambda v: v[4]).astype("int64"),
+            "h_align": vals.map(lambda v: v[5]),
+        })
+
+    return ds.map_batches(fields, batch_format="pandas")
+
+
+_PARAMS_FIELDS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, turn_idx,
+  CASE tool WHEN 'signup' THEN 200 WHEN 'click' THEN 160
+            WHEN 'purchase' THEN 120 ELSE 0 END AS width,
+  CASE tool WHEN 'click' THEN 1 ELSE 0 END AS fit_in,
+  CASE tool WHEN 'purchase' THEN 1 ELSE 0 END AS stretch,
+  CASE tool WHEN 'signup' THEN 1 WHEN 'error' THEN 1 ELSE 0 END AS trim,
+  CASE tool WHEN 'purchase' THEN 1 ELSE 2 END AS n_filters,
+  CASE tool WHEN 'signup' THEN 'left' WHEN 'click' THEN 'left'
+            WHEN 'purchase' THEN 'left' ELSE '' END AS h_align
+FROM t
+"""
+
+
 QUERIES = {
     # imagor-core
     "transcripts": _q_transcripts,
     "canonical_paths": _q_canonical_paths,
+    "params_fields": _q_params_fields,
     "processed": _q_processed,
     "signed": _q_signed,  # rows-only (HMAC not SQL-expressible)
     # streaming
@@ -640,6 +691,7 @@ QUERIES = {
 ORACLES = {
     "transcripts": TRANSCRIPTS_SQL,
     "canonical_paths": _CANONICAL_PATHS_SQL,
+    "params_fields": _PARAMS_FIELDS_SQL,
     "processed": _PROCESSED_SQL,
     "sessions": _SESSIONS_SQL,
     "sessions_salted": _SESSIONS_SQL,
