@@ -342,27 +342,80 @@ def compile_chain(
     return CompiledChain(p, steps)
 
 
+import re as _re
+
+# `f` / `f-N` full-dimension tokens in a nested path's WxH segment
+# (resolveFullDimensions, processor/vipsprocessor/overlay.go:99-151)
+_FULL_DIM_RE = _re.compile(r"(?:^|/)((f|full)(-\d+)?x(f|full)(-\d+)?)(?:/|$)")
+
+
+def _resolve_full_dims(path: str, parent_len: int) -> str:
+    """Rewrite ``fxf-20``-style dimension tokens against the parent's
+    dimensions before the nested parse (overlay.go:99-151): ``f`` → the
+    parent width (text length), ``f-N`` → parent width − N."""
+    m = _FULL_DIM_RE.search(path)
+    if not m:
+        return path
+
+    def one(tok: str) -> str:
+        if tok in ("f", "full"):
+            return str(parent_len)
+        base, minus = tok.split("-", 1)
+        return str(max(0, parent_len - int(minus)))
+
+    w = one(m.group(2) + (m.group(3) or ""))
+    h = one(m.group(4) + (m.group(5) or ""))
+    return path[: m.start(1)] + f"{w}x{h}" + path[m.end(1):]
+
+
 def _nested_image_step(args: str, disabled, max_ops, depth):
     """Recursive composition: parse the nested imagor path, run the whole
     chain on the referenced source, splice at x (filteroverlay.go:15-64;
-    bounded recursion like MaxFilterOps process.go:768-774)."""
+    bounded recursion like MaxFilterOps process.go:768-774). Paths with
+    ``f``-dimension tokens resolve against each base row's length and
+    compile per distinct parent length (small LRU)."""
     a = ip.split_args(args)
-    nested_path = a[0] if a else ""
+    nested_path = (a[0] if a else "").lstrip("/")
     x = a[1] if len(a) > 1 else "left"
-    nested = compile_chain(
-        nested_path.lstrip("/"), disabled, max_ops, _depth=depth + 1
-    )
+    has_full = _FULL_DIM_RE.search(nested_path) is not None
+    static = None if has_full else compile_chain(nested_path, disabled, max_ops, _depth=depth + 1)
+    per_len_cache: dict[int, CompiledChain] = {}
+
+    def chain_for(parent_len: int) -> CompiledChain:
+        if static is not None:
+            return static
+        c = per_len_cache.get(parent_len)
+        if c is None:
+            if len(per_len_cache) > 512:
+                per_len_cache.clear()
+            c = compile_chain(
+                _resolve_full_dims(nested_path, parent_len),
+                disabled, max_ops, _depth=depth + 1,
+            )
+            per_len_cache[parent_len] = c
+        return c
 
     def step(s: pd.Series, ctx: K.ChainCtx) -> pd.Series:
         if ctx.lookup is None:
             return s
-        src = ctx.lookup(nested.params.image)
-        if src is None:
-            return s
-        item = nested.run(pd.Series([src]), lookup=ctx.lookup).iloc[0]
-        return s.map(
-            lambda t: K._splice(t, item, K.parse_overlay_position(x, len(t), len(item)))
-        )
+
+        def one(t: str) -> str:
+            nested = chain_for(len(t))
+            src = ctx.lookup(nested.params.image)
+            if src is None:
+                return t
+            item = nested.run(pd.Series([src]), lookup=ctx.lookup).iloc[0]
+            return K._splice(t, item, K.parse_overlay_position(x, len(t), len(item)))
+
+        if static is not None:
+            src = ctx.lookup(static.params.image)
+            if src is None:
+                return s
+            item = static.run(pd.Series([src]), lookup=ctx.lookup).iloc[0]
+            return s.map(
+                lambda t: K._splice(t, item, K.parse_overlay_position(x, len(t), len(item)))
+            )
+        return s.map(one)
 
     return step
 

@@ -314,3 +314,56 @@ class TestFilterChainStageLocal:
         })
         out = stage(df)
         assert out["text"].tolist() == ["ab", "cd", "0123"]
+
+
+class TestNestedFullDims:
+    def test_f_token_resolves_to_parent_length(self):
+        # fxf-20 → nested resize to (parent_len − 20)? width = len-20 of the
+        # looked-up source, left-aligned (overlay.go:99-151)
+        lookup = {"logo": "ABCDEFGHIJKLMNOP"}.get
+        base = "0123456789" * 3  # len 30
+        out = run1("filters:image(/fit-in/f-20xf/left/logo,right)/img", base, lookup=lookup)
+        # nested fit-in width = 30-20 = 10 → "ABCDEFGHIJ" spliced right
+        assert out.endswith("ABCDEFGHIJ")
+        assert len(out) == 30
+
+    def test_plain_f_token(self):
+        lookup = {"logo": "XY"}.get
+        out = run1("filters:image(/stretch/fxf/left/logo,left)/img", "abcdef", lookup=lookup)
+        # stretch to parent len 6 → "XY    " spliced at 0 over 6 chars
+        assert out == "XY    "
+
+    def test_resolver_unit(self):
+        from imagor_ray.stages.chain import _resolve_full_dims
+        assert _resolve_full_dims("fit-in/fxf-20/img", 100) == "fit-in/100x80/img"
+        assert _resolve_full_dims("fxf/img", 7) == "7x7/img"
+        assert _resolve_full_dims("10x20/img", 100) == "10x20/img"
+
+
+class TestSinkDeleteOnError:
+    def test_failed_write_cleans_partials(self, tmp_path, monkeypatch):
+        # delete-on-error like saveWithErrorHandling (imagor.go:795-808)
+        import pyarrow.parquet as pq
+        import pandas as pd
+        from imagor_ray.state import sink as sinkmod
+
+        s = sinkmod.ExactlyOnceSink(str(tmp_path / "out"), num_buckets=2)
+        import os
+        os.makedirs(s.manifest_dir, exist_ok=True)
+        g = pd.DataFrame({
+            "conv_id": ["a"], "turn_idx": [0], "signature": ["sig"],
+            "_bucket": [0],
+        })
+
+        def boom(*a, **kw):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(sinkmod.pq, "write_table", boom)
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            s.write_partition_df(g.copy())
+        assert not os.path.exists(os.path.join(str(tmp_path / "out"), "part-00000.parquet"))
+        assert s.committed_buckets() == set()
+        monkeypatch.undo()
+        out = s.write_partition_df(g.copy())
+        assert out["rows"].iloc[0] == 1 and s.committed_buckets() == {0}
