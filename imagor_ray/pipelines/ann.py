@@ -83,10 +83,16 @@ def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
     )
 
 
-def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, bits: int = 4, seed: int = 7) -> pd.DataFrame:
+def lsh_topk(
+    sf_dir: str, n_queries: int = 5, k: int = 10, bits: int = 4, seed: int = 7,
+    probe_hamming: int = 1,
+) -> pd.DataFrame:
     """LSH-bucketed variant: random-hyperplane signatures route vectors to
-    2^bits buckets; each query searches only its own bucket. Approximate —
-    compared against brute force by recall in tests, not by the oracle."""
+    2^bits buckets; each query searches buckets within Hamming distance
+    ``probe_hamming`` of its own signature (multi-probe — single-probe
+    recall is poor when similarities are weak). Approximate — compared
+    against brute force by recall in tests, not by the oracle. Scanned
+    fraction ≈ Σ_{i≤r} C(bits,i) / 2^bits."""
     qids, qmat = _query_matrix(sf_dir, n_queries)
     import pyarrow.parquet as pq
 
@@ -98,6 +104,13 @@ def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, bits: int = 4, seed: 
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     ref = ray.put((qids, qnorm, qbucket, planes))
 
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(x)
+        while x.any():
+            out += x & 1
+            x = x >> 1
+        return out
+
     def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
         ids, qn, qb, pl = ray.get(ref)
         vecs = np.stack(b["embedding"].to_numpy()).astype("float64")
@@ -107,7 +120,7 @@ def lsh_topk(sf_dir: str, n_queries: int = 5, k: int = 10, bits: int = 4, seed: 
         vid = b["vec_id"].to_numpy()
         frames = []
         for qi, qid in enumerate(ids):
-            mask = (vb == qb[qi]) & (vid != qid)
+            mask = (_popcount(np.bitwise_xor(vb, qb[qi])) <= probe_hamming) & (vid != qid)
             if not mask.any():
                 continue
             s = vn[mask] @ qn[qi]

@@ -333,3 +333,17 @@ class TestFusedFlagship:
         summary = flagship_write(SF, d, num_buckets=4)
         assert summary["buckets_written"] == 1
         assert sink.content_sha1() == sha
+
+
+class TestAnnRecall:
+    def test_lsh_multiprobe_recall(self, ray_session):
+        from imagor_ray.pipelines.ann import ann_topk, lsh_topk
+
+        bf = ann_topk(SF, n_queries=5, k=10)
+        ls = lsh_topk(SF, n_queries=5, k=10, bits=3, probe_hamming=1)
+        recalls = []
+        for q in sorted(bf["query_id"].unique()):
+            truth = set(bf[bf["query_id"] == q]["vec_id"])
+            got = set(ls[ls["query_id"] == q]["vec_id"])
+            recalls.append(len(truth & got) / len(truth))
+        assert sum(recalls) / len(recalls) >= 0.5, recalls
