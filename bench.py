@@ -124,7 +124,7 @@ def run_scaling() -> dict:
     def best(ncpu: int) -> dict:
         # best-of-2: the sandbox host shows 2x run-to-run variance
         # (hypervisor throttling); min wall time is the engine's capability
-        trials = [one(ncpu) for _ in range(int(os.environ.get("GRAFT_BENCH_TRIALS", "2")))]
+        trials = [one(ncpu) for _ in range(int(os.environ.get("GRAFT_BENCH_TRIALS", "3")))]
         return min(trials, key=lambda d: d["value"])
 
     n_lo = int(os.environ.get("GRAFT_BENCH_CPUS_LO", "4"))

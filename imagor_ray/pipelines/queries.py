@@ -335,19 +335,21 @@ def _q_enriched(sf_dir: str):
         ).reset_index()
         return g
 
-    from ray.data.aggregate import Sum
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("tool_kind", sort=True).agg(
+            n_turns=("n_turns", "sum"), total_cost=("total_cost", "sum")
+        ).reset_index()
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("tool_kind")
-        .aggregate(Sum("n_turns", alias_name="n_turns"),
-                   Sum("total_cost", alias_name="total_cost"))
+        .map_batches(lambda b: b.assign(_k=0), batch_format="pandas")
+        .groupby("_k")
+        .map_groups(lambda g: merge(g.drop(columns=["_k"])), batch_format="pandas")
     )
 
 
 def _q_q1(sf_dir: str):
     import numpy as np
-    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -368,22 +370,31 @@ def _q_q1(sf_dir: str):
             "disc_m": np.floor(ext * (1 - disc) * 1000).astype("int64"),
         })
 
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price_c=("base_c", "sum"),
+            sum_disc_price_m=("disc_m", "sum"), count_order=("qty", "size"),
+        ).reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            sum_qty=("sum_qty", "sum"), sum_base_price_c=("sum_base_price_c", "sum"),
+            sum_disc_price_m=("sum_disc_price_m", "sum"),
+            count_order=("count_order", "sum"),
+        ).reset_index()
+
     return (
-        ds.map_batches(prep, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_c", alias_name="sum_base_price_c"),
-            Sum("disc_m", alias_name="sum_disc_price_m"),
-            Count(alias_name="count_order"),
-        )
+        ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .map_batches(lambda b: b.assign(_k=0), batch_format="pandas")
+        .groupby("_k")
+        .map_groups(lambda g: merge(g.drop(columns=["_k"])), batch_format="pandas")
     )
 
 
 def _q_top_customers(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"]).to_pandas()
@@ -397,11 +408,17 @@ def _q_top_customers(sf_dir: str):
             n_orders=("rev_c", "size"), revenue_c=("rev_c", "sum")
         ).reset_index()
 
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", sort=True).agg(
+            n_orders=("n_orders", "sum"), revenue_c=("revenue_c", "sum")
+        ).reset_index()
+
     agg = (
-        orders.map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"),
-                   Sum("revenue_c", alias_name="revenue_c"))
+        orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .map_batches(lambda b: b.assign(_cb=(b["o_custkey"] % 16).astype("int32")),
+                     batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(lambda g: merge(g.drop(columns=["_cb"])), batch_format="pandas")
         .to_pandas()
     )
     agg["c_name"] = agg["o_custkey"].map(names)
@@ -412,7 +429,6 @@ def _q_top_customers(sf_dir: str):
 
 def _q_events_by_type(sf_dir: str):
     import numpy as np
-    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
@@ -422,11 +438,22 @@ def _q_events_by_type(sf_dir: str):
             "value_c": np.floor(b["value"].to_numpy() * 100).astype("int64"),
         })
 
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", sort=False).agg(
+            n_events=("value_c", "size"), total_value_c=("value_c", "sum")
+        ).reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("event_type", sort=True).agg(
+            n_events=("n_events", "sum"), total_value_c=("total_value_c", "sum")
+        ).reset_index()
+
     return (
-        ds.map_batches(prep, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value_c", alias_name="total_value_c"))
+        ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .map_batches(lambda b: b.assign(_k=0), batch_format="pandas")
+        .groupby("_k")
+        .map_groups(lambda g: merge(g.drop(columns=["_k"])), batch_format="pandas")
     )
 
 
