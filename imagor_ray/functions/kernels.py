@@ -931,3 +931,35 @@ def blurhash_text(t: str) -> str:
 def thumbhash_text(t: str) -> str:
     """8-hex md5-prefix sketch (filter.go:480-513)."""
     return hashlib.md5(t.encode("utf-8")).hexdigest()[:8]
+
+
+@register_filter("avgcolor")
+def k_avgcolor(s, ctx, args):
+    """Meta-path aggregate: with ``meta/`` the row output becomes the
+    most-frequent-char sketch (avgcolor meta field, process.go:97-105;
+    downscale+mean filter.go:391-441). Non-meta requests error in the
+    reference (400); here the kernel is a no-op outside meta."""
+    if not ctx.meta:
+        return s
+    ctx.out_format = "utf8"
+    return s.map(avgcolor_text)
+
+
+@register_filter("blurhash")
+def k_blurhash(s, ctx, args):
+    """Meta-path aggregate: 16-hex simhash sketch (process.go:106-120;
+    DCT blurhash filter.go:444-476)."""
+    if not ctx.meta:
+        return s
+    ctx.out_format = "utf8"
+    return s.map(blurhash_text)
+
+
+@register_filter("thumbhash")
+def k_thumbhash(s, ctx, args):
+    """Meta-path aggregate: md5-prefix sketch (process.go:121-133;
+    filter.go:480-513)."""
+    if not ctx.meta:
+        return s
+    ctx.out_format = "utf8"
+    return s.map(thumbhash_text)

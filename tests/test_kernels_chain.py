@@ -367,3 +367,19 @@ class TestSinkDeleteOnError:
         monkeypatch.undo()
         out = s.write_partition_df(g.copy())
         assert out["rows"].iloc[0] == 1 and s.committed_buckets() == {0}
+
+
+class TestMetaSketchFilters:
+    def test_meta_avgcolor(self):
+        assert run1("meta/filters:avgcolor()/img", "aab") == "a"
+
+    def test_meta_thumbhash(self):
+        from imagor_ray.functions.kernels import thumbhash_text
+        assert run1("meta/filters:thumbhash()/img", "xyz") == thumbhash_text("xyz")
+
+    def test_meta_blurhash(self):
+        from imagor_ray.functions.kernels import blurhash_text
+        assert run1("meta/filters:blurhash(4,3)/img", "a b c d") == blurhash_text("a b c d")
+
+    def test_non_meta_is_noop(self):
+        assert run1("filters:avgcolor()/img", "aab") == "aab"
