@@ -123,3 +123,50 @@ class TestResultCacheAndSuppression:
         })
         stage(df.copy())
         assert stage._result_cache_used <= 300
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 100_000)),  # (conv, ts_s)
+        min_size=1, max_size=60,
+    ),
+    st.integers(10, 5000),
+)
+def test_sessionize_matches_bruteforce(rows, gap_s):
+    """Bucketed vectorized sessionize ≡ an obvious per-conversation loop."""
+    import pandas as pd
+
+    from imagor_ray.stages.windows import _session_summaries_bucket
+
+    df = pd.DataFrame({
+        "conv_id": [f"c{c}" for c, _ in rows],
+        "ts": pd.to_datetime([t for _, t in rows], unit="s").astype("datetime64[us]"),
+        "text_len": 1,
+    })
+    got = _session_summaries_bucket(df.copy(), gap_s)
+
+    # brute force: per conv, sorted, walk and split on gap
+    expect = []
+    for conv, g in df.groupby("conv_id"):
+        ts = sorted(g["ts"])
+        sid, start, prev, n = 0, ts[0], ts[0], 0
+        for t in ts:
+            if (t - prev).total_seconds() > gap_s:
+                expect.append((conv, sid, start, prev, n))
+                sid, start, n = sid + 1, t, 0
+            n += 1
+            prev = t
+        expect.append((conv, sid, start, prev, n))
+    exp = pd.DataFrame(expect, columns=[
+        "conv_id", "session_id", "session_start", "session_end", "n_turns"])
+    exp["session_id"] = exp["session_id"].astype("int32")
+    for c in ("session_start", "session_end"):
+        exp[c] = exp[c].astype("datetime64[us]")
+        got[c] = got[c].astype("datetime64[us]")
+    got = got.sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+    exp = exp.sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "session_id", "session_start", "session_end", "n_turns"]],
+        exp, check_dtype=False,
+    )
