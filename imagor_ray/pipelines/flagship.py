@@ -103,7 +103,7 @@ def flagship_write(
     out_dir: str,
     secret: str = DEFAULT_SECRET,
     num_buckets: int = 64,
-    replicas: int = 1,
+    replicas=1,
 ) -> dict:
     """Fused flagship → exactly-once sink with ONE shuffle end-to-end.
 

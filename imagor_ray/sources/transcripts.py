@@ -166,7 +166,15 @@ def derive_transcripts(
     # downstream map stage, and Ray over-splits one small file otherwise
     read_blocks = max(4, min(256, n_events // 16384 + 1))
 
-    if replicas > 1:
+    # replicas may be an int (0..n) or a (start, end) range — ranges let a
+    # driver loop process a huge stream as bounded micro-batches (each
+    # cycle's sort stays within the single-node object-store budget; see
+    # BENCH.md findings)
+    if isinstance(replicas, tuple):
+        replica_ids = list(range(replicas[0], replicas[1]))
+    else:
+        replica_ids = list(range(replicas))
+    if len(replica_ids) > 1 or (replica_ids and replica_ids[0] != 0):
         # one task per replica, each reading the (page-cached) events
         # file itself and emitting shifted chunks. Amplifying 100× inside
         # a single map operator makes Ray's memory-based scheduler see
@@ -182,7 +190,8 @@ def derive_transcripts(
                 events_path,
                 columns=["event_id", "ts", "user_id", "event_type"],
             )
-            for r in batch["id"]:
+            for idx in batch["id"]:
+                r = replica_ids[int(idx)]
                 shifted = pa.table({
                     "event_id": pc.add(tbl["event_id"], int(r) * 1_000_000_000),
                     "ts": tbl["ts"],
@@ -192,7 +201,7 @@ def derive_transcripts(
                 for i in range(0, len(shifted), 65536):
                     yield shifted.slice(i, 65536)
 
-        ds = rd.range(replicas).map_batches(
+        ds = rd.range(len(replica_ids)).map_batches(
             replica_events, batch_size=1, batch_format="numpy"
         )
     else:
