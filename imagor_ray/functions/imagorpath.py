@@ -169,7 +169,12 @@ _PCT_OK = re.compile(r"%[0-9A-Fa-f]{2}")
 
 def _query_unescape(s: str) -> str:
     """Go ``url.QueryUnescape``: %XX + '+'→space; raises on a malformed
-    escape so the caller keeps the original (reference parse.go:163-165)."""
+    escape so the caller keeps the original (reference parse.go:163-165).
+
+    Go operates on byte strings, so well-formed but non-UTF-8 escapes
+    (e.g. ``%FF``) succeed and yield raw bytes — mirrored here by
+    decoding with ``surrogateescape`` (consistent with the byte-string
+    handling elsewhere in this module) instead of raising."""
     i = 0
     while True:
         i = s.find("%", i)
@@ -178,7 +183,8 @@ def _query_unescape(s: str) -> str:
         if not _PCT_OK.match(s, i):
             raise ValueError("invalid URL escape")
         i += 3
-    return urllib.parse.unquote_plus(s, errors="strict")
+    raw = urllib.parse.unquote_to_bytes(s.replace("+", " "))
+    return raw.decode("utf-8", errors="surrogateescape")
 
 
 def parse(path: str) -> Params:
@@ -489,7 +495,9 @@ class HMACSigner:
         self.secret = secret.encode("utf-8")
 
     def sign(self, path: str) -> str:
-        digest = _hmac.new(self.secret, path.encode("utf-8"), self.alg).digest()
+        digest = _hmac.new(
+            self.secret, path.encode("utf-8", errors="surrogateescape"), self.alg
+        ).digest()
         sig = base64.urlsafe_b64encode(digest).decode("ascii")
         if 0 < self.truncate < len(sig):
             return sig[: self.truncate]

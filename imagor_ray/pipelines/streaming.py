@@ -129,8 +129,9 @@ class StreamingSessionJob:
             watermark, (int(us.max()) - self.lateness_us) if len(us) else watermark
         )
 
-        # merge open sessions (carried summaries) with this batch's turns
-        open_prev = self.cp.load_open_sessions()
+        # merge open sessions (carried summaries) with this batch's turns —
+        # read the snapshot COMMITTED by the checkpoint, never a staged one
+        open_prev = self.cp.load_open_sessions(state)
         turns = batch[["conv_id", "ts"]].copy()
         turns["n_turns"] = 1
         if open_prev is not None and len(open_prev):
@@ -161,7 +162,13 @@ class StreamingSessionJob:
                 index=False,
             )
 
-        self.cp.save_open_sessions(still_open)
+        # stage the post-cycle snapshot under a cycle-versioned name; it
+        # only becomes visible when checkpoint.json (the single atomic
+        # commit point) records it below — a crash between here and
+        # cp.save(state) replays the cycle against the pre-cycle snapshot,
+        # keeping the byte-identical-replay guarantee.
+        open_fname = self.cp.stage_open_sessions(still_open, cycle)
+        state["open_sessions_file"] = open_fname
         state["watermark_us"] = new_watermark
         state["processed"] = list(state.get("processed", [])) + [fname]
         state["late_rows"] = int(state.get("late_rows", 0)) + int(late_mask.sum())
@@ -177,6 +184,7 @@ class StreamingSessionJob:
         # per-cycle metrics ride in the checkpoint (lineage + metrics)
         state["cycle_metrics"] = list(state.get("cycle_metrics", [])) + [result]
         self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
         return result
 
     @staticmethod
@@ -217,7 +225,7 @@ class StreamingSessionJob:
         """End-of-stream: close all remaining open sessions (watermark →
         +inf). Returns the final closed batch."""
         state = self.cp.load()
-        open_prev = self.cp.load_open_sessions()
+        open_prev = self.cp.load_open_sessions(state)
         if open_prev is None or not len(open_prev):
             return pd.DataFrame()
         closed = open_prev.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
@@ -225,9 +233,11 @@ class StreamingSessionJob:
         closed.to_parquet(
             os.path.join(self.closed_dir, f"closed-{cycle:05d}.parquet"), index=False
         )
-        self.cp.save_open_sessions(closed.iloc[0:0])
+        open_fname = self.cp.stage_open_sessions(closed.iloc[0:0], cycle)
+        state["open_sessions_file"] = open_fname
         state["cycles"] = cycle + 1
         self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
         return closed
 
     def _process_batch(self, batch: pd.DataFrame, cycle: int) -> None:

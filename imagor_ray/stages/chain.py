@@ -65,8 +65,10 @@ def prescan_utility_filters(p: ip.Params) -> tuple[ip.Params, dict]:
             except (TypeError, ValueError):
                 pass
         elif f.name == "attachment":
+            # stripped from the result path like expire — the reference's
+            # utility-filter loop drops both before regenerating p.Path
+            # (imagor.go:312-338); the name travels only in util.
             util["attachment"] = f.args
-            kept.append(f)
         else:
             if f.name == "preview":
                 util["preview"] = True

@@ -79,10 +79,17 @@ class ParseSignStage:
         sign = self.signer.sign
         batch["signature"] = [sign(p) for p in batch["path"].tolist()]
         if self.verify:
-            # recompute+compare (imagor.go:294-302); here trivially equal,
-            # but the column keeps the dead-letter contract: rows with
-            # sig_ok=False are routed out by the pipeline.
-            batch["sig_ok"] = True
+            # recompute+compare (imagor.go:294-302). Externally-supplied
+            # requests carry their claimed signature in a ``hash`` column;
+            # a mismatch marks the row for dead-letter routing
+            # (ErrSignatureMismatch, errors.go → stages/errors.route).
+            # Paths generated-and-signed in this stage (no ``hash``
+            # column) are self-signed and trivially valid.
+            if "hash" in batch.columns:
+                claimed = batch["hash"]
+                batch["sig_ok"] = (claimed.isna() | (claimed == batch["signature"])).to_numpy()
+            else:
+                batch["sig_ok"] = True
         return batch
 
 

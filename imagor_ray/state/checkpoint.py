@@ -40,12 +40,47 @@ class Checkpoint:
             os.fsync(f.fileno())
         os.replace(tmp, self.state_file)
 
-    def load_open_sessions(self) -> pd.DataFrame | None:
-        if not os.path.exists(self.open_sessions_file):
-            return None
-        return pd.read_parquet(self.open_sessions_file)
+    def load_open_sessions(self, state: dict | None = None) -> pd.DataFrame | None:
+        """Open-session snapshot as COMMITTED by checkpoint.json.
 
-    def save_open_sessions(self, df: pd.DataFrame) -> None:
-        tmp = self.open_sessions_file + ".tmp"
+        The snapshot file name travels inside the checkpoint state
+        (``open_sessions_file``), so a cycle that crashed after staging its
+        post-cycle snapshot but before ``save(state)`` replays against the
+        pre-cycle snapshot — the checkpoint is the single atomic commit
+        point. Falls back to the legacy unversioned side-file for state
+        dirs written before this scheme.
+        """
+        if state is None:
+            state = self.load()
+        fname = state.get("open_sessions_file")
+        path = os.path.join(self.path, fname) if fname else self.open_sessions_file
+        if not os.path.exists(path):
+            return None
+        return pd.read_parquet(path)
+
+    def stage_open_sessions(self, df: pd.DataFrame, cycle: int) -> str:
+        """Write the post-cycle open-session snapshot to a cycle-versioned
+        side file (``open-{cycle}.parquet``) and return its name. NOT
+        visible to replays until the caller records the name in the state
+        dict and commits via :meth:`save`."""
+        fname = f"open-{cycle:05d}.parquet"
+        full = os.path.join(self.path, fname)
+        tmp = full + ".tmp"
         df.to_parquet(tmp, index=False)
-        os.replace(tmp, self.open_sessions_file)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.replace(tmp, full)
+        return fname
+
+    def gc_open_sessions(self, keep: str) -> None:
+        """Drop superseded open-session snapshots after a successful
+        checkpoint commit (safe: the committed checkpoint no longer
+        references them)."""
+        for f in os.listdir(self.path):
+            if f == keep or not f.endswith(".parquet"):
+                continue
+            if f.startswith("open-") or f == "open_sessions.parquet":
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass

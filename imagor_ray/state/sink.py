@@ -33,12 +33,13 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import zlib
 
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
+
+from ..functions.hashing import crc32_bucket
 
 __all__ = ["ExactlyOnceSink", "conv_bucket"]
 
@@ -47,8 +48,11 @@ KEY_COLS = ("conv_id", "turn_idx", "signature")
 
 def conv_bucket(conv_ids: pd.Series, num_buckets: int) -> pd.Series:
     """Stable hash-partition of conv_id (crc32 — cheap, deterministic
-    across workers/runs; NOT Python ``hash`` which is salted)."""
-    return conv_ids.map(lambda c: zlib.crc32(c.encode("utf-8")) % num_buckets)
+    across workers/runs; NOT Python ``hash`` which is salted). Vectorized
+    table-driven CRC (same values as ``zlib.crc32``)."""
+    return pd.Series(
+        crc32_bucket(conv_ids.to_numpy(), num_buckets), index=conv_ids.index
+    )
 
 
 class ExactlyOnceSink:
@@ -141,6 +145,10 @@ class ExactlyOnceSink:
             pq.write_table(table, tmp, compression="snappy")
             with open(tmp, "rb") as f:
                 digest = hashlib.sha1(f.read()).hexdigest()
+                # durability before visibility: on power loss the manifest
+                # must never survive a truncated data file (the manifest
+                # commit below is already fsynced)
+                os.fsync(f.fileno())
             os.replace(tmp, final)  # atomic commit of the data file
             entry = {
                 "partition_id": bucket,
@@ -160,6 +168,13 @@ class ExactlyOnceSink:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(mtmp, mpath)  # atomic lineage commit
+            # fsync both directories so the renames themselves are durable
+            for d in (self.out_dir, self.manifest_dir):
+                dfd = os.open(d, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
         except BaseException:
             # delete-on-error like saveWithErrorHandling (imagor.go:795-808)
             for path in (tmp, final):

@@ -90,3 +90,24 @@ class TestAutoFormat:
     def test_plain_accept_noop(self):
         path, vary = auto_format_path("img", "")
         assert path == "img" and not vary
+
+
+def test_parse_sign_verifies_incoming_hash_column():
+    # externally-supplied requests carry a claimed signature in `hash`;
+    # ParseSignStage recomputes and marks mismatches for dead-letter
+    # routing (imagor.go:294-302) instead of hard-coding sig_ok=True.
+    import pandas as pd
+    from imagor_ray.stages.parse_sign import ParseSignStage
+
+    stage = ParseSignStage()
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3"],
+        "turn_idx": [0, 1, 2],
+        "tool": ["view", "view", "view"],
+    })
+    good = stage(df.copy())
+    assert good["sig_ok"].all()
+    df2 = df.copy()
+    df2["hash"] = [good["signature"].iloc[0], "tampered", None]
+    out = stage(df2)
+    assert out["sig_ok"].tolist() == [True, False, True]

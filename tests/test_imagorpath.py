@@ -624,3 +624,19 @@ def test_suffix_result_storage_hasher():
                filters=[Filter("format", "webp")])
     assert suffix_result_storage_hasher(p) == "example.com/foobar.c80ab0faf85b35a140a8.json"
     assert size_suffix_result_storage_hasher(p) == "example.com/foobar.c80ab0faf85b35a140a8_17x19.json"
+
+
+def test_query_unescape_non_utf8_bytes():
+    # Go's url.QueryUnescape is byte-oriented: a well-formed but non-UTF-8
+    # escape like %FF succeeds and yields the raw byte. Mirrored via
+    # surrogateescape decoding (round-1 ADVICE) so p.image, generate_path
+    # and the result-storage hashes track the reference for such paths.
+    from imagor_ray.functions.imagorpath import parse
+
+    p = parse("unsafe/img%FFname")
+    assert p.image == "img\udcffname"  # surrogate-escaped raw 0xFF
+    # round-trips back to the original byte via surrogateescape encode
+    assert p.image.encode("utf-8", errors="surrogateescape") == b"img\xffname"
+    # malformed escapes still keep the original escaped form
+    p2 = parse("unsafe/img%ZZname")
+    assert p2.image == "img%ZZname"

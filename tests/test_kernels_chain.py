@@ -293,8 +293,8 @@ class TestPrescan:
         assert util["expire_ms"] == 1000
         assert util["attachment"] == "x.txt"
         names = [f.name for f in q.filters]
-        assert "expire" not in names and "attachment" in names
-        assert q.path == "filters:grayscale():attachment(x.txt)/img"
+        assert "expire" not in names and "attachment" not in names
+        assert q.path == "filters:grayscale()/img"
 
     def test_preview_raw_format_detected(self):
         p = Params(filters=[Filter("preview"), Filter("raw"), Filter("format", "hex")],

@@ -300,9 +300,34 @@ class TestCheckpoint:
         cp.save(st)
         assert cp.load()["watermark_us"] == 123
         df = pd.DataFrame({"conv_id": ["a"], "last_ts": pd.to_datetime(["2024-01-01"])})
-        cp.save_open_sessions(df)
+        fname = cp.stage_open_sessions(df, cycle=0)
+        # staged but uncommitted: invisible to a replay
+        assert cp.load_open_sessions() is None
+        st["open_sessions_file"] = fname
+        cp.save(st)
         got = cp.load_open_sessions()
         assert got["conv_id"].tolist() == ["a"]
+
+    def test_staged_open_sessions_invisible_until_commit(self, tmp_path):
+        # crash between staging cycle N's snapshot and committing the
+        # checkpoint must replay cycle N against the PRE-cycle snapshot
+        # (ADVICE round 1: open-session leg must be atomic with the
+        # checkpoint, not committed before it).
+        from imagor_ray.state.checkpoint import Checkpoint
+
+        cp = Checkpoint(str(tmp_path / "cp2"))
+        st = cp.load()
+        pre = pd.DataFrame({"conv_id": ["pre"], "n_turns": [1]})
+        st["open_sessions_file"] = cp.stage_open_sessions(pre, cycle=0)
+        cp.save(st)
+        # cycle 1 stages its post-cycle snapshot, then "crashes" before save
+        cp.stage_open_sessions(pd.DataFrame({"conv_id": ["post"], "n_turns": [9]}), cycle=1)
+        got = cp.load_open_sessions()
+        assert got["conv_id"].tolist() == ["pre"]
+        # gc after a (re)committed checkpoint drops the orphaned snapshot
+        cp.gc_open_sessions(keep=st["open_sessions_file"])
+        assert not (tmp_path / "cp2" / "open-00001.parquet").exists()
+        assert cp.load_open_sessions()["conv_id"].tolist() == ["pre"]
 
 
 class TestFusedFlagship:
