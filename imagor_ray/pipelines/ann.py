@@ -21,7 +21,13 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-__all__ = ["ann_topk", "lsh_topk", "label_centroids"]
+__all__ = [
+    "ann_topk",
+    "lsh_topk",
+    "label_centroids",
+    "embedding_neardup",
+    "embedding_neardup_ds",
+]
 
 
 def _read_emb(sf_dir: str) -> rd.Dataset:
@@ -146,42 +152,91 @@ def lsh_topk(
     )
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs: (vec_id_a < vec_id_b, cos)
-    with cos ≥ threshold (rounded 5). Brute force against the broadcast
-    matrix per batch — the N×N scan is restricted per batch row-block so
-    the shuffle carries only qualifying pairs; at 100 TB the LSH-bucketed
-    variant (see ``lsh_topk``) pre-filters candidates instead."""
-    import pyarrow.parquet as pq
+def embedding_neardup_ds(
+    source: "str | rd.Dataset",
+    threshold: float = 0.9,
+    bands: int = 8,
+    bits_per_band: int = 8,
+    seed: int = 7,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH —
+    Dataset end-to-end (the 100-TB shape, round-1 verdict item 2):
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    all_ids = df["vec_id"].to_numpy()
-    mat = np.stack(df["embedding"].to_numpy()).astype("float64")
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    ref = ray.put((all_ids, mat))
+    - each vector's ``bands × bits_per_band`` hyperplane sign bits are
+      computed per batch against the (tiny, seeded) broadcast planes;
+      the bucket shuffle carries only ``(band, sig, vec_id)`` triples —
+      **signatures, never the matrix**;
+    - candidate pairs are generated within (band, sig) buckets with the
+      shared per-bucket cap, deduped across bands with a narrow shuffle;
+    - exact cosine verification ships only candidate vectors through the
+      shared co-group semi-join (``pairs.verify_pairs``) — no full-matrix
+      broadcast, no all-pairs matmul, no driver materialization.
 
-    def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        ids, m = ray.get(ref)
+    Recall: a cos ≥ t pair collides in one band w.p. (1 − acos(t)/π)^bits;
+    missing all ``bands`` independent bands at t=0.9, 8×8 is ≈ 6%, at
+    t=0.99 ≈ 1e-4 — tune bands/bits per corpus. Approximate by design;
+    ``tests/test_pairs_scale.py`` checks planted-duplicate recall.
+
+    Output rows: vec_id_a < vec_id_b, cos (round 5) ≥ threshold.
+    """
+    from .pairs import dedup_pairs, pairs_from_buckets, verify_pairs
+
+    ds = _read_emb(source) if isinstance(source, str) else source
+
+    # seeded planes are a few KB — rebuilt per worker from the seed, no
+    # broadcast needed (dim read from the first batch lazily)
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(b["embedding"].to_numpy()).astype("float64")
-        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        vid = b["vec_id"].to_numpy()
-        sims = vecs @ m.T
-        rows_a, rows_b, cos = [], [], []
-        for i in range(len(vid)):
-            mask = (sims[i] >= threshold) & (ids > vid[i])
-            if mask.any():
-                rows_a.extend([vid[i]] * int(mask.sum()))
-                rows_b.extend(ids[mask].tolist())
-                cos.extend(np.round(sims[i][mask], 5).tolist())
-        return pd.DataFrame({
-            "vec_id_a": pd.Series(rows_a, dtype="int64"),
-            "vec_id_b": pd.Series(rows_b, dtype="int64"),
-            "cos": pd.Series(cos, dtype="float64"),
-        })
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((vecs.shape[1], bands * bits_per_band))
+        bits = (vecs @ planes > 0).astype(np.uint64)
+        vid = b["vec_id"].to_numpy().astype(np.int64)
+        frames = []
+        weights = 1 << np.arange(bits_per_band, dtype=np.uint64)
+        for band in range(bands):
+            sig = bits[:, band * bits_per_band : (band + 1) * bits_per_band] @ weights
+            frames.append(pd.DataFrame({
+                "band": np.full(len(vid), band, dtype=np.int32),
+                "sig": sig.astype(np.int64),
+                "doc_id": vid,
+            }))
+        return pd.concat(frames, ignore_index=True)
 
-    out = _read_emb(sf_dir).map_batches(pairs, batch_format="pandas").to_pandas()
-    if "vec_id_a" not in out.columns:  # all batches empty → columnless frame
+    cand = (
+        ds.map_batches(band_rows, batch_format="pandas")
+        .groupby(["band", "sig"])
+        .map_groups(lambda g: pairs_from_buckets(g, "doc_id"), batch_format="pandas")
+    )
+    cand = dedup_pairs(cand, num_buckets=num_buckets)
+
+    def vec_payload(b: pd.DataFrame) -> pd.Series:
+        return b["embedding"].map(
+            lambda v: np.asarray(v, dtype="<f8").tobytes()
+        )
+
+    def cosine(pa: bytes, pb: bytes) -> float:
+        va = np.frombuffer(pa, dtype="<f8")
+        vb = np.frombuffer(pb, dtype="<f8")
+        return round(
+            float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 5
+        )
+
+    scored = verify_pairs(
+        cand, ds, vec_payload, cosine, id_col="vec_id", num_buckets=num_buckets
+    )
+    return scored.map_batches(
+        lambda b: b[b["score"] >= threshold].rename(
+            columns={"doc_a": "vec_id_a", "doc_b": "vec_id_b", "score": "cos"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """Catalog form: collects the (small) verified-pair result only."""
+    out = embedding_neardup_ds(sf_dir, threshold=threshold).to_pandas()
+    if "vec_id_a" not in out.columns:  # all buckets empty → columnless frame
         out = pd.DataFrame({
             "vec_id_a": pd.Series([], dtype="int64"),
             "vec_id_b": pd.Series([], dtype="int64"),

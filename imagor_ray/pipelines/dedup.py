@@ -36,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_pairs",
+    "minhash_pairs_ds",
     "simhash_signatures",
     "NUM_HASHES",
     "BAND_SIZE",
@@ -120,11 +121,27 @@ def minhash_signatures(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(_signature_batch, batch_format="pandas")
 
 
-def minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """LSH candidate pairs verified by word-set Jaccard ≥ 0.5.
+def minhash_pairs_ds(
+    sf_dir: str, num_buckets: int = 32, bucket_cap: int | None = None
+) -> rd.Dataset:
+    """LSH candidate pairs verified by word-set Jaccard ≥ 0.5 — Dataset
+    end-to-end (the 100-TB shape, round-1 verdict item 1):
 
-    Output: doc_a, doc_b (doc_a < doc_b), jaccard (round 6) — sorted.
+    - band rows shuffle only ``(band, sig, doc_id)`` triples;
+    - per-(band, sig) buckets emit pairs vectorized with a per-bucket cap
+      (``pairs.DEFAULT_BUCKET_CAP``) so a hot shingle bucket cannot
+      explode O(n²);
+    - cross-band pair dedup is a narrow bucketed shuffle of id pairs;
+    - Jaccard verification is the shared co-group semi-join
+      (``pairs.verify_pairs``): only candidate word sets are shipped,
+      the corpus is never broadcast, read driver-side, or
+      ``to_pandas()``-ed (asserted by ``tests/test_pairs_scale.py``).
+
+    Output rows: doc_a, doc_b (doc_a < doc_b), jaccard (round 6).
     """
+    from .pairs import DEFAULT_BUCKET_CAP, dedup_pairs, pairs_from_buckets, verify_pairs
+
+    cap = bucket_cap if bucket_cap is not None else DEFAULT_BUCKET_CAP
     sigs = minhash_signatures(sf_dir)
 
     def band_rows(b: pd.DataFrame) -> pd.DataFrame:
@@ -136,46 +153,44 @@ def minhash_pairs(sf_dir: str) -> pd.DataFrame:
             }))
         return pd.concat(frames, ignore_index=True)
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(int(x) for x in g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
-
     cand = (
         sigs.map_batches(band_rows, batch_format="pandas")
         .groupby(["band", "sig"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
+        .map_groups(
+            lambda g: pairs_from_buckets(g, "doc_id", cap), batch_format="pandas"
+        )
     )
-    if len(cand) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    cand = cand.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
-    # verification side: broadcast word sets of candidate docs only (the
-    # candidate set is tiny relative to the corpus; at scale this is a
-    # bucketed semi-join on candidate ids)
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
-    docs = _read_docs(sf_dir).to_pandas()
-    words = {
-        int(r.doc_id): set(r.text.split(" "))
-        for r in docs.itertuples()
-        if int(r.doc_id) in need
-    }
+    cand = dedup_pairs(cand, num_buckets=num_buckets)
 
-    def jac(row) -> float:
-        wa, wb = words[int(row.doc_a)], words[int(row.doc_b)]
+    def word_payload(b: pd.DataFrame) -> pd.Series:
+        # sorted-unique word set serialized as one bytes blob per doc
+        return b["text"].map(
+            lambda t: " ".join(sorted(set(t.split(" ")))).encode("utf-8")
+        )
+
+    def jaccard(pa: bytes, pb: bytes) -> float:
+        wa = set(pa.decode("utf-8").split(" "))
+        wb = set(pb.decode("utf-8").split(" "))
         inter = len(wa & wb)
         return round(inter / (len(wa) + len(wb) - inter), 6)
 
-    cand["jaccard"] = [jac(r) for r in cand.itertuples()]
-    out = cand[cand["jaccard"] >= JACCARD_THRESHOLD]
+    scored = verify_pairs(
+        cand, _read_docs(sf_dir), word_payload, jaccard,
+        id_col="doc_id", num_buckets=num_buckets,
+    )
+    return scored.map_batches(
+        lambda b: b[b["score"] >= JACCARD_THRESHOLD], batch_format="pandas"
+    )
+
+
+def minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Catalog form: collects the (small) verified-pair result only."""
+    out = minhash_pairs_ds(sf_dir).to_pandas()
+    if "doc_a" not in out.columns:  # all buckets empty → columnless frame
+        out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                            "doc_b": pd.Series([], dtype="int64"),
+                            "score": pd.Series([], dtype="float64")})
+    out = out.rename(columns={"score": "jaccard"})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
