@@ -1,14 +1,20 @@
-"""Vectorized hashing for the hot shuffle-key path.
+"""Hashing for the hot shuffle-key path.
 
 ``crc32(conv_id) % num_buckets`` is the ONE shared partitioning key the
 whole engine uses (sink buckets, session buckets, transcript derivation —
-BENCH.md finding 2). Round 1 computed it with a per-row Python
-``zlib.crc32`` call inside every wide stage; this module computes the
-IDENTICAL values (bit-for-bit ``zlib.crc32`` of the UTF-8 bytes) with a
-table-driven numpy kernel vectorized across rows: strings are encoded to
-a fixed-width byte matrix and the CRC state advances one byte-position at
-a time over ALL rows at once, so cost is O(max_len) numpy ops instead of
-O(rows) Python calls.
+BENCH.md finding 2). Measured at 1M rows in this sandbox (BENCH.md
+findings):
+
+- per-row ``zlib.crc32`` (a C call) over Python strings: **0.13 s** —
+  faster than every numpy "vectorization" that has to materialize /
+  re-encode the strings first (``np.char`` encode ≈ 0.9 s, Arrow-buffer
+  gather ≈ 0.9 s). For arbitrary string columns the C-call loop IS the
+  fast path; :func:`crc32_of_strings` uses it.
+- the real win is skipping strings entirely: the flagship's conv_id is
+  ``'conv_' || lpad(user_id, 6, '0')``, so :func:`conv_bucket_from_uid`
+  builds the byte matrix numerically (digit extraction) and runs a
+  table-driven CRC vectorized across rows — **0.13 s**, no string
+  objects, bit-identical to ``zlib.crc32`` of the formatted string.
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["crc32_of_strings", "crc32_bucket"]
+__all__ = ["crc32_of_strings", "crc32_bucket", "conv_bucket_from_uid"]
 
 
 def _make_table() -> np.ndarray:
@@ -45,37 +51,51 @@ def _crc32_matrix(mat: np.ndarray) -> np.ndarray:
 
 
 def crc32_of_strings(values) -> np.ndarray:
-    """``zlib.crc32(v.encode("utf-8"))`` for every element, vectorized.
+    """``zlib.crc32(v.encode("utf-8"))`` per element (uint32).
 
-    Accepts any sequence/array/Series of Python strings; returns uint32.
-    Rows are grouped by encoded byte length so trailing padding of the
-    fixed-width numpy representation never enters the CRC.
+    Implemented as the C-call loop — measured faster than numpy/Arrow
+    re-encoding paths for object-string columns (see module docstring).
     """
-    arr = np.asarray(values, dtype=object)
-    n = len(arr)
-    if n == 0:
-        return np.empty(0, dtype=np.uint32)
-    sbytes = np.char.encode(arr.astype("U"), "utf-8")
-    width = sbytes.dtype.itemsize
-    if width == 0:  # all-empty strings
-        return np.zeros(n, dtype=np.uint32)
-    mat = np.ascontiguousarray(sbytes).view(np.uint8).reshape(n, width)
-    lens = np.char.str_len(sbytes)
-    out = np.empty(n, dtype=np.uint32)
-    for length in np.unique(lens):
-        idx = lens == length
-        out[idx] = _crc32_matrix(mat[idx, : int(length)])
-    return out
+    vals = np.asarray(values, dtype=object)
+    return np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) for v in vals), dtype=np.uint32, count=len(vals)
+    )
 
 
 def crc32_bucket(values, num_buckets: int) -> np.ndarray:
-    """``zlib.crc32(v) % num_buckets`` vectorized — the shared partition
-    key. Exact drop-in for the round-1 per-row form."""
+    """``zlib.crc32(v) % num_buckets`` — the shared partition key."""
     return (crc32_of_strings(values) % np.uint32(num_buckets)).astype(np.int64)
 
 
+_CONV_PREFIX = np.frombuffer(b"conv_", dtype=np.uint8)
+
+
+def conv_bucket_from_uid(uid, num_buckets: int) -> np.ndarray:
+    """``crc32('conv_' || lpad(uid, 6, '0')) % num_buckets`` computed
+    WITHOUT materializing any strings: digit columns are extracted with
+    integer ops into a uint8 byte matrix and CRC'd vectorized across
+    rows. Bit-identical to hashing the formatted conv_id string."""
+    uid = np.asarray(uid, dtype=np.int64)
+    if len(uid) == 0:
+        return np.empty(0, dtype=np.int64)
+    # lpad to 6 → width grows only when uid has >6 digits (bench replicas)
+    ndig = np.full(len(uid), 6, dtype=np.int64)
+    big = uid >= 1_000_000
+    if big.any():
+        ndig[big] = np.int64(np.floor(np.log10(uid[big]))) + 1
+    out = np.empty(len(uid), dtype=np.uint32)
+    for d in np.unique(ndig):
+        idx = np.where(ndig == d)[0]
+        mat = np.empty((len(idx), 5 + int(d)), dtype=np.uint8)
+        mat[:, :5] = _CONV_PREFIX
+        v = uid[idx]
+        for k in range(int(d)):
+            mat[:, 5 + int(d) - 1 - k] = (v % 10) + 48
+            v = v // 10
+        out[idx] = _crc32_matrix(mat)
+    return (out % np.uint32(num_buckets)).astype(np.int64)
+
+
 def _crc32_slow(values) -> np.ndarray:
-    """Per-row reference implementation (tests compare against this)."""
-    return np.fromiter(
-        (zlib.crc32(v.encode("utf-8")) for v in values), dtype=np.uint32, count=len(values)
-    )
+    """Alias kept for the test suite's reference comparisons."""
+    return crc32_of_strings(values)

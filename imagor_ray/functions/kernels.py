@@ -276,6 +276,7 @@ def k_background_color(s, ctx, args):
 
 
 def _smear(text: str, w: int, sharpen: bool = False) -> str:
+    """Single-text reference form (kept for the vectorized path's tests)."""
     if not text or w <= 0:
         return text
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.float64)
@@ -289,6 +290,55 @@ def _smear(text: str, w: int, sharpen: bool = False) -> str:
     return "".join(map(chr, out.astype(np.uint32)))
 
 
+def _smear_series(s: pd.Series, w: int, sharpen: bool = False) -> pd.Series:
+    """Group-matrix smear: the whole Series is edge-padded into one 2-D
+    float matrix and the window mean is ONE cumsum-difference over the
+    group (round-1 verdict item 5 — no per-row Python in the hot path).
+
+    Bit-identical to :func:`_smear`: window sums are sums of integer-
+    valued float64s (char codes < 2^21, rows < 2^32 chars), so summation
+    order cannot change the value, and reconstruction decodes the same
+    code points (surrogatepass == chr semantics)."""
+    if w <= 0 or len(s) == 0:
+        return s
+    texts = s.astype(str).to_numpy()
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    max_len = int(lens.max()) if len(lens) else 0
+    if max_len == 0:
+        return s
+    n = len(texts)
+    k = 2 * w + 1
+    codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    mat = np.zeros((n, max_len + 2 * w), dtype=np.float64)
+    row_idx = np.repeat(np.arange(n), lens)
+    col_idx = (np.arange(len(codes)) - np.repeat(offs[:-1], lens)) + w
+    mat[row_idx, col_idx] = codes
+    nonempty = lens > 0
+    firsts = np.zeros(n)
+    lasts = np.zeros(n)
+    firsts[nonempty] = codes[offs[:-1][nonempty]]
+    lasts[nonempty] = codes[offs[1:][nonempty] - 1]
+    mat[:, :w] = firsts[:, None]  # left edge pad
+    cols = np.arange(max_len + 2 * w)
+    right_pad = cols[None, :] >= (w + lens[:, None])
+    mat[right_pad] = np.repeat(lasts, right_pad.sum(axis=1))
+    cs = np.concatenate([np.zeros((n, 1)), np.cumsum(mat, axis=1)], axis=1)
+    means = (cs[:, k:] - cs[:, :-k]) / float(k)
+    orig = mat[:, w : w + max_len]
+    if sharpen:
+        out = np.clip(np.round(orig + (orig - means)), 32, 0x10FFFF)
+    else:
+        out = np.clip(np.round(means), 32, 0x10FFFF)
+    ocodes = out.astype("<u4")
+    result = [
+        ocodes[i, : lens[i]].tobytes().decode("utf-32-le", errors="surrogatepass")
+        if lens[i] else texts[i]
+        for i in range(n)
+    ]
+    return pd.Series(result, index=s.index, dtype=object)
+
+
 @register_filter("blur")
 def k_blur(s, ctx, args):
     """Gaussian blur σ → window-mean of char codes, window=round(σ)
@@ -296,7 +346,7 @@ def k_blur(s, ctx, args):
     w = max(0, int(round(_float_arg(split_args(args)[0] if args else "0"))))
     if w == 0:
         return s
-    return s.map(lambda t: _smear(t, w))
+    return _smear_series(s, w)
 
 
 @register_filter("sharpen")
@@ -304,7 +354,7 @@ def k_sharpen(s, ctx, args):
     """Sharpen σ=1+2s → inverse smear (filter.go:271-294)."""
     sv = _float_arg(split_args(args)[0] if args else "0")
     w = max(1, int(round(1 + 2 * sv)) // 2)
-    return s.map(lambda t: _smear(t, w, sharpen=True))
+    return _smear_series(s, w, sharpen=True)
 
 
 @register_filter("pixelate")
@@ -640,18 +690,19 @@ def k_max_bytes(s, ctx, args):
     n = _int_arg(split_args(args)[0] if args else "0")
     if n <= 0:
         return s
-    if (s.str.len() <= n).all() and not s.map(
-        lambda t: any(ord(c) > 127 for c in t[: n + 1])
-    ).any():
+    # vectorized byte-length guard (round-1 verdict item 5): encode once
+    # per row in C instead of scanning every char in Python
+    blen = s.str.encode("utf-8").str.len()
+    over = blen > n
+    if not over.any():
         return s
 
     def cut(t: str) -> str:
-        b = t.encode("utf-8")
-        if len(b) <= n:
-            return t
-        return b[:n].decode("utf-8", errors="ignore")
+        return t.encode("utf-8")[:n].decode("utf-8", errors="ignore")
 
-    return s.map(cut)
+    out = s.copy()
+    out[over] = s[over].map(cut)
+    return out
 
 
 @register_filter("format")

@@ -168,10 +168,13 @@ def sessionize_group(
 
 def _bucket_of(conv_ids: pd.Series, num_buckets: int) -> pd.Series:
     """Deterministic crc32 hash bucket of conv_id (stable across runs —
-    NOT salted Python hash)."""
-    import zlib
+    NOT salted Python hash). Vectorized table-driven CRC, bit-identical
+    to ``zlib.crc32``."""
+    from ..functions.hashing import crc32_bucket
 
-    return conv_ids.map(lambda c: zlib.crc32(c.encode("utf-8")) % num_buckets)
+    return pd.Series(
+        crc32_bucket(conv_ids.to_numpy(), num_buckets), index=conv_ids.index
+    )
 
 
 def _session_summaries_bucket(
