@@ -77,7 +77,10 @@ import pandas as pd
 
 from .imagorpath import split_args
 
-__all__ = ["FILTER_MAP", "ChainCtx", "register_filter", "apply_filter"]
+__all__ = [
+    "FILTER_MAP", "ChainCtx", "register_filter", "apply_filter",
+    "composite_text", "parse_overlay_pos2", "BLEND_MODE_NAMES",
+]
 
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
@@ -861,7 +864,9 @@ def parse_overlay_position(x: str, base_len: int, item_len: int) -> int | None:
 
 def _splice(base: str, item: str, pos: int | None) -> str:
     """Composite ``item`` over ``base`` at pos (blend=over); ``repeat``
-    tiles across (overlay.go:228-356)."""
+    tiles across (overlay.go:228-356). The 1-D fast path — kept
+    bit-stable for legacy arg shapes (golden corpus / `processed`
+    oracle); the 2-D/blend path is :func:`composite_text`."""
     if pos is None:  # repeat
         if not item:
             return base
@@ -870,10 +875,212 @@ def _splice(base: str, item: str, pos: int | None) -> str:
     return base[:pos] + item + base[pos + len(item):]
 
 
+# ---------------------------------------------------------------------------
+# 2-D overlay composite with blend modes (overlay.go:154-170, 228-356)
+
+#: transparent sentinel used for embed padding of ragged overlay lines —
+#: vips embeds overlays with transparent (alpha-0) padding, so padded
+#: cells never touch the base (overlay.go:300-320)
+_TRANSPARENT = "\x00"
+
+
+def _ring(codes: np.ndarray) -> np.ndarray:
+    """Map char codes into the 95-wide printable ring [0, 94]."""
+    return (codes.astype(np.int64) - 32) % 95
+
+
+def _blend_ring(a: np.ndarray, b: np.ndarray, mode: str) -> np.ndarray:
+    """Blend two ring-code arrays — the text-domain analogue of the
+    reference's named blend-mode map (``blendModeMap``,
+    ``overlay.go:154-170``). ``a`` = base, ``b`` = overlay; result is a
+    ring code. Standard compositing formulas over the [0,94] ring with
+    integer arithmetic (deterministic, SQL-mirrorable for the simple
+    modes)."""
+    if mode == "multiply":
+        return (a * b) // 94
+    if mode == "screen":
+        return 94 - ((94 - a) * (94 - b)) // 94
+    if mode == "darken":
+        return np.minimum(a, b)
+    if mode == "lighten":
+        return np.maximum(a, b)
+    if mode == "add":
+        return np.minimum(a + b, 94)
+    if mode == "difference":
+        return np.abs(a - b)
+    if mode == "exclusion":
+        return np.clip(a + b - 2 * (a * b) // 94, 0, 94)
+    if mode == "overlay":
+        return np.where(
+            a < 48, np.minimum(2 * a * b // 94, 94),
+            np.clip(94 - 2 * (94 - a) * (94 - b) // 94, 0, 94),
+        )
+    if mode == "hard-light":
+        return np.where(
+            b < 48, np.minimum(2 * a * b // 94, 94),
+            np.clip(94 - 2 * (94 - a) * (94 - b) // 94, 0, 94),
+        )
+    if mode == "soft-light":
+        return (a + b) // 2
+    if mode == "color-burn":
+        return np.where(
+            b == 0, 0, np.clip(94 - ((94 - a) * 94) // np.maximum(b, 1), 0, 94)
+        )
+    if mode == "color-dodge":
+        return np.where(
+            b == 94, 94, np.clip((a * 94) // np.maximum(94 - b, 1), 0, 94)
+        )
+    if mode == "mask":  # DestIn: keep base where overlay is opaque (non-space)
+        return np.where(b != 0, a, 0)
+    if mode == "mask-out":  # DestOut: keep base where overlay is transparent
+        return np.where(b == 0, a, 0)
+    return b  # normal / unknown → over (getBlendMode default)
+
+
+BLEND_MODE_NAMES = frozenset({
+    "normal", "multiply", "color-burn", "darken", "screen", "color-dodge",
+    "lighten", "add", "overlay", "soft-light", "hard-light", "difference",
+    "exclusion", "mask", "mask-out",
+})
+
+
+def _blend_segment(base_seg: str, item_seg: str, mode: str, alpha_keep: np.ndarray | None) -> str:
+    """Composite one same-length overlap segment. Transparent sentinel
+    cells and alpha-dithered cells keep the base char."""
+    bcodes = np.frombuffer(base_seg.encode("utf-32-le"), dtype=np.uint32)
+    icodes = np.frombuffer(item_seg.encode("utf-32-le"), dtype=np.uint32)
+    transparent = icodes == 0  # _TRANSPARENT embed padding
+    if alpha_keep is not None:
+        transparent = transparent | alpha_keep
+    if mode in ("", "normal"):
+        out = np.where(transparent, bcodes, icodes)
+    else:
+        blended = (_blend_ring(_ring(bcodes), _ring(icodes), mode) + 32).astype(np.uint32)
+        out = np.where(transparent, bcodes, blended)
+    return out.astype("<u4").tobytes().decode("utf-32-le", errors="surrogatepass")
+
+
+def _tz_div(a: int, b: int) -> int:
+    """Go-style integer division (truncate toward zero)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+_LO_PREFIXES = ("left-", "l-", "top-", "t-")
+_HI_PREFIXES = ("right-", "r-", "bottom-", "b-")
+
+
+def parse_overlay_pos2(
+    arg: str, canvas: int, overlay: int, lo_kw: str, hi_kw: str
+) -> tuple[int, int, bool]:
+    """Reference-exact position parse → ``(pos, repeat, prefixed)``
+    (``parseOverlayPosition``, ``overlay.go:173-213``): alignment
+    keywords with negative offsets (``left-20``/``l-20``/``right-30``/
+    ``top-``/``bottom-``), center, axis keywords, ``repeat``, ``0.x``
+    fraction, ``Np`` percent, plain ints. ``prefixed`` marks args exempt
+    from the plain-negative from-end adjustment."""
+    arg = (arg or "").strip().lower()
+    if arg == "":
+        return 0, 1, False
+    for p in _LO_PREFIXES:
+        if arg.startswith(p):
+            return -_int_arg(arg[len(p):]), 1, True
+    for p in _HI_PREFIXES:
+        if arg.startswith(p):
+            return canvas - overlay + _int_arg(arg[len(p):]), 1, True
+    if arg == "center":
+        return _tz_div(canvas - overlay, 2), 1, True
+    if arg == lo_kw:
+        return 0, 1, False
+    if arg == hi_kw:
+        return canvas - overlay, 1, False
+    if arg == "repeat":
+        return 0, canvas // max(1, overlay) + 1, False
+    if arg.lstrip("-").startswith("0."):
+        return int(_float_arg(arg) * canvas), 1, False
+    if arg.endswith("p"):
+        return _tz_div(_int_arg(arg[:-1]) * canvas, 100), 1, False
+    return _int_arg(arg), 1, False
+
+
+def composite_text(
+    base: str, item: str, x_arg: str, y_arg: str,
+    alpha: float = 0.0, blend: str = "normal",
+) -> str:
+    """Full 2-D composite of ``item`` over ``base`` — the text-grid
+    mirror of ``compositeOverlay`` (``overlay.go:228-356``): position
+    grammar on both axes, 2-D ``repeat`` tiling, negative-position
+    from-end adjustment, clipping of partially-visible overlays,
+    skip-if-outside, alpha dithering, and the named blend-mode matrix.
+
+    Alpha semantics (``overlay.go:243-250``): ``alpha``% of overlay
+    cells become transparent, spread evenly by overlay-local column
+    (Bresenham: cell ``i`` is transparent iff
+    ``floor((i+1)·alpha/100) > floor(i·alpha/100)``); ``alpha >= 100``
+    is a no-op overlay.
+    """
+    if not item or alpha >= 100:
+        return base
+    lines = base.split("\n")
+    canvas_h = len(lines)
+    canvas_w = max((len(l) for l in lines), default=0)
+    item_lines = item.split("\n")
+    overlay_w = max((len(l) for l in item_lines), default=0)
+    overlay_h = len(item_lines)
+    if overlay_w == 0:
+        return base
+
+    x, across, x_pref = parse_overlay_pos2(x_arg, canvas_w, overlay_w, "left", "right")
+    y, down, y_pref = parse_overlay_pos2(y_arg, canvas_h, overlay_h, "top", "bottom")
+
+    # plain-negative from-end adjustment (overlay.go:262-274)
+    if x < 0 and not x_pref:
+        x += canvas_w - overlay_w
+    if y < 0 and not y_pref:
+        y += canvas_h - overlay_h
+
+    # repeat tiling (EmbedMultiPage ExtendRepeat, overlay.go:277-287)
+    grid = [l.ljust(overlay_w, _TRANSPARENT) for l in item_lines]
+    if across * down > 1:
+        grid = [grid[r % overlay_h] * across for r in range(down * overlay_h)]
+        overlay_w *= across
+        overlay_h *= down
+
+    # skip when completely outside the canvas (overlay.go:289-295)
+    if x >= canvas_w or y >= canvas_h or x + overlay_w <= 0 or y + overlay_h <= 0:
+        return base
+
+    # clip to the visible portion (overlay.go:297-340)
+    vis_left, vis_top = max(0, -x), max(0, -y)
+    vis_w = min(overlay_w, canvas_w - x) - vis_left
+    vis_h = min(overlay_h, canvas_h - y) - vis_top
+    if vis_w <= 0 or vis_h <= 0:
+        return base
+    embed_x, embed_y = max(0, x), max(0, y)
+
+    a = max(0.0, alpha)
+    for r in range(vis_h):
+        seg = grid[vis_top + r][vis_left : vis_left + vis_w]
+        line = lines[embed_y + r]
+        if len(line) < embed_x + vis_w:
+            line = line.ljust(embed_x + vis_w)
+        base_seg = line[embed_x : embed_x + vis_w]
+        alpha_keep = None
+        if a > 0:
+            cols = np.arange(vis_left, vis_left + vis_w, dtype=np.int64)
+            alpha_keep = ((cols + 1) * a) // 100 > (cols * a) // 100
+        merged = _blend_segment(base_seg, seg, blend, alpha_keep)
+        lines[embed_y + r] = line[:embed_x] + merged + line[embed_x + vis_w:]
+    return "\n".join(lines)
+
+
 @register_filter("label")
 def k_label(s, ctx, args):
     """label(text,x,y,size,color,alpha,font) → insert ``[text]`` at the
-    parsed overlay position (filteroverlay.go:213-282)."""
+    parsed overlay position (filteroverlay.go:213-282). With a ``y`` or
+    ``alpha`` argument the full 2-D composite runs (position grammar on
+    both axes, alpha dithering — overlay.go:228-356); the legacy
+    x-only shape keeps the bit-stable 1-D splice."""
     a = split_args(args)
     if not a:
         return s
@@ -883,7 +1090,11 @@ def k_label(s, ctx, args):
     except Exception:
         txt = a[0]
     x = a[1] if len(a) > 1 else "left"
+    y = a[2] if len(a) > 2 else ""
+    alpha = _float_arg(a[5]) if len(a) > 5 else 0.0
     item = "[" + txt + "]"
+    if y or alpha > 0:
+        return s.map(lambda t: composite_text(t, item, x, y, alpha))
     return s.map(lambda t: _splice(t, item, parse_overlay_position(x, len(t), len(item))))
 
 
@@ -923,23 +1134,43 @@ def k_text(s, ctx, args):
 def k_watermark(s, ctx, args):
     """watermark(key,x,y,alpha,w_ratio,h_ratio) → look the snippet up in
     the broadcast dimension table held in actor state (the stream-table
-    join), resize by ratio, tile on ``repeat``, splice
-    (filteroverlay.go:66-127; cache overlay.go:17-68)."""
+    join), resize by ratios, tile on ``repeat``, composite
+    (filteroverlay.go:66-127; cache overlay.go:17-68). With a ``y``
+    argument the full 2-D composite runs (both-axis position grammar,
+    2-D tiling, alpha dithering — always blend *over*, like the
+    reference); the legacy x-only shape keeps the bit-stable 1-D
+    splice."""
     a = split_args(args)
     if not a or ctx.lookup is None:
         return s
     key = a[0]
     x = a[1] if len(a) > 1 else "repeat"
+    y = a[2] if len(a) > 2 else ""
     alpha = _float_arg(a[3]) if len(a) > 3 else 0.0
     w_ratio = _float_arg(a[4]) if len(a) > 4 else 0.0
+    h_ratio = _float_arg(a[5]) if len(a) > 5 else 0.0
     snippet = ctx.lookup(key)
     if snippet is None or alpha >= 100:
         return s
 
-    def one(t: str) -> str:
+    def resized(t: str) -> str:
         item = snippet
         if w_ratio > 0:
-            item = item[: max(1, int(len(t) * w_ratio / 100.0))]
+            item = "\n".join(
+                l[: max(1, int(len(t) * w_ratio / 100.0))] for l in item.split("\n")
+            ) if "\n" in item else item[: max(1, int(len(t) * w_ratio / 100.0))]
+        if h_ratio > 0 and "\n" in item:
+            n_lines = t.count("\n") + 1
+            item = "\n".join(
+                item.split("\n")[: max(1, int(n_lines * h_ratio / 100.0))]
+            )
+        return item
+
+    if y:
+        return s.map(lambda t: composite_text(t, resized(t), x, y, alpha))
+
+    def one(t: str) -> str:
+        item = resized(t)
         return _splice(t, item, parse_overlay_position(x, len(t), len(item)))
 
     return s.map(one)

@@ -606,10 +606,34 @@ _FILTER_QUERY_SPECS = {
         "filters:background_color(red)/img",
         "replace(text, ' ', 'r')",
     ),
+    # --- round-2: 2-D overlay composite paths (overlay.go:228-356) ---
+    # label alpha dithering: '[AL]' at x=0 with alpha=50 → overlay-local
+    # cols 1 and 3 transparent (Bresenham), so base chars 2 and 4 survive
+    # (doc texts are all ≥ 48 chars, so the overlay never clips)
+    "filter_label_alpha": (
+        "filters:label(AL,0,0,0,white,50)/img",
+        "'[' || substr(text, 2, 1) || 'L' || substr(text, 4, 1) || substr(text, 5)",
+    ),
+    # image blend=darken over the first 3 chars: per-char ring-min equals
+    # ASCII least() for printable text (blend matrix overlay.go:154-170)
+    "filter_image_blend": (
+        "filters:image(/3x0/left/ov,0,0,0,darken)/img",
+        "least(substr(text, 1, 1), 'm') || least(substr(text, 2, 1), 'm') || "
+        "least(substr(text, 3, 1), 'm') || substr(text, 4)",
+        {"ov": "mmm"},
+    ),
+    # watermark via the 2-D path with a prefix-offset x (r-3): overlay
+    # '<WM>' lands at canvas-4+3 → only its first char is visible,
+    # replacing the last base char (clip path overlay.go:297-340)
+    "filter_watermark_2d": (
+        "filters:watermark(wm,r-3,0,0)/img",
+        "CASE WHEN length(text) >= 1 THEN left(text, length(text) - 1) || '<' ELSE text END",
+        {"wm": "<WM>"},
+    ),
 }
 
 
-def _mk_filter_query(path: str):
+def _mk_filter_query(path: str, lookup: dict | None = None):
     def q(sf_dir: str):
         from ..stages.chain import compile_chain
 
@@ -617,7 +641,9 @@ def _mk_filter_query(path: str):
 
         def run(b: pd.DataFrame) -> pd.DataFrame:
             chain = compile_chain(path)
-            b["text"] = chain.run(b["text"].astype(str))
+            b["text"] = chain.run(
+                b["text"].astype(str), lookup=lookup.get if lookup else None
+            )
             return b
 
         return ds.map_batches(run, batch_format="pandas")
@@ -691,8 +717,8 @@ QUERIES = {
     "enriched_tool_stats": _q_enriched,
     "event_props_type": _q_props_type,
     "doc_meta": _q_doc_meta,
-    **{name: _mk_filter_query(path)
-       for name, (path, _) in _FILTER_QUERY_SPECS.items()},
+    **{name: _mk_filter_query(spec[0], spec[2] if len(spec) > 2 else None)
+       for name, spec in _FILTER_QUERY_SPECS.items()},
     "media_meta": _q_media_meta,  # rows-only: binary decode has no SQL surface
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -725,8 +751,8 @@ ORACLES = {
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
     "event_props_type": _PROPS_TYPE_SQL,
     "doc_meta": _DOC_META_SQL,
-    **{name: f"SELECT doc_id, {sql} AS text FROM documents"
-       for name, (_, sql) in _FILTER_QUERY_SPECS.items()},
+    **{name: f"SELECT doc_id, {spec[1]} AS text FROM documents"
+       for name, spec in _FILTER_QUERY_SPECS.items()},
     "tumbling_tool_stats": _TUMBLING_SQL,
     "sliding_tool_stats": _SLIDING_SQL,
     "enriched_tool_stats": _ENRICHED_SQL,

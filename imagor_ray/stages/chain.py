@@ -372,13 +372,28 @@ def _resolve_full_dims(path: str, parent_len: int) -> str:
 
 def _nested_image_step(args: str, disabled, max_ops, depth):
     """Recursive composition: parse the nested imagor path, run the whole
-    chain on the referenced source, splice at x (filteroverlay.go:15-64;
+    chain on the referenced source, composite at (x, y, alpha, blend)
+    (filteroverlay.go:15-64; args x,y,alpha,blend per image();
     bounded recursion like MaxFilterOps process.go:768-774). Paths with
     ``f``-dimension tokens resolve against each base row's length and
-    compile per distinct parent length (small LRU)."""
+    compile per distinct parent length (small LRU). The legacy x-only
+    arg shape keeps the bit-stable 1-D splice; a y/alpha/blend argument
+    activates the full 2-D blend composite (overlay.go:154-170,
+    228-356)."""
     a = ip.split_args(args)
     nested_path = (a[0] if a else "").lstrip("/")
     x = a[1] if len(a) > 1 else "left"
+    y = a[2] if len(a) > 2 else ""
+    alpha = a[3] if len(a) > 3 else ""
+    blend = (a[4] if len(a) > 4 else "").strip().lower()
+    use_composite = bool(y) or bool(alpha) or bool(blend)
+    alpha_f = K._float_arg(alpha) if alpha else 0.0
+
+    def _apply(t: str, item: str) -> str:
+        if use_composite:
+            return K.composite_text(t, item, x, y, alpha_f, blend or "normal")
+        return K._splice(t, item, K.parse_overlay_position(x, len(t), len(item)))
+
     has_full = _FULL_DIM_RE.search(nested_path) is not None
     static = None if has_full else compile_chain(nested_path, disabled, max_ops, _depth=depth + 1)
     per_len_cache: dict[int, CompiledChain] = {}
@@ -407,16 +422,14 @@ def _nested_image_step(args: str, disabled, max_ops, depth):
             if src is None:
                 return t
             item = nested.run(pd.Series([src]), lookup=ctx.lookup).iloc[0]
-            return K._splice(t, item, K.parse_overlay_position(x, len(t), len(item)))
+            return _apply(t, item)
 
         if static is not None:
             src = ctx.lookup(static.params.image)
             if src is None:
                 return s
             item = static.run(pd.Series([src]), lookup=ctx.lookup).iloc[0]
-            return s.map(
-                lambda t: K._splice(t, item, K.parse_overlay_position(x, len(t), len(item)))
-            )
+            return s.map(lambda t: _apply(t, item))
         return s.map(one)
 
     return step

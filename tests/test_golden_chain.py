@@ -61,6 +61,13 @@ CORPUS_PATHS = [
     ("trim_filter", "filters:trim(20,top-left)/img"),
     ("utility_mix", "filters:expire(123):grayscale():attachment(a.txt)/img"),
     ("kitchen_sink", "trim/0.1x0:0.9x0/fit-in/40x0/left/filters:grayscale():redact():max_bytes(64)/img"),
+    # round-2 extension: 2-D overlay positioning + blend-mode matrix
+    # (overlay.go:154-170, 228-356; overlay_test.go coverage)
+    ("label_y_line", "filters:label(Y1,left,1)/img"),
+    ("label_bottom_right", "filters:label(BR,right,bottom)/img"),
+    ("label_center2d", "filters:label(C,center,center)/img"),
+    ("label_alpha50", "filters:label(AL,0,0,0,white,50)/img"),
+    ("label_prefix_offset", "filters:label(P,l-2,t-1)/img"),
 ]
 
 INPUT_TEXTS = {
