@@ -100,7 +100,7 @@ class ChainCtx:
         "fill_char", "rotate90", "upscale", "focal", "width", "height",
         "h_align", "v_align", "fit_in", "out_format", "quality", "meta",
         "attachment", "preview", "raw", "lossless", "knobs", "lookup",
-        "padding", "padding_applied",
+        "padding", "padding_applied", "detector",
     )
 
     def __init__(self, lookup: "Callable[[str], str] | None" = None):
@@ -128,6 +128,9 @@ class ChainCtx:
         # watermark()/image() source lookup: key -> text (the broadcast
         # dimension table / LRU-cached loader, filteroverlay.go:66-127)
         self.lookup = lookup
+        # pluggable Detector (detector.go:26-36) driving redact/
+        # draw_detections/smart; None → per-process default digit-run
+        self.detector = None
 
 
 def _int_arg(s: str, default: int = 0) -> int:
@@ -584,18 +587,65 @@ def _anchor_cut(t: str, width: int, h_align: str, focal: float | None = None) ->
     return t[lp : lp + width]
 
 
+import re as _focal_re_mod
+
+_FOCAL_SPLIT = _focal_re_mod.compile(r"[x,:]")
+
+
+def parse_focal_args(args: str) -> list[tuple]:
+    """One ``focal()`` filter's arg → focal specs (process.go:541-571):
+    values split on ``x``/``,``/``:``; 4 values → a rect
+    (left, top, right, bottom), 2 values → a point; parse errors yield 0
+    like Go's ignored ``ParseFloat`` error. Scaling of fractional values
+    and validity (right > left, bottom > top) are resolved per row in
+    :func:`resolve_focal` since they depend on the text dimensions."""
+    parts = [p for p in _FOCAL_SPLIT.split((args or "").strip()) if p != ""]
+    if len(parts) == 4:
+        l, t, r, b = (_float_arg(v) for v in parts)
+        return [("rect", l, t, r, b)]
+    if len(parts) == 2:
+        l, t = (_float_arg(v) for v in parts)
+        return [("point", l, t)]
+    return []
+
+
+def resolve_focal(specs: list[tuple], width: int, height: int) -> float | None:
+    """Area-weighted centroid of ALL focal rects → normalized x fraction
+    (``parseFocalPoint``, process.go:1000-1018; multi-rect accumulation
+    process.go:537-571). Fractional rects scale by the text dims; rects
+    that stay inverted after scaling are dropped like the reference."""
+    if not specs or width <= 0:
+        return None
+    height = max(1, height)
+    rects = []
+    for spec in specs:
+        if spec[0] == "rect":
+            _, l, t, r, b = spec
+            if l < 1 and t < 1 and r <= 1 and b <= 1:
+                l, r = l * width, r * width
+                t, b = t * height, b * height
+            if r > l and b > t:
+                rects.append((l, t, r, b))
+        else:
+            _, l, t = spec
+            if l < 1 and t < 1:
+                l, t = l * width, t * height
+            rects.append((l, t, l + 1.0, t + 1.0))
+    if not rects:
+        return None
+    sum_w = sum((r - l) * (b - t) for l, t, r, b in rects)
+    if sum_w <= 0:
+        return None
+    fx = sum((l + r) / 2.0 * ((r - l) * (b - t) / sum_w) for l, t, r, b in rects)
+    return fx / width
+
+
 @register_filter("focal")
 def k_focal(s, ctx, args):
-    """focal(AxB:CxD) — record focal rect; crops anchor at its centroid
-    (process.go:541-571, centroid process.go:1000-1018)."""
-    a = (args or "").strip()
-    try:
-        lt, rb = a.split(":")
-        left, top = (float(x) for x in lt.split("x"))
-        right, bottom = (float(x) for x in rb.split("x"))
-        ctx.focal = (left, top, right, bottom)
-    except (ValueError, AttributeError):
-        ctx.focal = None
+    """focal(AxB:CxD) — accumulate a focal rect/point; crops anchor at
+    the area-weighted centroid of ALL rects (process.go:541-571,
+    centroid process.go:1000-1018)."""
+    ctx.focal = (ctx.focal or []) + parse_focal_args(args)
     return s
 
 
@@ -787,28 +837,45 @@ def k_to_colorspace(s, ctx, args):
 # ---------------------------------------------------------------------------
 # detection / redaction (detector = deterministic digit-run spans)
 
+_DEFAULT_DETECTOR = None
+
+
+def _chain_detector(ctx: "ChainCtx"):
+    """The chain's Detector: the one held in ctx (set by the actor stage,
+    model loaded once per actor) or a lazily-started per-process default
+    (detector.go:26-36 lifecycle)."""
+    if ctx is not None and ctx.detector is not None:
+        return ctx.detector
+    global _DEFAULT_DETECTOR
+    if _DEFAULT_DETECTOR is None:
+        from ..stages.detector import make_detector
+
+        _DEFAULT_DETECTOR = make_detector(None)
+    return _DEFAULT_DETECTOR
+
+
 def detect_spans(t: str) -> list[tuple[int, int]]:
-    """Deterministic detector analogue: digit runs — the
-    engine's stand-in for face/object regions (detector.go:26-30)."""
-    import re as _re
-    return [(m.start(), m.end()) for m in _re.finditer(r"\d+", t)]
+    """Default-detector spans as (start, end) — kept for callers wanting
+    the round-1 shape."""
+    return [(r[0], r[1]) for r in _chain_detector(None).detect(t)]
 
 
 @register_filter("redact")
 def k_redact(s, ctx, args):
     """Obscure detected regions: solid '*' fill / pixelate / blur by mode
-    (filterdetection.go:112-285). Detected regions = digit runs (SQL-parity: regexp \\d+)."""
+    (filterdetection.go:112-285). Regions come from the pluggable
+    Detector (ctx.detector, default digit-run → SQL-parity regexp \\d+)."""
     a = split_args(args)
     mode = (a[0] if a else "solid").strip().lower() or "solid"
-    return s.str.replace(
-        r"\d+",
-        lambda m: (
-            "*" * len(m.group(0)) if mode in ("solid", "") else
-            m.group(0)[0] * len(m.group(0)) if mode == "pixelate" else
-            _smear(m.group(0), 1)
-        ),
-        regex=True,
-    )
+
+    def repl(span: str) -> str:
+        if mode in ("solid", ""):
+            return "*" * len(span)
+        if mode == "pixelate":
+            return span[0] * len(span)
+        return _smear(span, 1)
+
+    return _chain_detector(ctx).replace_spans(s, repl)
 
 
 FILTER_MAP["redact_oval"] = FILTER_MAP["redact"]
@@ -817,7 +884,8 @@ FILTER_MAP["redact_oval"] = FILTER_MAP["redact"]
 @register_filter("draw_detections")
 def k_draw_detections(s, ctx, args):
     """Wrap detected spans in markers; palette pick = FNV-32a(name) % 8
-    (filterdetection.go:46-90, palette 18-40)."""
+    (filterdetection.go:46-90, palette 18-40). Spans come from the
+    pluggable Detector (ctx.detector, default digit-run)."""
     def fnv32a(b: bytes) -> int:
         h = 0x811C9DC5
         for c in b:
@@ -826,7 +894,7 @@ def k_draw_detections(s, ctx, args):
         return h
 
     marker = "<>[]{}()"[fnv32a(b"detection") % 8]
-    return s.str.replace(r"\d+", lambda m: marker + m.group(0) + marker, regex=True)
+    return _chain_detector(ctx).replace_spans(s, lambda span: marker + span + marker)
 
 
 # ---------------------------------------------------------------------------

@@ -630,6 +630,18 @@ _FILTER_QUERY_SPECS = {
         "CASE WHEN length(text) >= 1 THEN left(text, length(text) - 1) || '<' ELSE text END",
         {"wm": "<WM>"},
     ),
+    # multi-rect focal weighted centroid (process.go:537-571, 1000-1018):
+    # rects (2..6) and (10..14) have equal area → centroid x = 8.0 exactly
+    # (small-int float ops); the inverted third rect is dropped like the
+    # reference. focal fraction = 8.0/len, centre = trunc(frac*len) — the
+    # SQL transcribes the identical IEEE op sequence (divide, multiply,
+    # trunc) so values are bitwise-reproducible.
+    "filter_focal_multi": (
+        "8x0/filters:focal(2x0:6x1):focal(10x0:14x1):focal(5x0:3x1)/img",
+        "CASE WHEN length(text) <= 8 THEN text ELSE substr(text, "
+        "least(greatest(CAST(floor(CAST(8.0 AS DOUBLE) / length(text) "
+        "* length(text)) AS INT) - 4, 0), length(text) - 8) + 1, 8) END",
+    ),
 }
 
 

@@ -92,33 +92,36 @@ class CompiledChain:
         self.params = params
         self.steps = steps
         self.raw = raw
-        # focal() is parsed from the filter list BEFORE the thumbnail step
-        # runs in the reference (process.go:537-587) — pre-scan it here so
-        # the resize anchor sees it.
-        self.focal = None
+        # ALL focal() filters are parsed from the filter list BEFORE the
+        # thumbnail step runs in the reference (process.go:537-571) —
+        # pre-scan them here so the resize anchor sees the accumulated
+        # rect list; the area-weighted centroid resolves per row.
+        self.focal = []
         self.has_fill = any(f.name == "fill" for f in params.filters)
         for f in params.filters:
             if f.name == "focal":
-                try:
-                    lt, rb = f.args.split(":")
-                    left, top = (float(x) for x in lt.split("x"))
-                    right, bottom = (float(x) for x in rb.split("x"))
-                    self.focal = (left, top, right, bottom)
-                except (ValueError, AttributeError):
-                    pass
-                break
+                self.focal.extend(K.parse_focal_args(f.args))
 
-    def run(self, s: pd.Series, lookup: Callable[[str], str] | None = None) -> pd.Series:
-        """Apply the chain to a Series of texts (one path-group)."""
+    def run(
+        self,
+        s: pd.Series,
+        lookup: Callable[[str], str] | None = None,
+        detector=None,
+    ) -> pd.Series:
+        """Apply the chain to a Series of texts (one path-group).
+        ``detector`` plugs a started Detector into redact/
+        draw_detections/smart (detector.go:26-36); None → the
+        per-process default digit-run detector."""
         if self.raw:
             return s
         ctx = K.ChainCtx(lookup=lookup)
+        ctx.detector = detector
         p = self.params
         ctx.width, ctx.height = p.width, p.height
         ctx.h_align, ctx.v_align = p.h_align, p.v_align
         ctx.fit_in = p.fit_in
         ctx.meta = p.meta
-        ctx.focal = self.focal
+        ctx.focal = list(self.focal) if self.focal else None
         # params padding travels in ctx and is applied by the fill filter at
         # its chain position (filteroverlay.go:129-211), or with the default
         # fill char at the end when no fill() is present.
@@ -208,7 +211,7 @@ def _geometry_steps(p: ip.Params) -> list:
                 w > 0
                 and not adaptive
                 and not smart
-                and ctx.focal is None
+                and not ctx.focal
                 and h_align in ("left", "right")
                 and (h <= 0 or not s.str.contains("\n", regex=False).any())
             ):
@@ -276,18 +279,23 @@ def _geometry_steps(p: ip.Params) -> list:
 
             def _cut(t: str, tw: int) -> str:
                 focal = None
-                if ctx.focal is not None:
-                    fl, ftop, fr, fb = ctx.focal
-                    cx = (fl + fr) / 2.0
-                    focal = cx if cx <= 1 else cx / max(1, len(t))
-                elif smart:
-                    # "most interesting span": centre of the longest token
-                    # run (smart-crop detector analogue, process.go:577-587)
-                    words = t.split()
-                    if words:
-                        longest = max(words, key=len)
-                        idx = t.find(longest)
-                        focal = (idx + len(longest) / 2.0) / max(1, len(t))
+                if ctx.focal:
+                    focal = K.resolve_focal(
+                        ctx.focal, len(t), t.count("\n") + 1
+                    )
+                if focal is None and smart:
+                    # pluggable Detector first (detector.go:26-36 →
+                    # probe + focal regions, process.go:577-587)...
+                    if ctx.detector is not None:
+                        focal = ctx.detector.focal(t)
+                    if focal is None:
+                        # ...else "most interesting span": centre of the
+                        # longest token run (inline heuristic)
+                        words = t.split()
+                        if words:
+                            longest = max(words, key=len)
+                            idx = t.find(longest)
+                            focal = (idx + len(longest) / 2.0) / max(1, len(t))
                 return K._anchor_cut(t, tw, ctx.h_align, focal)
 
             def _pad(t: str, tw: int) -> str:
@@ -463,7 +471,14 @@ class FilterChainStage:
         cache_size: int = 4096,
         result_cache_bytes: int = 0,
         suppress_duplicates: bool = False,
+        detector=None,
     ):
+        from .detector import make_detector
+
+        # the per-actor model slot (detector.go:26-36): started ONCE in
+        # __init__, reused for every batch; swap via registry name /
+        # factory / instance
+        self._detector = make_detector(detector)
         self._chains: dict[str, CompiledChain] = {}
         self._cache_size = cache_size
         self._text_col = text_col
@@ -512,7 +527,8 @@ class FilterChainStage:
     def _run_group(self, path: str, texts: pd.Series) -> pd.Series:
         chain = self._chain(path)
         if self._result_cache_bytes <= 0 and not self._suppress:
-            return chain.run(texts.astype(str), lookup=self._lookup)
+            return chain.run(texts.astype(str), lookup=self._lookup,
+                             detector=self._detector)
         texts = texts.astype(str)
         uniq = texts.drop_duplicates()
         results: dict[str, str] = {}
@@ -526,7 +542,8 @@ class FilterChainStage:
                 todo.append(t)
                 self.cache_misses += 1
         if todo:
-            computed = chain.run(pd.Series(todo), lookup=self._lookup)
+            computed = chain.run(pd.Series(todo), lookup=self._lookup,
+                                 detector=self._detector)
             for t, r in zip(todo, computed):
                 results[t] = r
                 if self._result_cache_bytes:

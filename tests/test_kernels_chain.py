@@ -383,3 +383,54 @@ class TestMetaSketchFilters:
 
     def test_non_meta_is_noop(self):
         assert run1("filters:avgcolor()/img", "aab") == "aab"
+
+
+class TestMultiRectFocal:
+    """process.go:537-571 multi-rect accumulation + parseFocalPoint
+    centroid (process.go:1000-1018)."""
+
+    def test_two_rects_weighted_centroid(self):
+        from imagor_ray.functions.kernels import resolve_focal
+
+        # equal-area rects at centres 4 and 12 → centroid 8 → frac 8/20
+        specs = [("rect", 2.0, 0.0, 6.0, 1.0), ("rect", 10.0, 0.0, 14.0, 1.0)]
+        assert resolve_focal(specs, 20, 1) == 8.0 / 20
+
+    def test_area_weighting(self):
+        from imagor_ray.functions.kernels import resolve_focal
+
+        # rect B has 3x the area of A → pulls the centroid toward 12
+        specs = [("rect", 0.0, 0.0, 2.0, 1.0), ("rect", 6.0, 0.0, 12.0, 1.0)]
+        f = resolve_focal(specs, 16, 1)
+        assert abs(f * 16 - (1.0 * 0.25 + 9.0 * 0.75)) < 1e-12
+
+    def test_fractional_rects_scale(self):
+        from imagor_ray.functions.kernels import resolve_focal
+
+        specs = [("rect", 0.0, 0.0, 0.2, 1.0)]
+        assert resolve_focal(specs, 100, 1) == pytest.approx(0.1)
+
+    def test_inverted_rect_dropped(self):
+        from imagor_ray.functions.kernels import resolve_focal
+
+        assert resolve_focal([("rect", 5.0, 0.0, 3.0, 1.0)], 10, 1) is None
+        # but a valid rect beside it survives
+        specs = [("rect", 5.0, 0.0, 3.0, 1.0), ("rect", 2.0, 0.0, 4.0, 1.0)]
+        assert resolve_focal(specs, 10, 1) == pytest.approx(0.3)
+
+    def test_point_form(self):
+        from imagor_ray.functions.kernels import parse_focal_args, resolve_focal
+
+        specs = parse_focal_args("3x0")
+        assert specs == [("point", 3.0, 0.0)]
+        assert resolve_focal(specs, 10, 1) == pytest.approx(0.35)
+
+    def test_chain_accumulates_multiple_focals(self):
+        out = run1("4x0/filters:focal(2x0:6x1):focal(10x0:14x1)/img",
+                   "0123456789abcdefghij")
+        # centroid 8 of width 20 → centre 8, window [6, 10)
+        assert out == "6789"
+
+    def test_single_focal_back_compat(self):
+        out = run1("4x0/filters:focal(0x0:0.2x1)/img", "0123456789")
+        assert out == "0123"
