@@ -297,6 +297,67 @@ def _q_processed(sf_dir: str):
     return processed_turns(sf_dir).select_columns(["conv_id", "turn_idx", "tool", "text"])
 
 
+def _q_processed_autoformat(sf_dir: str):
+    """Accept-header auto-format negotiation wired through the flagship
+    parse/sign/chain stages (imagor.go:339-376): a deterministic per-turn
+    ``accept`` value conditionally appends ``format(...)`` to templates
+    that set none (the error template already formats → never varies);
+    the chain then exports in the negotiated encoding and the row is
+    Vary-marked."""
+    from ..pipelines.flagship import snippet_dim
+    from ..stages.chain import filter_chain_batch
+    from ..stages.parse_sign import DEFAULT_SECRET, parse_sign_batch
+
+    ds = derive_transcripts(sf_dir)
+    accept_map = {0: "b64", 1: "hex", 2: ""}
+
+    def add_accept(b: pd.DataFrame) -> pd.DataFrame:
+        b["accept"] = b["turn_idx"].astype("int64").mod(3).map(accept_map)
+        return b
+
+    dim = snippet_dim()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": b["conv_id"].to_numpy(),
+            "turn_idx": b["turn_idx"].to_numpy(),
+            "tool": b["tool"].to_numpy(),
+            "vary": b["vary"].astype("int64").to_numpy(),
+            "text": b["text"].to_numpy(),
+        })
+
+    return (
+        ds.map_batches(add_accept, batch_format="pandas")
+        .map_batches(parse_sign_batch, fn_kwargs={"secret": DEFAULT_SECRET},
+                     batch_format="pandas")
+        .map_batches(filter_chain_batch,
+                     fn_kwargs={"dim_ref": dim, "path_col": "chain_path"},
+                     batch_format="pandas")
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
+_PROCESSED_AUTOFORMAT_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}), p AS (
+  SELECT conv_id, turn_idx, tool,
+    CASE tool
+      WHEN 'signup' THEN {_CHAIN_SQL['signup']}
+      WHEN 'click' THEN {_CHAIN_SQL['click']}
+      WHEN 'view' THEN {_CHAIN_SQL['view']}
+      WHEN 'purchase' THEN {_CHAIN_SQL['purchase']}
+      ELSE NULL END AS ptext,
+    {_CHAIN_SQL['error']} AS etext
+  FROM t)
+SELECT conv_id, turn_idx, tool,
+  CAST(tool <> 'error' AND turn_idx % 3 < 2 AS BIGINT) AS vary,
+  CASE WHEN tool = 'error' THEN etext
+       WHEN turn_idx % 3 = 0 THEN to_base64(encode(ptext))
+       WHEN turn_idx % 3 = 1 THEN hex(ptext)
+       ELSE ptext END AS text
+FROM p
+"""
+
+
 def _q_signed(sf_dir: str):
     return processed_turns(sf_dir).select_columns(
         ["conv_id", "turn_idx", "path", "signature"]
@@ -719,6 +780,7 @@ QUERIES = {
     "canonical_paths": _q_canonical_paths,
     "params_fields": _q_params_fields,
     "processed": _q_processed,
+    "processed_autoformat": _q_processed_autoformat,
     "signed": _q_signed,  # rows-only (HMAC not SQL-expressible)
     # streaming
     "sessions": _q_sessions,
@@ -758,6 +820,7 @@ ORACLES = {
     "canonical_paths": _CANONICAL_PATHS_SQL,
     "params_fields": _PARAMS_FIELDS_SQL,
     "processed": _PROCESSED_SQL,
+    "processed_autoformat": _PROCESSED_AUTOFORMAT_SQL,
     "sessions": _SESSIONS_SQL,
     "sessions_salted": _SESSIONS_SQL,
     "streaming_sessions": _STREAMING_SESSIONS_SQL,

@@ -49,33 +49,87 @@ PATH_TEMPLATES = {
 class ParseSignStage:
     """``map_batches`` callable (stateless tasks are fine; template
     compilation is module-level cheap work re-done per worker once via
-    instance reuse)."""
+    instance reuse).
 
-    def __init__(self, secret: str = DEFAULT_SECRET, verify: bool = True):
+    Auto-format negotiation (imagor.go:339-376): when the batch carries
+    an ``accept`` column, rows whose template sets no ``format(...)``
+    get ``format(accept)`` appended to their canonical path (so the
+    signature and chain output change with it) and are Vary-marked.
+    ``preview()`` templates flag their rows for sink bypass
+    (imagor.go:328-329, 389)."""
+
+    def __init__(self, secret: str = DEFAULT_SECRET, verify: bool = True,
+                 templates: dict[str, str] | None = None):
         self.signer = ip.HMACSigner("sha256", 0, secret)
         self.verify = verify
+        self.templates = templates or PATH_TEMPLATES
         # canonical prefix per tool: parse the template once with a
         # placeholder, regenerate, and strip the placeholder suffix.
         self._prefix: dict[str, str] = {}
         self._chain_path: dict[str, str] = {}
-        for tool, tpl in PATH_TEMPLATES.items():
+        self._preview: dict[str, bool] = {}
+        self._has_format: dict[str, bool] = {}
+        self._default_tool = "view" if "view" in self.templates else next(iter(self.templates))
+        for tool, tpl in self.templates.items():
             placeholder = "IMGKEY"
             p = ip.parse(tpl.format(img=placeholder))
-            q, _ = prescan_utility_filters(p)
+            q, util = prescan_utility_filters(p)
             canonical = q.path
             assert canonical.endswith("/" + placeholder)
             self._prefix[tool] = canonical[: -len(placeholder)]
             # chain key: canonical path with the image stripped — groups
             # rows of the same template for vectorized chain execution
             self._chain_path[tool] = self._prefix[tool].rstrip("/")
+            self._preview[tool] = bool(util["preview"])
+            self._has_format[tool] = bool(util["format"])
+        self._any_preview = any(self._preview.values())
+        # per-(tool, accept) auto-format prefix cache (imagor.go:339-376)
+        self._af_prefix: dict[tuple[str, str], tuple[str, str, bool]] = {}
+
+    def _accept_prefix(self, tool: str, accept: str) -> tuple[str, str, bool]:
+        """(path_prefix, chain_path, vary) for one (tool, accept) pair —
+        computed once, reused for every row of the pair."""
+        key = (tool, accept)
+        hit = self._af_prefix.get(key)
+        if hit is not None:
+            return hit
+        from .errors import auto_format_path
+
+        base_chain = self._chain_path.get(tool, self._chain_path[self._default_tool])
+        new_chain, vary = auto_format_path(base_chain, accept)
+        if vary:
+            prefix = new_chain + "/"
+            out = (prefix, new_chain, True)
+        else:
+            out = (
+                self._prefix.get(tool, self._prefix[self._default_tool]),
+                base_chain, False,
+            )
+        self._af_prefix[key] = out
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         img = batch["conv_id"].str.cat(batch["turn_idx"].astype(str), sep="/")
-        prefix = batch["tool"].map(self._prefix).fillna(self._prefix["view"])
-        batch["path"] = prefix.str.cat(img)
-        batch["chain_path"] = batch["tool"].map(self._chain_path).fillna(
-            self._chain_path["view"]
-        )
+        default = self._default_tool
+        if "accept" in batch.columns:
+            pairs = pd.Series(
+                list(zip(batch["tool"], batch["accept"].fillna(""))),
+                index=batch.index,
+            )
+            resolved = pairs.map(lambda ta: self._accept_prefix(ta[0], ta[1]))
+            batch["path"] = resolved.map(lambda r: r[0]).str.cat(img)
+            batch["chain_path"] = resolved.map(lambda r: r[1])
+            batch["vary"] = resolved.map(lambda r: r[2]).astype(bool)
+        else:
+            prefix = batch["tool"].map(self._prefix).fillna(self._prefix[default])
+            batch["path"] = prefix.str.cat(img)
+            batch["chain_path"] = batch["tool"].map(self._chain_path).fillna(
+                self._chain_path[default]
+            )
+        if self._any_preview:
+            batch["preview"] = (
+                batch["tool"].map(self._preview).fillna(False).astype(bool)
+            )
         sign = self.signer.sign
         batch["signature"] = [sign(p) for p in batch["path"].tolist()]
         if self.verify:
@@ -99,10 +153,14 @@ _STAGE_CACHE: dict[tuple, ParseSignStage] = {}
 
 
 def parse_sign_batch(
-    batch: pd.DataFrame, secret: str = DEFAULT_SECRET, verify: bool = True
+    batch: pd.DataFrame, secret: str = DEFAULT_SECRET, verify: bool = True,
+    templates: dict[str, str] | None = None,
 ) -> pd.DataFrame:
-    key = (secret, verify)
+    key = (secret, verify,
+           tuple(sorted(templates.items())) if templates else None)
     stage = _STAGE_CACHE.get(key)
     if stage is None:
-        stage = _STAGE_CACHE.setdefault(key, ParseSignStage(secret, verify))
+        stage = _STAGE_CACHE.setdefault(
+            key, ParseSignStage(secret, verify, templates=templates)
+        )
     return stage(batch)

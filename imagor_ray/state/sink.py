@@ -135,6 +135,11 @@ class ExactlyOnceSink:
         mpath = os.path.join(self.manifest_dir, f"bucket-{bucket:05d}.json")
         if os.path.exists(mpath):
             return pd.DataFrame({"bucket": [bucket], "rows": [0], "skipped": [True]})
+        if "preview" in g.columns:
+            # preview() rows bypass result storage (imagor.go:328-329,
+            # 389): they flow through the processed stream but are never
+            # persisted
+            g = g[~g["preview"].astype(bool)].drop(columns=["preview"])
         g = g.drop_duplicates(subset=list(KEY_COLS), keep="first")
         g = g.sort_values(
             ["conv_id", "turn_idx", *sort_extra], kind="mergesort"

@@ -111,3 +111,59 @@ def test_parse_sign_verifies_incoming_hash_column():
     df2["hash"] = [good["signature"].iloc[0], "tampered", None]
     out = stage(df2)
     assert out["sig_ok"].tolist() == [True, False, True]
+
+
+def test_preview_rows_bypass_sink(tmp_path, ray_session):
+    # preview() templates flag rows that flow through the processed
+    # stream but are never persisted (imagor.go:328-329, 389)
+    import ray.data as rd
+    from imagor_ray.stages.parse_sign import ParseSignStage
+    from imagor_ray.state.sink import ExactlyOnceSink
+
+    templates = {
+        "view": "filters:grayscale()/{img}",
+        "peek": "filters:preview():grayscale()/{img}",
+    }
+    stage = ParseSignStage(templates=templates)
+    df = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(8)],
+        "turn_idx": list(range(8)),
+        "tool": ["view", "peek"] * 4,
+        "text": ["some text"] * 8,
+    })
+    out = stage(df.copy())
+    assert out["preview"].tolist() == [False, True] * 4
+    # preview STAYS in the canonical path — the reference strips only
+    # expire/attachment (imagor.go:332-338)
+    assert sum("preview" in p for p in out["path"]) == 4
+
+    sink = ExactlyOnceSink(str(tmp_path / "sink"), num_buckets=2)
+    out["signature"] = "sig"
+    summary = sink.write(rd.from_pandas(out))
+    assert summary["rows_written"] == 4  # only non-preview rows persisted
+    stored = sink.read().to_pandas()
+    assert len(stored) == 4
+    assert "preview" not in stored.columns
+    assert set(stored["tool"]) == {"view"}
+
+
+def test_auto_format_accept_column_changes_signature():
+    from imagor_ray.stages.parse_sign import ParseSignStage
+
+    stage = ParseSignStage()
+    base = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1"],
+        "turn_idx": [0, 1, 2],
+        "tool": ["view", "view", "error"],
+        "accept": ["b64", "", "b64"],
+    })
+    out = stage(base.copy())
+    # view+b64 → format(b64) appended, vary marked, signature differs
+    assert out["vary"].tolist() == [True, False, False]
+    assert "format(b64)" in out["path"].iloc[0]
+    assert "format(b64)" not in out["path"].iloc[1]
+    # error template already formats → accept ignored (no vary)
+    assert "format(hex)" in out["path"].iloc[2]
+    plain = stage(base.drop(columns=["accept"]).copy())
+    assert out["signature"].iloc[0] != plain["signature"].iloc[0]
+    assert out["signature"].iloc[1] == plain["signature"].iloc[1]
