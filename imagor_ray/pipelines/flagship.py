@@ -104,6 +104,7 @@ def flagship_write(
     secret: str = DEFAULT_SECRET,
     num_buckets: int = 64,
     replicas=1,
+    check_freshness: bool = False,
 ) -> dict:
     """Fused flagship → exactly-once sink with ONE shuffle end-to-end.
 
@@ -137,7 +138,7 @@ def flagship_write(
     }
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
-    if done:
+    if done and not check_freshness:
         import pyarrow.compute as _pc
 
         done_list = sorted(done)
@@ -160,7 +161,7 @@ def flagship_write(
         g["tool_cost"] = kinds.map(lambda kv: kv[1]).astype("int64")
         g = g.drop(columns=["chain_path", "sig_ok"], errors="ignore")
         g["_bucket"] = bucket
-        return sink.write_partition_df(g)
+        return sink.write_partition_df(g, check_freshness=check_freshness)
 
     result = ds.groupby("_bucket").map_groups(
         process_and_write, batch_format="pandas"

@@ -81,27 +81,40 @@ class ExactlyOnceSink:
 
     # -- write -------------------------------------------------------------
 
-    def write(self, ds: rd.Dataset, sort_extra: tuple[str, ...] = ()) -> dict:
+    def write(
+        self,
+        ds: rd.Dataset,
+        sort_extra: tuple[str, ...] = (),
+        check_freshness: bool = False,
+    ) -> dict:
         """Write the dataset exactly-once. Returns a summary dict.
 
         The input must carry the key columns. Rows of already-committed
         buckets are dropped before the shuffle (partition-level anti-join
         — the replay probe, analogue of ``loadResult`` imagor.go:600-664).
+
+        ``check_freshness=True`` adds the per-key staleness semantics of
+        ``loadResult``'s modified-time comparison (imagor.go:605-652):
+        committed buckets are NOT dropped up front; each bucket's content
+        fingerprint is recomputed and compared with the manifest — an
+        unchanged bucket skips (byte-identical replay), a changed one is
+        atomically rewritten, so an updated source row invalidates
+        exactly its own bucket.
         """
         os.makedirs(self.manifest_dir, exist_ok=True)
         done = self.committed_buckets()
         nb = self.num_buckets
-        out_dir = self.out_dir
-        manifest_dir = self.manifest_dir
 
         def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
             b["_bucket"] = conv_bucket(b["conv_id"], nb).astype("int32")
-            if done:
+            if done and not check_freshness:
                 b = b[~b["_bucket"].isin(done)]
             return b
 
         def write_partition(g: pd.DataFrame) -> pd.DataFrame:
-            return self.write_partition_df(g, sort_extra=sort_extra)
+            return self.write_partition_df(
+                g, sort_extra=sort_extra, check_freshness=check_freshness
+            )
 
         result = (
             ds.map_batches(add_bucket, batch_format="pandas")
@@ -116,7 +129,10 @@ class ExactlyOnceSink:
         }
 
     def write_partition_df(
-        self, g: pd.DataFrame, sort_extra: tuple[str, ...] = ()
+        self,
+        g: pd.DataFrame,
+        sort_extra: tuple[str, ...] = (),
+        check_freshness: bool = False,
     ) -> pd.DataFrame:
         """Atomic exactly-once write of ONE hash-bucket partition: dedup on
         key (keep-first) → stable sort (conv_id, turn_idx) → temp write →
@@ -133,7 +149,7 @@ class ExactlyOnceSink:
         bucket = int(g["_bucket"].iloc[0])
         final = os.path.join(self.out_dir, f"part-{bucket:05d}.parquet")
         mpath = os.path.join(self.manifest_dir, f"bucket-{bucket:05d}.json")
-        if os.path.exists(mpath):
+        if os.path.exists(mpath) and not check_freshness:
             return pd.DataFrame({"bucket": [bucket], "rows": [0], "skipped": [True]})
         if "preview" in g.columns:
             # preview() rows bypass result storage (imagor.go:328-329,
@@ -144,6 +160,20 @@ class ExactlyOnceSink:
         g = g.sort_values(
             ["conv_id", "turn_idx", *sort_extra], kind="mergesort"
         ).drop(columns=["_bucket"]).reset_index(drop=True)
+        # content fingerprint of this bucket's would-be rows — the per-key
+        # freshness probe (loadResult modified-time check,
+        # imagor.go:605-652): deterministic across runs/processes
+        source_fp = hashlib.sha1(
+            pd.util.hash_pandas_object(g, index=False).values.tobytes()
+        ).hexdigest()
+        if check_freshness and os.path.exists(mpath):
+            with open(mpath) as f:
+                committed = json.load(f)
+            if committed.get("source_fp") == source_fp:
+                return pd.DataFrame(
+                    {"bucket": [bucket], "rows": [0], "skipped": [True]}
+                )
+            # stale: fall through and atomically rewrite data + manifest
         tmp = final + ".tmp"
         try:
             table = pa.Table.from_pandas(g, preserve_index=False)
@@ -161,6 +191,7 @@ class ExactlyOnceSink:
                 "key_min": [str(g["conv_id"].iloc[0]), int(g["turn_idx"].iloc[0])] if len(g) else None,
                 "key_max": [str(g["conv_id"].iloc[-1]), int(g["turn_idx"].iloc[-1])] if len(g) else None,
                 "sha1": digest,
+                "source_fp": source_fp,
                 "file": os.path.basename(final),
                 # per-partition metrics (lineage + metrics, north rule);
                 # not part of the replay-compared data bytes

@@ -372,3 +372,64 @@ class TestAnnRecall:
             got = set(ls[ls["query_id"] == q]["vec_id"])
             recalls.append(len(truth & got) / len(truth))
         assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+class TestPerKeyFreshness:
+    """loadResult's modified-time staleness semantics (imagor.go:605-652)
+    at bucket granularity: mutate one input row of a committed bucket,
+    re-run with check_freshness, ONLY that bucket rewrites, and the
+    output matches a from-scratch run byte-for-byte."""
+
+    @staticmethod
+    def _rows(n=64):
+        import numpy as np
+        return pd.DataFrame({
+            "conv_id": [f"conv_{i % 16:06d}" for i in range(n)],
+            "turn_idx": np.arange(n, dtype="int32") // 16,
+            "signature": [f"sig{i}" for i in range(n)],
+            "text": [f"payload {i}" for i in range(n)],
+        })
+
+    def test_stale_bucket_rewrites_fresh_skip(self, ray_session, tmp_path):
+        import ray.data as rd
+        from imagor_ray.state.sink import ExactlyOnceSink, conv_bucket
+
+        df = self._rows()
+        sink = ExactlyOnceSink(str(tmp_path / "a"), num_buckets=4)
+        sink.write(rd.from_pandas(df))
+        sha_before = sink.content_sha1()
+        fps_before = {e["partition_id"]: e["source_fp"] for e in sink.read_manifest()}
+
+        # unchanged input + freshness probe → every bucket skips, bytes equal
+        summary = sink.write(rd.from_pandas(df), check_freshness=True)
+        assert summary["rows_written"] == 0
+        assert sink.content_sha1() == sha_before
+
+        # mutate ONE row; find its bucket
+        df2 = df.copy()
+        df2.loc[5, "text"] = "MUTATED"
+        hot = int(conv_bucket(df2.loc[[5], "conv_id"], 4).iloc[0])
+        summary = sink.write(rd.from_pandas(df2), check_freshness=True)
+        # only the hot bucket rewrote
+        fps_after = {e["partition_id"]: e["source_fp"] for e in sink.read_manifest()}
+        changed = [b for b in fps_after if fps_after[b] != fps_before.get(b)]
+        assert changed == [hot]
+        assert summary["rows_written"] > 0
+
+        # byte-identical to a from-scratch run on the mutated input
+        fresh = ExactlyOnceSink(str(tmp_path / "b"), num_buckets=4)
+        fresh.write(rd.from_pandas(df2))
+        assert sink.content_sha1() == fresh.content_sha1()
+
+    def test_default_mode_unchanged(self, ray_session, tmp_path):
+        # without check_freshness the bucket-granularity skip is intact
+        import ray.data as rd
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        df = self._rows()
+        sink = ExactlyOnceSink(str(tmp_path / "c"), num_buckets=4)
+        sink.write(rd.from_pandas(df))
+        df2 = df.copy()
+        df2.loc[5, "text"] = "MUTATED"
+        summary = sink.write(rd.from_pandas(df2))
+        assert summary["rows_written"] == 0  # all buckets skipped
