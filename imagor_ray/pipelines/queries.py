@@ -566,20 +566,38 @@ FROM s GROUP BY conv_id, sid
 def _q_streaming_sessions(sf_dir: str):
     """End-to-end streaming invariant: the micro-batch driver (watermark +
     open-session carryover across per-day files) must produce EXACTLY the
-    batch sessionization result. The sf tables are small enough to stage
-    through driver-side files here; the production loop consumes a file
-    stream without materializing."""
+    batch sessionization result. The per-day micro-batch files are
+    written DISTRIBUTED (one grouped task per day — no driver
+    ``to_pandas()`` staging); only the event-time driver loop itself runs
+    on the driver, which is its design (SURVEY §7.4.2)."""
     import os
     import tempfile
 
     from .streaming import StreamingSessionJob
 
-    t = derive_transcripts(sf_dir).to_pandas()
     d = tempfile.mkdtemp(prefix="imray_stream_")
     input_dir = os.path.join(d, "in")
     os.makedirs(input_dir, exist_ok=True)
-    for i, (_, g) in enumerate(t.groupby(t["ts"].astype("datetime64[us]").dt.floor("D"))):
-        g.to_parquet(os.path.join(input_dir, f"batch-{i:05d}.parquet"), index=False)
+
+    def add_day(b: pd.DataFrame) -> pd.DataFrame:
+        b["_day"] = b["ts"].astype("datetime64[us]").dt.strftime("%Y%m%d")
+        return b
+
+    def write_day(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["_day"].iloc[0]
+        g.drop(columns=["_day"]).to_parquet(
+            os.path.join(input_dir, f"batch-{day}.parquet"), index=False
+        )
+        return pd.DataFrame({"day": [day], "rows": [len(g)]})
+
+    # consume the write pipeline (count() materializes nothing driver-side)
+    (
+        derive_transcripts(sf_dir)
+        .map_batches(add_day, batch_format="pandas")
+        .groupby("_day")
+        .map_groups(write_day, batch_format="pandas")
+        .count()
+    )
     job = StreamingSessionJob(input_dir, os.path.join(d, "state"), gap_s=1800)
     job.run_all()
     job.flush()

@@ -1,0 +1,209 @@
+"""Guarded external-source loader — the engine analogue of the
+reference's HTTPLoader (``loader/httploader/httploader.go:182-260``):
+allow-listed sources, HEAD size pre-check, retryable fetch, content-type
+validation, and typed dead-letter routing for rejected inputs.
+
+The sandbox has no network, so the fetch side is a pluggable
+``Transport`` (the reference's ``http.RoundTripper`` slot,
+``option.go WithTransport``): :class:`LocalFileTransport` serves
+fixture files keyed ``host/path``; an HTTP transport would drop in
+unchanged — every guard (allow-list, size, accepts, retries) lives
+above the transport exactly like the reference's loader sits above its
+RoundTripper.
+
+Ray shape: a ``map_batches`` stage (stateless or actor pool) adding
+``payload``/``size``/``content_type``/``error_code`` columns;
+:func:`guarded_load` splits ok vs dead-letter like ``stages/errors``.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import re
+from typing import Callable
+
+import pandas as pd
+
+from ..functions.blob import sniff_content_type
+
+__all__ = [
+    "AllowedSource",
+    "LocalFileTransport",
+    "FlakyTransport",
+    "TransientFetchError",
+    "GuardedLoaderStage",
+    "guarded_load",
+    "ERR_SOURCE_NOT_ALLOWED",
+    "ERR_MAX_SIZE_EXCEEDED",
+    "ERR_NOT_FOUND",
+    "ERR_FETCH_FAILED",
+    "ERR_UNSUPPORTED_TYPE",
+]
+
+# sentinel codes continuing the errors.go mapping (stages/errors.py)
+ERR_SOURCE_NOT_ALLOWED = "ERR_SOURCE_NOT_ALLOWED"   # imagor.ErrSourceNotAllowed
+ERR_MAX_SIZE_EXCEEDED = "ERR_MAX_SIZE_EXCEEDED"     # imagor.ErrMaxSizeExceeded
+ERR_NOT_FOUND = "ERR_NOT_FOUND"
+ERR_FETCH_FAILED = "ERR_FETCH_FAILED"
+ERR_UNSUPPORTED_TYPE = "ERR_UNSUPPORTED_TYPE"       # imagor.ErrUnsupportedFormat
+
+
+class AllowedSource:
+    """Host allow-list entry: glob pattern (``*.example.fixture``) or
+    ``regex:`` prefixed regex — ``NewHostPatternAllowedSource`` /
+    ``NewRegexpAllowedSource`` (httploader.go:23-52)."""
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+        self._re = re.compile(pattern[6:]) if pattern.startswith("regex:") else None
+
+    def match(self, host: str) -> bool:
+        if self._re is not None:
+            return self._re.fullmatch(host) is not None
+        return fnmatch.fnmatchcase(host, self.pattern)
+
+
+class TransientFetchError(Exception):
+    """Retryable transport failure (network blip / 5xx analogue)."""
+
+
+class LocalFileTransport:
+    """Fixture transport: key ``host/path`` → file under ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def stat(self, key: str) -> int:
+        """HEAD analogue: size without reading the body."""
+        path = os.path.join(self.root, key)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(key)
+        return os.path.getsize(path)
+
+    def get(self, key: str) -> bytes:
+        path = os.path.join(self.root, key)
+        if not os.path.isfile(path):
+            raise FileNotFoundError(key)
+        with open(path, "rb") as f:
+            return f.read()
+
+
+class FlakyTransport:
+    """Test double: fail each key's first ``fail_times`` fetches with a
+    transient error — exercises the retry path deterministically."""
+
+    def __init__(self, inner, fail_times: int = 1):
+        self.inner = inner
+        self.fail_times = fail_times
+        self.attempts: dict[str, int] = {}
+
+    def stat(self, key: str) -> int:
+        return self.inner.stat(key)
+
+    def get(self, key: str) -> bytes:
+        n = self.attempts.get(key, 0)
+        self.attempts[key] = n + 1
+        if n < self.fail_times:
+            raise TransientFetchError(f"transient failure {n + 1} for {key}")
+        return self.inner.get(key)
+
+
+class GuardedLoaderStage:
+    """``map_batches`` callable: validate → stat pre-check → retryable
+    fetch → sniff/accept check, per key (httploader.go:182-260).
+
+    Input batches need a ``key`` column (``host/path``). Output adds:
+
+    - ``payload``  — fetched text ('' on error),
+    - ``size``     — byte size (-1 on error),
+    - ``content_type`` — sniffed type ('' on error),
+    - ``error_code``   — '' ok, else a sentinel for dead-letter routing.
+    """
+
+    def __init__(
+        self,
+        transport,
+        allowed_sources: tuple[str, ...] = (),
+        max_allowed_size: int = 0,
+        accepts: tuple[str, ...] = (),
+        max_retries: int = 2,
+        key_col: str = "key",
+    ):
+        self.transport = transport
+        self.allowed = [AllowedSource(p) for p in allowed_sources]
+        self.max_allowed_size = max_allowed_size
+        self.accepts = accepts
+        self.max_retries = max_retries
+        self.key_col = key_col
+
+    # -- per-key pipeline --------------------------------------------------
+
+    def _validate(self, key: str) -> str:
+        """parseAndValidateURL analogue: shape + allow-list
+        (httploader.go:136-178)."""
+        key = (key or "").strip().lstrip("/")
+        if not key or "/" not in key or ".." in key.split("/"):
+            return ""
+        return key
+
+    def _accept_ok(self, content_type: str) -> bool:
+        if not self.accepts:
+            return True
+        return any(fnmatch.fnmatchcase(content_type, a) for a in self.accepts)
+
+    def _load_one(self, raw_key: str) -> tuple[str, int, str, str]:
+        key = self._validate(raw_key)
+        if not key:
+            return "", -1, "", ERR_SOURCE_NOT_ALLOWED
+        host = key.split("/", 1)[0]
+        if self.allowed and not any(a.match(host) for a in self.allowed):
+            return "", -1, "", ERR_SOURCE_NOT_ALLOWED
+        # HEAD size pre-check before fetching the body
+        # (httploader.go:192-208)
+        if self.max_allowed_size > 0:
+            try:
+                size = self.transport.stat(key)
+            except FileNotFoundError:
+                return "", -1, "", ERR_NOT_FOUND
+            except TransientFetchError:
+                size = None  # stat failure is not fatal; body fetch decides
+            if size is not None and size > self.max_allowed_size:
+                return "", -1, "", ERR_MAX_SIZE_EXCEEDED
+        # retryable fetch (the reference leans on client retries; Ray
+        # tasks add their own layer above this)
+        last_err = ERR_FETCH_FAILED
+        for _ in range(self.max_retries + 1):
+            try:
+                body = self.transport.get(key)
+                break
+            except FileNotFoundError:
+                return "", -1, "", ERR_NOT_FOUND
+            except TransientFetchError:
+                continue
+        else:
+            return "", -1, "", last_err
+        text = body.decode("utf-8", errors="surrogateescape")
+        ctype = sniff_content_type(text)
+        if not self._accept_ok(ctype):
+            return "", len(body), ctype, ERR_UNSUPPORTED_TYPE
+        return text, len(body), ctype, ""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        results = [self._load_one(k) for k in batch[self.key_col].astype(str)]
+        batch["payload"] = [r[0] for r in results]
+        batch["size"] = pd.Series([r[1] for r in results], dtype="int64").to_numpy()
+        batch["content_type"] = [r[2] for r in results]
+        batch["error_code"] = [r[3] for r in results]
+        return batch
+
+
+def guarded_load(ds, transport, **cfg):
+    """(ok, dead_letter) datasets after guarded loading — the loader-tier
+    mirror of ``stages/errors.route``."""
+    loaded = ds.map_batches(
+        GuardedLoaderStage(transport, **cfg), batch_format="pandas"
+    )
+    ok = loaded.map_batches(lambda b: b[b["error_code"] == ""], batch_format="pandas")
+    dead = loaded.map_batches(lambda b: b[b["error_code"] != ""], batch_format="pandas")
+    return ok, dead

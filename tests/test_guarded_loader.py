@@ -1,0 +1,115 @@
+"""Guarded external-source loader (HTTPLoader analogue,
+httploader.go:182-260): allow-list, size pre-check, retryable fetch,
+accepts validation, dead-letter routing — against local fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from imagor_ray.sources.loader import (
+    ERR_FETCH_FAILED, ERR_MAX_SIZE_EXCEEDED, ERR_NOT_FOUND,
+    ERR_SOURCE_NOT_ALLOWED, AllowedSource, FlakyTransport,
+    GuardedLoaderStage, LocalFileTransport, guarded_load,
+)
+
+
+@pytest.fixture()
+def fixtures(tmp_path):
+    root = tmp_path / "remote"
+    for host in ("cdn.example.fixture", "evil.example.fixture"):
+        os.makedirs(root / host / "img")
+    (root / "cdn.example.fixture" / "img" / "small.txt").write_text("hello world")
+    (root / "cdn.example.fixture" / "img" / "big.txt").write_text("x" * 4096)
+    (root / "evil.example.fixture" / "img" / "evil.txt").write_text("nope")
+    return str(root)
+
+
+class TestAllowedSource:
+    def test_glob_patterns(self):
+        a = AllowedSource("*.example.fixture")
+        assert a.match("cdn.example.fixture")
+        assert not a.match("example.fixture")
+        assert not a.match("cdn.example.fixture.evil.io")
+
+    def test_regex_patterns(self):
+        a = AllowedSource(r"regex:cdn[0-9]*\.example\.fixture")
+        assert a.match("cdn7.example.fixture")
+        assert not a.match("evil.example.fixture")
+
+
+class TestGuards:
+    def test_allow_list_rejects(self, fixtures):
+        stage = GuardedLoaderStage(
+            LocalFileTransport(fixtures), allowed_sources=("cdn.*",))
+        out = stage(pd.DataFrame({"key": [
+            "cdn.example.fixture/img/small.txt",
+            "evil.example.fixture/img/evil.txt",
+        ]}))
+        assert out["error_code"].tolist() == ["", ERR_SOURCE_NOT_ALLOWED]
+        assert out["payload"].tolist()[0] == "hello world"
+
+    def test_path_traversal_rejected(self, fixtures):
+        stage = GuardedLoaderStage(LocalFileTransport(fixtures))
+        out = stage(pd.DataFrame({"key": [
+            "cdn.example.fixture/../../etc/passwd", "", "nokey"]}))
+        assert out["error_code"].tolist() == [ERR_SOURCE_NOT_ALLOWED] * 3
+
+    def test_size_precheck_rejects_oversized_without_fetch(self, fixtures):
+        class CountingTransport(LocalFileTransport):
+            gets = 0
+
+            def get(self, key):
+                CountingTransport.gets += 1
+                return super().get(key)
+
+        stage = GuardedLoaderStage(
+            CountingTransport(fixtures), max_allowed_size=1024)
+        out = stage(pd.DataFrame({"key": [
+            "cdn.example.fixture/img/big.txt",
+            "cdn.example.fixture/img/small.txt",
+        ]}))
+        assert out["error_code"].tolist() == [ERR_MAX_SIZE_EXCEEDED, ""]
+        assert CountingTransport.gets == 1  # the big body was never fetched
+
+    def test_missing_key_not_found(self, fixtures):
+        stage = GuardedLoaderStage(LocalFileTransport(fixtures))
+        out = stage(pd.DataFrame({"key": ["cdn.example.fixture/img/none.txt"]}))
+        assert out["error_code"].tolist() == [ERR_NOT_FOUND]
+
+    def test_retry_recovers_from_transient_failures(self, fixtures):
+        flaky = FlakyTransport(LocalFileTransport(fixtures), fail_times=2)
+        stage = GuardedLoaderStage(flaky, max_retries=2)
+        out = stage(pd.DataFrame({"key": ["cdn.example.fixture/img/small.txt"]}))
+        assert out["error_code"].tolist() == [""]
+        assert out["payload"].iloc[0] == "hello world"
+        assert flaky.attempts["cdn.example.fixture/img/small.txt"] == 3
+
+    def test_retries_exhausted_dead_letters(self, fixtures):
+        flaky = FlakyTransport(LocalFileTransport(fixtures), fail_times=5)
+        stage = GuardedLoaderStage(flaky, max_retries=2)
+        out = stage(pd.DataFrame({"key": ["cdn.example.fixture/img/small.txt"]}))
+        assert out["error_code"].tolist() == [ERR_FETCH_FAILED]
+
+
+class TestRayRouting:
+    def test_ok_and_dead_letter_split(self, fixtures, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_pandas(pd.DataFrame({"key": [
+            "cdn.example.fixture/img/small.txt",
+            "evil.example.fixture/img/evil.txt",
+            "cdn.example.fixture/img/big.txt",
+            "cdn.example.fixture/img/none.txt",
+        ]}))
+        ok, dead = guarded_load(
+            ds, LocalFileTransport(fixtures),
+            allowed_sources=("cdn.*",), max_allowed_size=1024,
+        )
+        okd = ok.to_pandas()
+        deadd = dead.to_pandas().sort_values("key").reset_index(drop=True)
+        assert okd["key"].tolist() == ["cdn.example.fixture/img/small.txt"]
+        assert sorted(deadd["error_code"]) == sorted([
+            ERR_SOURCE_NOT_ALLOWED, ERR_MAX_SIZE_EXCEEDED, ERR_NOT_FOUND])
