@@ -147,8 +147,84 @@ def run_scaling() -> dict:
     }
 
 
+def run_sortwall() -> dict:
+    """Demonstrate the sort-wall mitigation (BENCH.md finding 7): past
+    ~10M rows a single local sort degrades superlinearly on the one-node
+    object store. Measure the SAME ≥20M-turn workload two ways at equal
+    CPUs:
+
+    - single-batch: one flagship_write → one giant conv-bucket sort;
+    - micro-batch: the replica-range driver loop
+      (``derive_transcripts(replicas=(a, b))``, the StreamingFlagshipJob
+      shape) — each cycle's shuffle stays bounded, cycles write
+      cycle-scoped exactly-once sinks.
+
+    A multi-node cluster shards the exchange anyway; this shows the
+    single-node escape hatch carries the throughput, not just the claim.
+    """
+    import shutil
+
+    import ray
+    from ray.data import DataContext
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("GRAFT_SORTWALL_CPUS", "16"))
+    # 200 replicas of the sf0.1 event stream = 20M turns — past the
+    # ~10M-row single-sort wall; cycles of 50 (5M) stay under it
+    total_replicas = int(os.environ.get("GRAFT_SORTWALL_REPLICAS", "200"))
+    cycle = int(os.environ.get("GRAFT_SORTWALL_CYCLE", "50"))
+    out_root = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/imagor_ray_sortwall")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(os.environ.get(
+                 "GRAFT_BENCH_OBJ_STORE", str(80_000_000_000))))
+    DataContext.get_current().enable_progress_bars = False
+
+    from imagor_ray.pipelines.flagship import flagship_write
+    from imagor_ray.sources.transcripts import derive_transcripts
+
+    n_turns = derive_transcripts(sf_dir, with_turn_idx=False, replicas=1).count() * total_replicas
+
+    single_dir = os.path.join(out_root, "single")
+    shutil.rmtree(single_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    flagship_write(sf_dir, single_dir, replicas=total_replicas,
+                   num_buckets=int(os.environ.get("GRAFT_BENCH_BUCKETS", "256")))
+    t_single = time.perf_counter() - t0
+    shutil.rmtree(single_dir, ignore_errors=True)
+
+    micro_dir = os.path.join(out_root, "micro")
+    shutil.rmtree(micro_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    for i in range(0, total_replicas, cycle):
+        flagship_write(
+            sf_dir, os.path.join(micro_dir, f"cycle-{i:03d}"),
+            replicas=(i, min(i + cycle, total_replicas)),
+            num_buckets=int(os.environ.get("GRAFT_BENCH_BUCKETS", "256")) // 4,
+        )
+    t_micro = time.perf_counter() - t0
+    shutil.rmtree(micro_dir, ignore_errors=True)
+
+    ray.shutdown()
+    return {
+        "metric": "sortwall_microbatch_speedup",
+        "value": round(t_single / t_micro, 3),
+        "unit": "ratio",
+        "n_turns": int(n_turns),
+        "num_cpus": num_cpus,
+        "cycle_replicas": cycle,
+        "sec_single_batch": round(t_single, 3),
+        "sec_micro_batch": round(t_micro, 3),
+        "turns_per_sec_single": round(n_turns / t_single, 1),
+        "turns_per_sec_micro": round(n_turns / t_micro, 1),
+        "sf": sf_dir,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--sortwall" in sys.argv:
+        print(json.dumps(run_sortwall()))
     else:
         print(json.dumps(run_bench()))

@@ -41,13 +41,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf", required=True, help="input table directory")
     p.add_argument("--out", required=True, help="sink output directory")
     p.add_argument("--secret", default=None)
-    p.add_argument("--buckets", type=int, default=64)
-    p.add_argument("--replicas", type=int, default=1)
+    p.add_argument("--buckets", type=int, default=None)
+    p.add_argument("--replicas", type=int, default=None)
+    p.add_argument("--check-freshness", action="store_true", default=None,
+                   help="per-bucket source-fingerprint staleness probe")
+    p.add_argument("--source-write-through", default=None,
+                   help="raw-input checkpoint directory (imagor.go:457-467)")
 
     p = sub.add_parser("sessions", help="session-window summaries")
     p.add_argument("--sf", required=True)
-    p.add_argument("--gap-s", type=int, default=1800)
+    p.add_argument("--gap-s", type=int, default=None)
     p.add_argument("--salt-bucket-s", type=int, default=None)
+
+    p = sub.add_parser("config", help="print the resolved engine config (env + defaults)")
 
     p = sub.add_parser("stream", help="micro-batch streaming job (full DAG)")
     p.add_argument("--input", required=True, help="micro-batch parquet dir")
@@ -57,24 +63,41 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--flush", action="store_true", help="close open sessions at end")
 
     args = ap.parse_args(argv)
+
+    # flag > env (IMAGOR_RAY_*) > default — config.go:33-133 precedence
+    from imagor_ray.config import EngineConfig
+
+    cfg = EngineConfig.from_env()
+
+    if args.cmd == "config":
+        print(json.dumps(cfg.describe()))
+        return 0
+
     _ensure_ray()
 
     if args.cmd == "flagship":
         from imagor_ray.pipelines.flagship import flagship_write
-        from imagor_ray.stages.parse_sign import DEFAULT_SECRET
 
+        cfg = cfg.with_overrides(
+            secret=args.secret, num_buckets=args.buckets,
+            replicas=args.replicas, check_freshness=args.check_freshness,
+            source_write_through=args.source_write_through,
+        )
         summary = flagship_write(
-            args.sf, args.out, secret=args.secret or DEFAULT_SECRET,
-            num_buckets=args.buckets, replicas=args.replicas,
+            args.sf, args.out, secret=cfg.secret,
+            num_buckets=cfg.num_buckets, replicas=cfg.replicas,
+            check_freshness=cfg.check_freshness,
+            source_write_through=cfg.source_write_through or None,
         )
         print(json.dumps(summary))
     elif args.cmd == "sessions":
         from imagor_ray.sources.transcripts import derive_transcripts
         from imagor_ray.stages.windows import session_windows
 
+        cfg = cfg.with_overrides(gap_s=args.gap_s, salt_bucket_s=args.salt_bucket_s)
         n = session_windows(
-            derive_transcripts(args.sf), gap_s=args.gap_s,
-            salt_bucket_s=args.salt_bucket_s,
+            derive_transcripts(args.sf), gap_s=cfg.gap_s,
+            salt_bucket_s=cfg.salt_bucket_s or None,
         ).count()
         print(json.dumps({"sessions": n}))
     elif args.cmd == "stream":

@@ -26,6 +26,8 @@ sign are embarrassingly parallel map stages that fuse into the read.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -105,8 +107,16 @@ def flagship_write(
     num_buckets: int = 64,
     replicas=1,
     check_freshness: bool = False,
+    source_write_through: str | None = None,
 ) -> dict:
     """Fused flagship → exactly-once sink with ONE shuffle end-to-end.
+
+    ``source_write_through`` enables the reference's source write-through
+    tier (imagor.go:457-467, 510-513): the RAW signed turns (pre-chain)
+    of each bucket are checkpointed to a parallel exactly-once store in
+    the same grouped task — concurrent with processing, no extra
+    shuffle — so a later reprocess (new kernel version, new chain) can
+    re-read inputs without touching the original source.
 
     The conv-bucket groupby co-locates each conversation once; the grouped
     UDF then runs the whole partition-local pipeline — turn_idx row-number,
@@ -123,13 +133,17 @@ def flagship_write(
     from ..stages.chain import filter_chain_batch
 
     sink = ExactlyOnceSink(out_dir, num_buckets=num_buckets)
+    source_sink = (
+        ExactlyOnceSink(source_write_through, num_buckets=num_buckets)
+        if source_write_through else None
+    )
+    if source_sink is not None:
+        os.makedirs(source_sink.manifest_dir, exist_ok=True)
     ds = derive_transcripts(
         sf_dir, with_turn_idx=False, num_buckets=num_buckets,
         replicas=replicas, keep_bucket=True,
     )
     done = sink.committed_buckets()
-    import os
-
     os.makedirs(sink.manifest_dir, exist_ok=True)
     dim_ref = ray.put(snippet_dim())
     meta = {
@@ -155,6 +169,11 @@ def flagship_write(
         from ..stages.parse_sign import parse_sign_batch
 
         g = parse_sign_batch(g, secret=secret)
+        if source_sink is not None:
+            # raw-input checkpoint alongside processing (same task, no
+            # extra shuffle — the save-goroutine analogue)
+            raw = g[cols + ["signature", "_bucket"]].copy()
+            source_sink.write_partition_df(raw, check_freshness=check_freshness)
         g = filter_chain_batch(g, dim_ref=dim_ref, path_col="chain_path")
         kinds = g["tool"].map(lambda t: meta.get(t, ("unknown", 0)))
         g["tool_kind"] = kinds.map(lambda kv: kv[0])

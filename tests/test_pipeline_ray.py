@@ -433,3 +433,62 @@ class TestPerKeyFreshness:
         df2.loc[5, "text"] = "MUTATED"
         summary = sink.write(rd.from_pandas(df2))
         assert summary["rows_written"] == 0  # all buckets skipped
+
+
+class TestConfigBinding:
+    """config.go:33-133 precedence: flag > IMAGOR_RAY_* env > default."""
+
+    def test_env_overlay_and_types(self):
+        from imagor_ray.config import EngineConfig
+
+        env = {
+            "IMAGOR_RAY_SECRET": "env-secret",
+            "IMAGOR_RAY_NUM_BUCKETS": "32",
+            "IMAGOR_RAY_CHECK_FRESHNESS": "true",
+            "IMAGOR_RAY_DISABLED_FILTERS": "blur, sharpen",
+            "IMAGOR_RAY_LOADER_ALLOWED_SOURCES": "cdn.*,regex:a.b",
+        }
+        cfg = EngineConfig.from_env(env)
+        assert cfg.secret == "env-secret"
+        assert cfg.num_buckets == 32
+        assert cfg.check_freshness is True
+        assert cfg.disabled_filters == ("blur", "sharpen")
+        assert cfg.loader_allowed_sources == ("cdn.*", "regex:a.b")
+        assert cfg.gap_s == 1800  # untouched default
+
+    def test_cli_beats_env(self):
+        from imagor_ray.config import EngineConfig
+
+        cfg = EngineConfig.from_env({"IMAGOR_RAY_NUM_BUCKETS": "32"})
+        cfg = cfg.with_overrides(num_buckets=8, secret=None)
+        assert cfg.num_buckets == 8
+        assert cfg.secret == "imagor-ray-secret"  # None → keep env/default
+
+    def test_unknown_knob_rejected(self):
+        from imagor_ray.config import EngineConfig
+
+        with pytest.raises(KeyError):
+            EngineConfig().with_overrides(nope=1)
+
+
+class TestSourceWriteThrough:
+    def test_raw_checkpoint_written_alongside_processed(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.flagship import flagship_write
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        out = str(tmp_path / "processed")
+        src = str(tmp_path / "raw")
+        flagship_write(SF, out, num_buckets=4, source_write_through=src)
+        raw = ExactlyOnceSink(src, num_buckets=4).read().to_pandas()
+        processed = ExactlyOnceSink(out, num_buckets=4).read().to_pandas()
+        assert len(raw) == len(processed)
+        # raw tier holds PRE-chain text with the signature key
+        merged = raw.merge(processed, on=["conv_id", "turn_idx"],
+                           suffixes=("_raw", "_proc"))
+        assert (merged["signature_raw"] == merged["signature_proc"]).all()
+        assert (merged["text_raw"] != merged["text_proc"]).any()
+        # raw text equals the source transcript text
+        from imagor_ray.sources.transcripts import read_transcripts
+        t = read_transcripts(SF).to_pandas()
+        m2 = raw.merge(t, on=["conv_id", "turn_idx"], suffixes=("", "_src"))
+        assert (m2["text"] == m2["text_src"]).all()
