@@ -366,13 +366,17 @@ def k_sharpen(s, ctx, args):
 @register_filter("pixelate")
 def k_pixelate(s, ctx, args):
     """Box shrink+replicate → every b-block replaced by its first char
-    (filter.go:246-268)."""
+    (filter.go:246-268). One numpy repeat per row, no per-char Python."""
     b = _int_arg(split_args(args)[0] if args else "0")
     if b <= 1:
         return s
 
     def px(t: str) -> str:
-        return "".join(t[i] * len(t[i : i + b]) for i in range(0, len(t), b))
+        if not t:
+            return t
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        out = np.repeat(codes[::b], b)[: len(codes)]
+        return out.astype("<u4").tobytes().decode("utf-32-le", errors="surrogatepass")
 
     return s.map(px)
 

@@ -24,6 +24,7 @@ import ray.data as rd
 __all__ = [
     "ann_topk",
     "lsh_topk",
+    "ivf_topk",
     "label_centroids",
     "embedding_neardup",
     "embedding_neardup_ds",
@@ -149,6 +150,123 @@ def lsh_topk(
     return (
         partials.groupby("query_id").map_groups(final, batch_format="pandas")
         .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
+def ivf_topk(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """IVF (inverted-file) ANN — the second scale path beside
+    :func:`lsh_topk`: spherical k-means centroids trained with mergeable
+    per-batch partial sums (the driver only ever holds the tiny centroid
+    matrix), vectors routed to their nearest centroid, queries probing
+    the ``n_probe`` nearest cells. Scanned fraction ≈ n_probe /
+    n_centroids. Deterministic: seeded init from hashed vec_ids, fixed
+    Lloyd iterations. Approximate — recall-tested against brute force,
+    rows-only at the driver gate.
+
+    Output: query_id, vec_id, cos (round 5), rank 1..k.
+    """
+    qids, qmat = _query_matrix(sf_dir, n_queries)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    # deterministic seeded init: n_centroids vectors picked by hashed id
+    rng = np.random.default_rng(seed)
+    init_ids = set()
+    import pyarrow.parquet as pq
+
+    n_total = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    init_ids = set(rng.choice(n_total, size=min(n_centroids, n_total), replace=False).tolist())
+    init_ref = ray.put(np.array(sorted(init_ids), dtype=np.int64))
+
+    def pick_init(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        keep = np.isin(ids, ray.get(init_ref))
+        return pd.DataFrame({
+            "vec_id": ids[keep],
+            "embedding": b["embedding"].to_numpy()[keep],
+        })
+
+    seeds = _read_emb(sf_dir).map_batches(pick_init, batch_format="pandas").to_pandas()
+    cents = np.stack(seeds.sort_values("vec_id")["embedding"].to_numpy()).astype("float64")
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    # Lloyd iterations: per-batch partial (centroid, sum, count) rows —
+    # the shuffle carries n_centroids tiny rows per batch, never vectors
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial_assign(b: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            vecs = np.stack(b["embedding"].to_numpy()).astype("float64")
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            assign = np.argmax(vn @ c.T, axis=1)
+            rows = []
+            for cid in np.unique(assign):
+                sel = vn[assign == cid]
+                rows.append({
+                    "cid": int(cid),
+                    "sum_vec": sel.sum(axis=0).tolist(),
+                    "n": int(len(sel)),
+                })
+            return pd.DataFrame(rows)
+
+        partials = (
+            _read_emb(sf_dir)
+            .map_batches(partial_assign, batch_format="pandas")
+            .to_pandas()  # n_centroids × n_batches tiny rows
+        )
+        new = cents.copy()
+        for cid, g in partials.groupby("cid"):
+            total = np.sum(np.stack(g["sum_vec"].to_numpy()), axis=0)
+            n = g["n"].sum()
+            if n > 0:
+                v = total / n
+                new[int(cid)] = v / max(1e-12, np.linalg.norm(v))
+        cents = new
+
+    # query: probe the n_probe nearest cells, scan only their vectors
+    probe = np.argsort(-(qnorm @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qnorm, cents, probe))
+
+    def cell_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids_, qn, c, pr = ray.get(ref)
+        vecs = np.stack(b["embedding"].to_numpy()).astype("float64")
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        assign = np.argmax(vn @ c.T, axis=1)
+        vid = b["vec_id"].to_numpy()
+        frames = []
+        for qi, qid in enumerate(ids_):
+            mask = np.isin(assign, pr[qi]) & (vid != qid)
+            if not mask.any():
+                continue
+            s = vn[mask] @ qn[qi]
+            frames.append(pd.DataFrame({"query_id": qid, "vec_id": vid[mask], "cos": s}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = _read_emb(sf_dir).map_batches(cell_partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(cos=g["cos"].round(5))
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return (
+        partials.groupby("query_id").map_groups(final, batch_format="pandas")
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        .astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
     )
 
 

@@ -68,10 +68,14 @@ def exact_dedup(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
     ds = _read_docs(sf_dir)
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
         b = b.copy()
+        # content-hash routing: ANY deterministic hash groups identical
+        # texts together, so the cheap crc32 C call replaces md5 (the
+        # output is invariant to the bucket function)
         b["_bucket"] = [
-            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % num_buckets
-            for t in b["text"].tolist()
+            zlib.crc32(t.encode("utf-8")) % num_buckets for t in b["text"].tolist()
         ]
         return b
 

@@ -28,7 +28,7 @@ import ray.data as rd
 from ..sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts, tool_meta_table
 from ..stages.parse_sign import PATH_TEMPLATES
 from ..stages.windows import session_windows, sliding_tool_stats, tumbling_tool_stats
-from .ann import ann_topk, embedding_neardup, label_centroids, lsh_topk
+from .ann import ann_topk, embedding_neardup, ivf_topk, label_centroids, lsh_topk
 from .dedup import exact_dedup, minhash_pairs, minhash_signatures, simhash_signatures
 from .flagship import processed_turns
 from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
@@ -826,6 +826,7 @@ QUERIES = {
     "ann_topk": ann_topk,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_topk": lsh_topk,  # rows-only (approximate by design)
+    "ann_ivf_topk": ivf_topk,  # rows-only (approximate by design)
     "label_centroids": label_centroids,
     # relational breadth
     "q1_pricing": _q_q1,

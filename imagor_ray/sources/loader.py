@@ -31,6 +31,8 @@ __all__ = [
     "AllowedSource",
     "LocalFileTransport",
     "FlakyTransport",
+    "TransportChain",
+    "RoutedTransport",
     "TransientFetchError",
     "GuardedLoaderStage",
     "guarded_load",
@@ -107,6 +109,59 @@ class FlakyTransport:
         if n < self.fail_times:
             raise TransientFetchError(f"transient failure {n + 1} for {key}")
         return self.inner.get(key)
+
+
+class TransportChain:
+    """Ordered first-hit-wins transport chain — the loader/storage chain
+    of ``fromStoragesAndLoaders`` (``imagor.go:699-760``): each tier is
+    tried in order; NotFound falls through to the next, any other error
+    surfaces; all tiers missing → NotFound."""
+
+    def __init__(self, transports: list):
+        self.transports = list(transports)
+
+    def stat(self, key: str) -> int:
+        last: Exception | None = None
+        for t in self.transports:
+            try:
+                return t.stat(key)
+            except FileNotFoundError as e:
+                last = e
+        raise last if last is not None else FileNotFoundError(key)
+
+    def get(self, key: str) -> bytes:
+        last: Exception | None = None
+        for t in self.transports:
+            try:
+                return t.get(key)
+            except FileNotFoundError as e:
+                last = e
+        raise last if last is not None else FileNotFoundError(key)
+
+
+class RoutedTransport:
+    """Pattern-routed transport — the ``s3routerloader`` analogue
+    (``loader/s3routerloader/router.go``): the key's host segment picks
+    the backing transport by glob/regex pattern, first match wins; no
+    match → NotFound."""
+
+    def __init__(self, routes: list):
+        """``routes``: list of (pattern, transport) pairs; pattern uses
+        :class:`AllowedSource` syntax (glob or ``regex:``)."""
+        self.routes = [(AllowedSource(p), t) for p, t in routes]
+
+    def _pick(self, key: str):
+        host = key.split("/", 1)[0]
+        for src, transport in self.routes:
+            if src.match(host):
+                return transport
+        raise FileNotFoundError(key)
+
+    def stat(self, key: str) -> int:
+        return self._pick(key).stat(key)
+
+    def get(self, key: str) -> bytes:
+        return self._pick(key).get(key)
 
 
 class GuardedLoaderStage:

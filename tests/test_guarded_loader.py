@@ -113,3 +113,53 @@ class TestRayRouting:
         assert okd["key"].tolist() == ["cdn.example.fixture/img/small.txt"]
         assert sorted(deadd["error_code"]) == sorted([
             ERR_SOURCE_NOT_ALLOWED, ERR_MAX_SIZE_EXCEEDED, ERR_NOT_FOUND])
+
+
+class TestTransportChain:
+    """first-hit-wins storage→loader chain (imagor.go:699-760)."""
+
+    def test_first_hit_wins_and_fallthrough(self, tmp_path):
+        from imagor_ray.sources.loader import LocalFileTransport, TransportChain
+
+        a, b = tmp_path / "tier_a", tmp_path / "tier_b"
+        (a / "h").mkdir(parents=True); (b / "h").mkdir(parents=True)
+        (a / "h" / "both.txt").write_text("from-a")
+        (b / "h" / "both.txt").write_text("from-b")
+        (b / "h" / "only-b.txt").write_text("b-only")
+        chain = TransportChain([LocalFileTransport(str(a)), LocalFileTransport(str(b))])
+        assert chain.get("h/both.txt") == b"from-a"     # first tier wins
+        assert chain.get("h/only-b.txt") == b"b-only"   # falls through
+        with pytest.raises(FileNotFoundError):
+            chain.get("h/nowhere.txt")
+
+    def test_routed_transport(self, tmp_path):
+        from imagor_ray.sources.loader import LocalFileTransport, RoutedTransport
+
+        a, b = tmp_path / "r_a", tmp_path / "r_b"
+        (a / "cdn1.fixture").mkdir(parents=True)
+        (b / "media.fixture").mkdir(parents=True)
+        (a / "cdn1.fixture" / "x.txt").write_text("cdn")
+        (b / "media.fixture" / "y.txt").write_text("media")
+        routed = RoutedTransport([
+            ("cdn*.fixture", LocalFileTransport(str(a))),
+            ("regex:media\\.fixture", LocalFileTransport(str(b))),
+        ])
+        assert routed.get("cdn1.fixture/x.txt") == b"cdn"
+        assert routed.get("media.fixture/y.txt") == b"media"
+        with pytest.raises(FileNotFoundError):
+            routed.get("other.fixture/z.txt")
+
+    def test_chain_behind_guarded_stage(self, tmp_path):
+        # the chain IS a Transport — drops into the guarded loader
+        import pandas as pd
+        from imagor_ray.protocols import Transport
+        from imagor_ray.sources.loader import (
+            GuardedLoaderStage, LocalFileTransport, TransportChain,
+        )
+
+        t = tmp_path / "tc"; (t / "h").mkdir(parents=True)
+        (t / "h" / "f.txt").write_text("payload")
+        chain = TransportChain([LocalFileTransport(str(t))])
+        assert isinstance(chain, Transport)
+        out = GuardedLoaderStage(chain)(pd.DataFrame({"key": ["h/f.txt"]}))
+        assert out["payload"].tolist() == ["payload"]

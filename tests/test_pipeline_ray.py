@@ -492,3 +492,38 @@ class TestSourceWriteThrough:
         t = read_transcripts(SF).to_pandas()
         m2 = raw.merge(t, on=["conv_id", "turn_idx"], suffixes=("", "_src"))
         assert (m2["text"] == m2["text_src"]).all()
+
+
+class TestIvfTopk:
+    def test_recall_vs_bruteforce(self, ray_session):
+        from imagor_ray.pipelines.ann import ann_topk, ivf_topk
+
+        bf = ann_topk(SF, n_queries=5, k=10)
+        ivf = ivf_topk(SF, n_queries=5, k=10, n_centroids=8, n_probe=4)
+        recall = 0.0
+        for q in bf["query_id"].unique():
+            want = set(bf[bf["query_id"] == q]["vec_id"])
+            got = set(ivf[ivf["query_id"] == q]["vec_id"])
+            recall += len(want & got) / len(want)
+        recall /= bf["query_id"].nunique()
+        # probing half the cells of weakly-clustered random vectors —
+        # recall must beat the random-scan baseline (≈ n_probe/n_centroids
+        # would be chance if cells carried no signal; trained cells must
+        # concentrate neighbours)
+        assert recall >= 0.6, recall
+
+    def test_deterministic(self, ray_session):
+        from imagor_ray.pipelines.ann import ivf_topk
+
+        a = ivf_topk(SF, n_queries=3, k=5)
+        b = ivf_topk(SF, n_queries=3, k=5)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_full_probe_equals_bruteforce(self, ray_session):
+        # probing EVERY cell must reproduce brute force exactly
+        from imagor_ray.pipelines.ann import ann_topk, ivf_topk
+
+        bf = ann_topk(SF, n_queries=3, k=10)
+        full = ivf_topk(SF, n_queries=3, k=10, n_centroids=8, n_probe=8)
+        pd.testing.assert_frame_equal(
+            bf[bf["query_id"] < 3].reset_index(drop=True), full)
