@@ -160,20 +160,16 @@ class ExactlyOnceSink:
         g = g.sort_values(
             ["conv_id", "turn_idx", *sort_extra], kind="mergesort"
         ).drop(columns=["_bucket"]).reset_index(drop=True)
-        # content fingerprint of this bucket's would-be rows — the per-key
-        # freshness probe (loadResult modified-time check,
-        # imagor.go:605-652): deterministic across runs/processes
-        source_fp = hashlib.sha1(
-            pd.util.hash_pandas_object(g, index=False).values.tobytes()
-        ).hexdigest()
+        # per-key freshness probe (loadResult modified-time check,
+        # imagor.go:605-652): the committed sha1 IS the content
+        # fingerprint — parquet bytes are deterministic for identical
+        # rows (the replay byte-equality contract), so no extra hashing
+        # burdens the normal write path. The probe writes the tmp file,
+        # compares digests, and discards it when the bucket is fresh.
+        committed_sha = None
         if check_freshness and os.path.exists(mpath):
             with open(mpath) as f:
-                committed = json.load(f)
-            if committed.get("source_fp") == source_fp:
-                return pd.DataFrame(
-                    {"bucket": [bucket], "rows": [0], "skipped": [True]}
-                )
-            # stale: fall through and atomically rewrite data + manifest
+                committed_sha = json.load(f).get("sha1")
         tmp = final + ".tmp"
         try:
             table = pa.Table.from_pandas(g, preserve_index=False)
@@ -184,14 +180,19 @@ class ExactlyOnceSink:
                 # must never survive a truncated data file (the manifest
                 # commit below is already fsynced)
                 os.fsync(f.fileno())
+            if committed_sha is not None and digest == committed_sha:
+                # freshness probe: bucket unchanged → keep committed bytes
+                os.remove(tmp)
+                return pd.DataFrame(
+                    {"bucket": [bucket], "rows": [0], "skipped": [True]}
+                )
             os.replace(tmp, final)  # atomic commit of the data file
             entry = {
                 "partition_id": bucket,
                 "rows": len(g),
                 "key_min": [str(g["conv_id"].iloc[0]), int(g["turn_idx"].iloc[0])] if len(g) else None,
                 "key_max": [str(g["conv_id"].iloc[-1]), int(g["turn_idx"].iloc[-1])] if len(g) else None,
-                "sha1": digest,
-                "source_fp": source_fp,
+                "sha1": digest,  # doubles as the freshness fingerprint
                 "file": os.path.basename(final),
                 # per-partition metrics (lineage + metrics, north rule);
                 # not part of the replay-compared data bytes

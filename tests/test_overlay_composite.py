@@ -173,3 +173,41 @@ class TestFilterWiring:
         lookup = {"ov": "XY"}.get
         out = run1("filters:image(/2x0/left/ov,right,bottom)/img", BASE3, lookup=lookup)
         assert out.split("\n")[-1].endswith("XY")
+
+
+from hypothesis import given, settings, strategies as st
+
+_printable = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40)
+
+
+class TestCompositeProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(_printable, _printable,
+           st.sampled_from(["left", "right", "center", "repeat", "3", "-2",
+                            "l-1", "r-1", "0.5", "30p"]),
+           st.sampled_from(["top", "bottom", "center", "0", "1", "repeat"]))
+    def test_line_count_never_changes(self, base, item, x, y):
+        out = composite_text(base, item, x, y)
+        assert out.count("\n") == base.count("\n")
+
+    @settings(max_examples=60, deadline=None)
+    @given(_printable, _printable,
+           st.sampled_from(sorted(BLEND_MODE_NAMES)))
+    def test_blend_output_stays_printable(self, base, item, mode):
+        out = composite_text(base, item, "0", "0", 0, mode)
+        assert all(32 <= ord(c) <= 126 or c == "\n" for c in out)
+
+    @settings(max_examples=60, deadline=None)
+    @given(_printable, _printable)
+    def test_alpha100_is_noop(self, base, item):
+        assert composite_text(base, item, "0", "0", 100) == base
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+                   min_size=1, max_size=30))
+    def test_mask_of_opaque_overlay_keeps_base(self, base):
+        # a fully-opaque (non-space) overlay under `mask` keeps the base
+        item = "#" * len(base)
+        assert composite_text(base, item, "0", "0", 0, "mask") == base
+        assert composite_text(base, item, "0", "0", 0, "mask-out") == " " * len(base)

@@ -398,7 +398,7 @@ class TestPerKeyFreshness:
         sink = ExactlyOnceSink(str(tmp_path / "a"), num_buckets=4)
         sink.write(rd.from_pandas(df))
         sha_before = sink.content_sha1()
-        fps_before = {e["partition_id"]: e["source_fp"] for e in sink.read_manifest()}
+        fps_before = {e["partition_id"]: e["sha1"] for e in sink.read_manifest()}
 
         # unchanged input + freshness probe → every bucket skips, bytes equal
         summary = sink.write(rd.from_pandas(df), check_freshness=True)
@@ -411,7 +411,7 @@ class TestPerKeyFreshness:
         hot = int(conv_bucket(df2.loc[[5], "conv_id"], 4).iloc[0])
         summary = sink.write(rd.from_pandas(df2), check_freshness=True)
         # only the hot bucket rewrote
-        fps_after = {e["partition_id"]: e["source_fp"] for e in sink.read_manifest()}
+        fps_after = {e["partition_id"]: e["sha1"] for e in sink.read_manifest()}
         changed = [b for b in fps_after if fps_after[b] != fps_before.get(b)]
         assert changed == [hot]
         assert summary["rows_written"] > 0
