@@ -572,13 +572,21 @@ def filter_chain_batch(
     dim_ref=None,
     text_col: str = "text",
     path_col: str = "path",
+    disabled_filters: tuple = (),
+    max_filter_ops: int = DEFAULT_MAX_FILTER_OPS,
+    detector: str | None = None,
 ) -> pd.DataFrame:
-    key = (str(dim_ref), text_col, path_col)
+    key = (str(dim_ref), text_col, path_col,
+           tuple(disabled_filters), max_filter_ops, detector)
     stage = _CHAIN_STAGE_CACHE.get(key)
     if stage is None:
         if len(_CHAIN_STAGE_CACHE) > 8:
             _CHAIN_STAGE_CACHE.clear()
         stage = _CHAIN_STAGE_CACHE.setdefault(
-            key, FilterChainStage(dim_ref=dim_ref, text_col=text_col, path_col=path_col)
+            key, FilterChainStage(
+                dim_ref=dim_ref, text_col=text_col, path_col=path_col,
+                disabled_filters=frozenset(disabled_filters),
+                max_filter_ops=max_filter_ops, detector=detector,
+            )
         )
     return stage(batch)
