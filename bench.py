@@ -76,6 +76,12 @@ def run_bench() -> dict:
                      "GRAFT_BENCH_OBJ_STORE", str(80_000_000_000))))
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # 256MB sort-output blocks measured best at 16 CPUs (round 2): the
+    # default 128MB leaves the reduce stage as ~34 uneven tasks whose
+    # straggler tail is a fixed cost the high-CPU side cannot amortize
+    # (14.3s vs 16-20s at 10M turns; see BENCH.md finding 11)
+    ctx.target_max_block_size = int(os.environ.get(
+        "GRAFT_BENCH_TMBS", str(256 * 1024 * 1024)))
     if os.environ.get("GRAFT_BENCH_HASH_SHUFFLE", "0") == "1":
         from ray.data.context import ShuffleStrategy
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
