@@ -190,3 +190,67 @@ class TestStreamingFlagship:
         got_sessions = j3.closed_sessions().sort_values(
             ["conv_id", "session_start"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got_sessions, want_sessions)
+
+
+class TestCrashBetweenStageAndCommit:
+    """End-to-end guarantee for the round-1 advice fix: a crash AFTER the
+    post-cycle open-session snapshot is staged but BEFORE checkpoint.json
+    commits must replay the cycle against the PRE-cycle snapshot and
+    converge to the uninterrupted run's exact output."""
+
+    @staticmethod
+    def _mk_stream(tmp_path, name):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        base = pd.Timestamp("2024-03-01 00:00:00")
+        for day in range(3):
+            for i in range(120):
+                conv = f"c{rng.integers(0, 12):03d}"
+                ts = base + pd.Timedelta(days=day, seconds=int(rng.integers(0, 86000)))
+                rows.append({"conv_id": conv, "ts": ts})
+        df = pd.DataFrame(rows).sort_values("ts").reset_index(drop=True)
+        input_dir = tmp_path / name
+        input_dir.mkdir()
+        for day, g in df.groupby(df["ts"].dt.floor("D")):
+            g.to_parquet(input_dir / f"batch-{day:%Y%m%d}.parquet", index=False)
+        return str(input_dir)
+
+    def test_replay_converges_byte_identically(self, tmp_path):
+        from imagor_ray.pipelines.streaming import StreamingSessionJob
+
+        input_dir = self._mk_stream(tmp_path, "in")
+
+        # uninterrupted reference run
+        ref = StreamingSessionJob(input_dir, str(tmp_path / "ref"), gap_s=3600)
+        ref.run_all()
+        ref.flush()
+        want = ref.closed_sessions().sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+
+        # crashing run: cycle 1's checkpoint save raises AFTER the
+        # open-session snapshot was staged
+        job = StreamingSessionJob(input_dir, str(tmp_path / "crash"), gap_s=3600)
+        job.run_cycle()  # cycle 0 commits normally
+        orig_save = job.cp.save
+        calls = {"n": 0}
+
+        def exploding_save(state):
+            calls["n"] += 1
+            raise RuntimeError("simulated crash before checkpoint commit")
+
+        job.cp.save = exploding_save
+        with pytest.raises(RuntimeError):
+            job.run_cycle()  # staged open-00001.parquet, checkpoint NOT advanced
+        assert calls["n"] == 1
+        job.cp.save = orig_save
+
+        # "restart": a fresh job object over the same state dir replays
+        # cycle 1 from the pre-cycle snapshot, then finishes the stream
+        job2 = StreamingSessionJob(input_dir, str(tmp_path / "crash"), gap_s=3600)
+        job2.run_all()
+        job2.flush()
+        got = job2.closed_sessions().sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
