@@ -187,6 +187,57 @@ SELECT doc_id,
 FROM s
 """
 
+# minhash_pairs end-to-end SQL mirror (round 2 — was rows-only): LSH
+# band self-join over the signature CTE, distinct candidate pairs,
+# word-set Jaccard ≥ 0.5. The engine's per-bucket pair cap (512) is not
+# mirrored; it only binds on degenerate buckets far above test scale.
+_MINHASH_PAIRS_SQL = f"""
+WITH s AS ({_MINHASH_SQL}),
+b AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS sig FROM s
+  UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM s
+  UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM s
+  UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM s),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM b x JOIN b y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+j AS (
+  SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) /
+          (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))), 6) AS jaccard
+  FROM cand JOIN w wa ON wa.doc_id = cand.doc_a JOIN w wb ON wb.doc_id = cand.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+# 64-bit blurhash sketch SQL mirror (round 2 — was rows-only): whitespace
+# word shingles (windows of ≤3 incl. the short tail, matching
+# ``blurhash_text``'s range(len(words))), md5-prefix as UBIGINT, per-bit
+# vote sums, set bits re-packed and hex-formatted.
+_BLURHASH_SQL = """
+WITH wl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM wl),
+sh AS (
+  SELECT doc_id, array_to_string(ws[i : least(i + 2, len(ws))], ' ') AS shingle FROM idx),
+hs AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 16)) AS UBIGINT) AS h FROM sh),
+hb AS (
+  SELECT doc_id, h, unnest(generate_series(0, 63)) AS b FROM hs),
+bits AS (
+  SELECT doc_id, b,
+    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM hb GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id AS agg_doc_id,
+    CAST(SUM(CASE WHEN votes > 0 THEN CAST(1 AS UBIGINT) << b ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS h
+  FROM bits GROUP BY 1)
+SELECT d.doc_id,
+  coalesce(lpad(lower(hex(o.h)), 16, '0'), repeat('0', 16)) AS blurhash
+FROM documents d LEFT JOIN agg o ON d.doc_id = o.agg_doc_id
+"""
+
 _SKETCHES_SQL = """
 WITH c AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
@@ -822,7 +873,7 @@ QUERIES = {
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
         ["doc_id", "avg_char", "thumbhash"]),
     "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
-        ["doc_id", "blurhash"]),  # rows-only (64-bit sketch loop not SQL-mirrored)
+        ["doc_id", "blurhash"]),  # SQL-mirrored since round 2 (_BLURHASH_SQL)
     "ann_topk": ann_topk,
     "embedding_neardup": embedding_neardup,
     "ann_lsh_topk": lsh_topk,  # rows-only (approximate by design)
@@ -852,6 +903,8 @@ ORACLES = {
     "enriched_tool_stats": _ENRICHED_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "minhash_signatures": _MINHASH_SQL,
+    "minhash_pairs": _MINHASH_PAIRS_SQL,
+    "doc_blurhash": _BLURHASH_SQL,
     "simhash_signatures": _SIMHASH_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "lang_id": _LANG_ID_SQL,
