@@ -37,6 +37,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "gen_media",
     "MediaDecodeStage",
+    "MediaResizeStage",
     "frame_sample",
     "media_features",
 ]
@@ -147,6 +148,57 @@ def frame_sample(batch: pa.Table, every: int = 8) -> pa.Table:
         "media_type": pa.array(kinds, pa.string()),
         "frame_idx": pa.array(frame_idx, pa.int32()),
     })
+
+
+class MediaResizeStage:
+    """Actor-pool resize stage: payload → payload with target dims — the
+    media mirror of the text chain's resize step (thumbnail decision
+    process.go:402-507). The pixel resample itself is the STUB slot (a
+    real library resamples `body`); the plumbing is real: the header is
+    rewritten with the fitted dimensions (aspect-preserving fit-in or
+    exact stretch), the body is deterministically resampled by index
+    gather, and the output stays a binary Arrow column downstream stages
+    can decode again.
+    """
+
+    def __init__(self, width: int, height: int = 0, fit: str = "fit-in",
+                 codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "real media resampling is not available in this environment; "
+                "plug PIL/pyav here"
+            )
+        self.width = width
+        self.height = height
+        self.fit = fit
+
+    def _fit_dims(self, w: int, h: int) -> tuple[int, int]:
+        tw, th = self.width, self.height or h
+        if self.fit == "stretch":
+            return tw, th
+        # aspect-preserving fit-in (shrink only), like fit-in semantics
+        scale = min(tw / max(1, w), th / max(1, h), 1.0)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def _resize_one(self, payload: bytes) -> bytes:
+        magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
+        if magic != _MAGIC:
+            raise ValueError("unknown media container")
+        nw, nh = self._fit_dims(w, h)
+        body = np.frombuffer(payload, dtype=np.uint8, count=blen, offset=_HEADER.size)
+        new_len = min(nw * nh, 4096)
+        if blen > 0:
+            # deterministic nearest-index gather — the resample stub
+            idx = (np.arange(new_len) * blen // max(1, new_len)).clip(0, blen - 1)
+            new_body = body[idx].tobytes()
+        else:
+            new_body = b""
+        return _HEADER.pack(_MAGIC, nw, nh, frames, ch, len(new_body)) + new_body
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize_one(p) for p in batch["payload"].to_pylist()]
+        i = batch.schema.get_field_index("payload")
+        return batch.set_column(i, "payload", pa.array(out, pa.binary()))
 
 
 def media_features(batch: pa.Table, dim: int = 16) -> pa.Table:

@@ -80,3 +80,62 @@ def test_media_features_embeddings(ray_session):
         media_features, batch_format="pyarrow", batch_size=8).to_pandas()
     assert df.sort_values("media_id")["embedding"].map(tuple).tolist() == \
         out2.sort_values("media_id")["embedding"].map(tuple).tolist()
+
+
+class TestMediaResize:
+    def test_fit_in_shrinks_and_redecodes(self, ray_session):
+        import ray.data as rd
+        from imagor_ray.stages.multimodal import (
+            MediaDecodeStage, MediaResizeStage, gen_media,
+        )
+
+        ds = rd.from_arrow(gen_media(32))
+        out = (
+            ds.map_batches(MediaResizeStage, fn_constructor_kwargs={
+                "width": 64, "height": 64}, batch_format="pyarrow",
+                batch_size=8, concurrency=2, num_cpus=1)
+            .map_batches(MediaDecodeStage, batch_format="pyarrow",
+                         batch_size=8, concurrency=2, num_cpus=1)
+            .to_pandas()
+        )
+        assert len(out) == 32
+        assert (out["width"] <= 64).all() and (out["height"] <= 64).all()
+
+    def test_fit_in_preserves_aspect_and_never_upscales(self):
+        from imagor_ray.stages.multimodal import (
+            MediaDecodeStage, MediaResizeStage, _encode_fake,
+        )
+
+        stage = MediaResizeStage(width=100, height=100)
+        dec = MediaDecodeStage()
+        # 400x200 → 100x50 (aspect 2:1 kept)
+        p = stage._resize_one(_encode_fake(400, 200, 1, 3, seed=1))
+        assert dec._decode_one(p)[:2] == (100, 50)
+        # 40x20 smaller than target → unchanged (shrink-only)
+        p = stage._resize_one(_encode_fake(40, 20, 1, 3, seed=2))
+        assert dec._decode_one(p)[:2] == (40, 20)
+
+    def test_stretch_forces_exact_dims(self):
+        from imagor_ray.stages.multimodal import (
+            MediaDecodeStage, MediaResizeStage, _encode_fake,
+        )
+
+        stage = MediaResizeStage(width=32, height=48, fit="stretch")
+        p = stage._resize_one(_encode_fake(400, 200, 5, 3, seed=3))
+        w, h, frames, ch, blen = MediaDecodeStage()._decode_one(p)
+        assert (w, h) == (32, 48)
+        assert frames == 5 and ch == 3  # metadata preserved
+        assert blen == min(32 * 48, 4096)
+
+    def test_real_codec_is_honestly_stubbed(self):
+        from imagor_ray.stages.multimodal import MediaResizeStage
+
+        with pytest.raises(NotImplementedError):
+            MediaResizeStage(width=10, codec="real")
+
+    def test_deterministic(self):
+        from imagor_ray.stages.multimodal import MediaResizeStage, _encode_fake
+
+        stage = MediaResizeStage(width=64)
+        p = _encode_fake(300, 100, 1, 3, seed=9)
+        assert stage._resize_one(p) == stage._resize_one(p)
