@@ -504,6 +504,96 @@ def _q_q1(sf_dir: str):
     )
 
 
+def _q_q3(sf_dir: str):
+    """TPC-H Q3-shaped 3-way join: BUILDING-segment customers × orders
+    before the cutoff × lineitems shipped after it, revenue per order.
+
+    Join strategy by side size (the scale rules): the filtered customer
+    side is tiny → broadcast semi-join pruned map-side; orders×lineitem
+    is the genuine large-large exchange → Ray Data's native hash join
+    (``Dataset.join``). Money sums are integer-milli-cents with the
+    identical IEEE expression on both sides (bitwise-reproducible)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    cutoff = pd.Timestamp("1998-06-01")
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = np.sort(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    keys_ref = _ray.put(keys)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def prune_orders(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"] < cutoff]
+        b = b[np.isin(b["o_custkey"].to_numpy(), _ray.get(keys_ref))]
+        return b[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prune_line(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cutoff]
+        ext = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            # identical IEEE expression to the oracle SQL → exact sums
+            "rev_m": np.floor(ext * (1 - disc) * 1000).astype("int64"),
+        })
+
+    joined = orders.map_batches(prune_orders, batch_format="pandas").join(
+        line.map_batches(prune_line, batch_format="pandas"),
+        "inner", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+        ).agg(revenue_m=("rev_m", "sum")).reset_index()
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False
+        ).agg(revenue_m=("revenue_m", "sum")).reset_index()
+        g = g.sort_values(
+            ["revenue_m", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(10)
+        return g[["o_orderkey", "revenue_m", "o_orderdate", "o_orderpriority"]]
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda b: b.assign(_k=0), batch_format="pandas")
+        .groupby("_k")
+        .map_groups(lambda g: topk(g.drop(columns=["_k"])), batch_format="pandas")
+    )
+
+
+_Q3_SQL = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_m,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-06-01'
+  AND l.l_shipdate > DATE '1998-06-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_m DESC, o.o_orderdate, o.o_orderkey
+LIMIT 10
+"""
+
+
 def _q_top_customers(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -881,6 +971,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     # relational breadth
     "q1_pricing": _q_q1,
+    "q3_shipping": _q_q3,
     "top_customers": _q_top_customers,
     "events_by_type": _q_events_by_type,
 }
@@ -913,6 +1004,7 @@ ORACLES = {
     "embedding_neardup": _NEARDUP_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "q1_pricing": _Q1_SQL,
+    "q3_shipping": _Q3_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "events_by_type": _EVENTS_BY_TYPE_SQL,
 }
