@@ -190,6 +190,7 @@ def flagship_write(
         "buckets_written": int((~stats["skipped"]).sum()) if len(stats) else 0,
         "buckets_skipped": len(done) + (int(stats["skipped"].sum()) if len(stats) else 0),
         "rows_written": int(stats["rows"].sum()) if len(stats) else 0,
+        "metrics": sink.metrics(),
     }
 
 

@@ -234,6 +234,24 @@ class ExactlyOnceSink:
             if n.endswith(".parquet")
         )
 
+    def metrics(self) -> dict:
+        """Aggregate per-partition lineage metrics (north rule: resumable
+        from checkpoint with per-partition lineage + metrics): rows,
+        bytes, write latencies, partition count — read straight from the
+        committed manifests."""
+        entries = self.read_manifest()
+        if not entries:
+            return {"partitions": 0, "rows": 0, "bytes": 0,
+                    "write_ms_p50": 0, "write_ms_max": 0}
+        ms = sorted(e.get("write_ms", 0) for e in entries)
+        return {
+            "partitions": len(entries),
+            "rows": int(sum(e["rows"] for e in entries)),
+            "bytes": int(sum(e.get("bytes", 0) for e in entries)),
+            "write_ms_p50": int(ms[len(ms) // 2]),
+            "write_ms_max": int(ms[-1]),
+        }
+
     def content_sha1(self) -> str:
         """Digest over all committed part files — replay equality probe."""
         h = hashlib.sha1()
