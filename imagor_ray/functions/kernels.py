@@ -1170,11 +1170,80 @@ def k_label(s, ctx, args):
     return s.map(lambda t: _splice(t, item, parse_overlay_position(x, len(t), len(item))))
 
 
+import re as _textw_re
+
+_TEXT_FULL_RE = _textw_re.compile(r"^(?:f|full)(-\d+)?$")
+
+
+def parse_text_width(arg: str, canvas_width: int) -> int:
+    """``parseTextWidth`` (util.go:67-92): ``f``/``full``/``f-N`` full-
+    dim tokens, ``Np`` percent, ``0.x`` fraction, plain int."""
+    arg = (arg or "").strip()
+    if not arg:
+        return 0
+    m = _TEXT_FULL_RE.match(arg)
+    if m:
+        return canvas_width + (int(m.group(1)) if m.group(1) else 0)
+    if arg.endswith("p"):
+        return _tz_div(_int_arg(arg[:-1]) * canvas_width, 100)
+    if arg.lstrip("-").startswith("0."):
+        return int(_float_arg(arg) * canvas_width)
+    return _int_arg(arg)
+
+
+def _wrap_text(txt: str, width: int, wrap: str) -> list[str]:
+    """vips TextWrap analogue: ``word`` breaks at spaces (a word longer
+    than the width overflows its line like Pango), ``char`` hard-breaks."""
+    if width <= 0 or not txt:
+        return [txt]
+    if wrap == "char":
+        return [txt[i : i + width] for i in range(0, len(txt), width)]
+    lines, cur = [], ""
+    for word in txt.split(" "):
+        if not cur:
+            cur = word
+        elif len(cur) + 1 + len(word) <= width:
+            cur += " " + word
+        else:
+            lines.append(cur)
+            cur = word
+    lines.append(cur)
+    return lines
+
+
+def _align_line(line: str, width: int, align: str, justify: bool, last: bool) -> str:
+    """Alignment pads with TRANSPARENT cells (rendered text's empty
+    background never paints the base); justification inserts real spaces
+    between words like stretched glyph spacing, except on the last line."""
+    if width <= len(line):
+        return line
+    if justify and not last and " " in line.strip():
+        words = line.split(" ")
+        gaps = len(words) - 1
+        extra = width - len(line)
+        pad, rem = divmod(extra, gaps)
+        out = words[0]
+        for i, word in enumerate(words[1:]):
+            out += " " * (1 + pad + (1 if i < rem else 0)) + word
+        return out
+    fill = width - len(line)
+    if align in ("centre", "center"):
+        left = fill // 2
+        return _TRANSPARENT * left + line + _TRANSPARENT * (fill - left)
+    if align == "high":
+        return _TRANSPARENT * fill + line
+    return line  # low/left: composite's embed padding handles the rest
+
+
 @register_filter("text")
 def k_text(s, ctx, args):
-    """Rich text overlay with wrap-to-width: text(content, x, width, ...)
-    — content wrapped at the parsed width then spliced
-    (filteroverlay.go:284-408; width parse util.go:67-92)."""
+    """Rich text overlay —
+    ``text(text,x,y,font,color,alpha,blend_mode,width,align,justify,
+    wrap,spacing,dpi)`` exactly per the reference
+    (filteroverlay.go:284-408): content wrapped to the parsed width
+    (``f``/``Np``/fraction tokens, util.go:67-92), aligned/justified
+    within it, and composited at (x, y) with the blend-mode matrix.
+    font/color/spacing/dpi are export knobs in the text domain."""
     a = split_args(args)
     if not a:
         return s
@@ -1183,21 +1252,37 @@ def k_text(s, ctx, args):
         txt = _up.unquote_plus(a[0])
     except Exception:
         txt = a[0]
-    x = a[1] if len(a) > 1 else "left"
-    wid = a[2] if len(a) > 2 else ""
+    if txt.startswith("b64:"):
+        try:
+            import base64 as _b64
+            txt = _b64.urlsafe_b64decode(txt[4:] + "=" * (-len(txt[4:]) % 4)).decode(
+                "utf-8", errors="surrogateescape")
+        except Exception:
+            pass
+    if not txt.strip():
+        return s
+    x = a[1] if len(a) > 1 else ""
+    y = a[2] if len(a) > 2 else ""
+    ctx.knobs["text_font"] = a[3] if len(a) > 3 else "sans 20"
+    ctx.knobs["text_color"] = a[4] if len(a) > 4 else ""
+    alpha = _float_arg(a[5]) if len(a) > 5 else 0.0
+    blend = (a[6] if len(a) > 6 else "").strip().lower() or "normal"
+    width_arg = a[7] if len(a) > 7 else ""
+    align = (a[8] if len(a) > 8 else "low").strip().lower() or "low"
+    justify = (a[9] if len(a) > 9 else "").strip().lower() in ("1", "true", "justify")
+    wrap = (a[10] if len(a) > 10 else "word").strip().lower() or "word"
 
     def one(t: str) -> str:
-        if wid.endswith("p"):
-            w = int(_float_arg(wid[:-1]) / 100.0 * len(t))
-        elif wid in ("f", "full", ""):
-            w = len(t)
-        else:
-            f = _float_arg(wid)
-            w = int(f * len(t)) if 0 < f < 1 else int(f)
-        w = max(1, w)
-        wrapped = "|".join(txt[i : i + w] for i in range(0, len(txt), w)) if txt else ""
-        item = "[" + wrapped + "]"
-        return _splice(t, item, parse_overlay_position(x, len(t), len(item)))
+        canvas_w = max((len(l) for l in t.split("\n")), default=0)
+        width = parse_text_width(width_arg, canvas_w)
+        lines = _wrap_text(txt, width, wrap)
+        n = len(lines)
+        box = width if width > 0 else max((len(l) for l in lines), default=0)
+        item = "\n".join(
+            _align_line(l, box, align, justify, i == n - 1)
+            for i, l in enumerate(lines)
+        )
+        return composite_text(t, item, x, y, alpha, blend)
 
     return s.map(one)
 

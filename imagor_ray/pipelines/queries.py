@@ -850,6 +850,13 @@ _FILTER_QUERY_SPECS = {
         "CASE WHEN length(text) >= 1 THEN left(text, length(text) - 1) || '<' ELSE text END",
         {"wm": "<WM>"},
     ),
+    # text() with the reference 13-arg layout (filteroverlay.go:284-408):
+    # 'NOTE' composited at x=right on single-line docs replaces the last
+    # 4 chars (docs are all ≥ 48 chars, so the overlay never clips)
+    "filter_text_overlay": (
+        "filters:text(NOTE,right,0)/img",
+        "left(text, length(text) - 4) || 'NOTE'",
+    ),
     # multi-rect focal weighted centroid (process.go:537-571, 1000-1018):
     # rects (2..6) and (10..14) have equal area → centroid x = 8.0 exactly
     # (small-int float ops); the inverted third rect is dropped like the

@@ -68,6 +68,12 @@ CORPUS_PATHS = [
     ("label_center2d", "filters:label(C,center,center)/img"),
     ("label_alpha50", "filters:label(AL,0,0,0,white,50)/img"),
     ("label_prefix_offset", "filters:label(P,l-2,t-1)/img"),
+    # round-2 extension: text() with the reference 13-arg layout
+    # (filteroverlay.go:284-408)
+    ("text_basic", "filters:text(NOTE)/img"),
+    ("text_xy_blend", "filters:text(mm,right,bottom,sans,black,0,darken)/img"),
+    ("text_wrap_align", "filters:text(alpha+beta+gamma,0,0,sans,black,0,normal,8,high)/img"),
+    ("text_justify", "filters:text(a+b+c+d,0,0,sans,black,0,normal,9,low,justify)/img"),
 ]
 
 INPUT_TEXTS = {

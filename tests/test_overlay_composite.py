@@ -211,3 +211,72 @@ class TestCompositeProperties:
         item = "#" * len(base)
         assert composite_text(base, item, "0", "0", 0, "mask") == base
         assert composite_text(base, item, "0", "0", 0, "mask-out") == " " * len(base)
+
+
+class TestTextFilter:
+    """text(text,x,y,font,color,alpha,blend,width,align,justify,wrap,
+    spacing,dpi) — reference arg layout (filteroverlay.go:284-408)."""
+
+    def test_basic_overlay(self):
+        out = run1("filters:text(HI)/img", "..........")
+        assert out == "HI........"
+
+    def test_xy_positioning(self):
+        out = run1("filters:text(Z,right,bottom)/img", BASE3)
+        assert out.split("\n")[-1].endswith("Z")
+
+    def test_width_wraps_word(self):
+        # width=7 wraps 'one two three' into lines at word boundaries,
+        # composited down the lines
+        out = run1("filters:text(one+two+three,0,0,sans,black,0,normal,7)/img",
+                   "..........\n..........\n..........")
+        lines = out.split("\n")
+        assert lines[0].startswith("one two")
+        assert lines[1].startswith("three")
+
+    def test_width_tokens(self):
+        from imagor_ray.functions.kernels import parse_text_width
+
+        assert parse_text_width("f", 40) == 40
+        assert parse_text_width("f-10", 40) == 30
+        assert parse_text_width("full-10", 40) == 30
+        assert parse_text_width("50p", 40) == 20
+        assert parse_text_width("0.25", 40) == 10
+        assert parse_text_width("7", 40) == 7
+        assert parse_text_width("", 40) == 0
+
+    def test_char_wrap(self):
+        out = run1("filters:text(abcdef,0,0,sans,black,0,normal,2,low,,char)/img",
+                   "....\n....\n....")
+        assert out.split("\n") == ["ab..", "cd..", "ef.."]
+
+    def test_align_high_pads_transparent(self):
+        # right-aligned within width 6: the left pad must NOT blank base
+        out = run1("filters:text(ab,0,0,sans,black,0,normal,6,high)/img",
+                   "0123456789")
+        assert out == "0123ab6789"
+
+    def test_align_centre(self):
+        out = run1("filters:text(ab,0,0,sans,black,0,normal,6,centre)/img",
+                   "0123456789")
+        assert out == "01ab456789"
+
+    def test_justify_distributes_spaces(self):
+        out = run1("filters:text(a+b+c+x,0,0,sans,black,0,normal,5,low,justify,word)/img",
+                   ".......\n.......")
+        # 'a b c' justified to width 5 stays 'a b c'; last line 'x' not justified
+        assert out.split("\n")[0].startswith("a b c")
+        assert out.split("\n")[1].startswith("x")
+
+    def test_blend_arg_position(self):
+        out = run1("filters:text(mmm,0,0,sans,black,0,darken)/img", "azaza")
+        assert out == "amaza"  # per-char min over the overlap
+
+    def test_b64_text(self):
+        import base64
+        enc = base64.urlsafe_b64encode(b"SECRET").decode().rstrip("=")
+        out = run1(f"filters:text(b64:{enc},0,0)/img", "..........")
+        assert out.startswith("SECRET")
+
+    def test_empty_text_noop(self):
+        assert run1("filters:text(%20)/img", "abc") == "abc"
