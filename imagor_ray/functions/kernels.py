@@ -1156,11 +1156,7 @@ def k_label(s, ctx, args):
     a = split_args(args)
     if not a:
         return s
-    try:
-        import urllib.parse as _up
-        txt = _up.unquote_plus(a[0])
-    except Exception:
-        txt = a[0]
+    txt = decode_text_arg(a[0])
     x = a[1] if len(a) > 1 else "left"
     y = a[2] if len(a) > 2 else ""
     alpha = _float_arg(a[5]) if len(a) > 5 else 0.0
@@ -1168,6 +1164,26 @@ def k_label(s, ctx, args):
     if y or alpha > 0:
         return s.map(lambda t: composite_text(t, item, x, y, alpha))
     return s.map(lambda t: _splice(t, item, parse_overlay_position(x, len(t), len(item))))
+
+
+def decode_text_arg(s: str) -> str:
+    """``decodeTextArg`` (util.go:36-46): query-unescape, then decode a
+    ``b64:`` prefix as unpadded base64url; either failure keeps the
+    input unchanged."""
+    try:
+        import urllib.parse as _up
+        s = _up.unquote_plus(s)
+    except Exception:
+        pass
+    if s.startswith("b64:"):
+        try:
+            import base64 as _b64
+            s = _b64.urlsafe_b64decode(
+                s[4:] + "=" * (-len(s[4:]) % 4)
+            ).decode("utf-8", errors="surrogateescape")
+        except Exception:
+            pass
+    return s
 
 
 import re as _textw_re
@@ -1247,18 +1263,7 @@ def k_text(s, ctx, args):
     a = split_args(args)
     if not a:
         return s
-    try:
-        import urllib.parse as _up
-        txt = _up.unquote_plus(a[0])
-    except Exception:
-        txt = a[0]
-    if txt.startswith("b64:"):
-        try:
-            import base64 as _b64
-            txt = _b64.urlsafe_b64decode(txt[4:] + "=" * (-len(txt[4:]) % 4)).decode(
-                "utf-8", errors="surrogateescape")
-        except Exception:
-            pass
+    txt = decode_text_arg(a[0])
     if not txt.strip():
         return s
     x = a[1] if len(a) > 1 else ""
@@ -1300,7 +1305,8 @@ def k_watermark(s, ctx, args):
     a = split_args(args)
     if not a or ctx.lookup is None:
         return s
-    key = a[0]
+    # image-key unescape + b64: prefix decode (filteroverlay.go:72-85)
+    key = decode_text_arg(a[0])
     x = a[1] if len(a) > 1 else "repeat"
     y = a[2] if len(a) > 2 else ""
     alpha = _float_arg(a[3]) if len(a) > 3 else 0.0

@@ -389,7 +389,15 @@ def _nested_image_step(args: str, disabled, max_ops, depth):
     activates the full 2-D blend composite (overlay.go:154-170,
     228-356)."""
     a = ip.split_args(args)
-    nested_path = (a[0] if a else "").lstrip("/")
+    # nested-path query-unescape (filteroverlay.go:21-23); failure keeps
+    # the raw arg like Go's ignored QueryUnescape error
+    raw_path = (a[0] if a else "")
+    try:
+        import urllib.parse as _up
+        raw_path = _up.unquote_plus(raw_path)
+    except Exception:
+        pass
+    nested_path = raw_path.lstrip("/")
     x = a[1] if len(a) > 1 else "left"
     y = a[2] if len(a) > 2 else ""
     alpha = a[3] if len(a) > 3 else ""

@@ -280,3 +280,36 @@ class TestTextFilter:
 
     def test_empty_text_noop(self):
         assert run1("filters:text(%20)/img", "abc") == "abc"
+
+
+class TestDecodeTextArg:
+    """decodeTextArg parity (util.go:36-46) across label/text/watermark/
+    image arg decoding."""
+
+    def test_unescape_then_b64(self):
+        import base64
+        from imagor_ray.functions.kernels import decode_text_arg
+
+        assert decode_text_arg("hello+world") == "hello world"
+        assert decode_text_arg("a%2Fb") == "a/b"
+        enc = base64.urlsafe_b64encode(b"hi there").decode().rstrip("=")
+        assert decode_text_arg(f"b64:{enc}") == "hi there"
+        # failed b64 decode keeps the original (file named b64:...)
+        assert decode_text_arg("b64:!!notb64!!") == "b64:!!notb64!!"
+
+    def test_label_b64(self):
+        import base64
+        enc = base64.urlsafe_b64encode(b"SEC").decode().rstrip("=")
+        out = run1(f"filters:label(b64:{enc},left)/img", "..........")
+        assert out.startswith("[SEC]")
+
+    def test_watermark_key_unescape(self):
+        lookup = {"a/b": "WM"}.get
+        out = run1("filters:watermark(a%2Fb,right)/img", "abcdef", lookup=lookup)
+        assert out == "abcdWM"
+
+    def test_image_path_unescape(self):
+        lookup = {"logo.png": "XYZXYZ"}.get
+        out = run1("filters:image(%2F3x0%2Fleft%2Flogo.png,right)/img",
+                   "abcdef", lookup=lookup)
+        assert out == "abcXYZ"
