@@ -1178,8 +1178,10 @@ def decode_text_arg(s: str) -> str:
     if s.startswith("b64:"):
         try:
             import base64 as _b64
-            s = _b64.urlsafe_b64decode(
-                s[4:] + "=" * (-len(s[4:]) % 4)
+            # validate=True: invalid chars must FAIL like Go's
+            # RawURLEncoding (python otherwise silently drops them)
+            s = _b64.b64decode(
+                s[4:] + "=" * (-len(s[4:]) % 4), altchars=b"-_", validate=True
             ).decode("utf-8", errors="surrogateescape")
         except Exception:
             pass
