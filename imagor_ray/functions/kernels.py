@@ -714,24 +714,33 @@ def k_max_frames(s, ctx, args):
 
 @register_filter("round_corner")
 def k_round_corner(s, ctx, args):
-    """Blank out rx corner chars of the first and last lines with the fill
-    char (filter.go:20-70)."""
+    """round_corner(rx[,ry[,color]]) — mask corner chars with the fill
+    char (filter.go:20-70): ``rx`` chars on each end of the edge lines;
+    ``ry`` (text-domain: LINES per edge, default 1) extends the mask
+    inward with a linear taper toward the ellipse profile; a 3rd arg
+    overrides the mask color."""
     a = split_args(args)
     rx = _int_arg(a[0]) if a else 0
     if rx <= 0:
         return s
-    ch = ctx.fill_char
+    ry = max(1, _int_arg(a[1], 1)) if len(a) > 1 and a[1].strip() else 1
+    ch = _color_char(a[2]) if len(a) > 2 and a[2].strip() else ctx.fill_char
 
     def rc(t: str) -> str:
         lines = t.split("\n")
+        n = len(lines)
 
-        def mask(line: str) -> str:
-            k = min(rx, len(line) // 2)
+        def mask(line: str, k: int) -> str:
+            k = min(k, len(line) // 2)
+            if k <= 0:
+                return line
             return ch * k + line[k : len(line) - k] + ch * k
 
-        if lines:
-            lines[0] = mask(lines[0])
-            lines[-1] = mask(lines[-1])
+        depth = min(ry, (n + 1) // 2)
+        for r in range(depth):
+            k = max(0, round(rx * (ry - r) / ry))
+            lines[r] = mask(lines[r], k)
+            lines[n - 1 - r] = mask(lines[n - 1 - r], k)
         return "\n".join(lines)
 
     return s.map(rc)

@@ -434,3 +434,21 @@ class TestMultiRectFocal:
     def test_single_focal_back_compat(self):
         out = run1("4x0/filters:focal(0x0:0.2x1)/img", "0123456789")
         assert out == "0123"
+
+
+class TestRoundCornerArgs:
+    """round_corner(rx, ry, color) arg forms (filter.go:20-70)."""
+
+    def test_single_arg_back_compat(self):
+        assert k("round_corner", "abcdef", "2") == "  cd  "
+        assert k("round_corner", "ab\ncd\nef", "1") == "  \ncd\n  "
+
+    def test_ry_lines_taper(self):
+        out = k("round_corner", "aaaa\nbbbb\ncccc\ndddd", "2,2")
+        lines = out.split("\n")
+        # edge lines masked rx=2; second ring tapered to 1
+        assert lines[0] == "    " and lines[3] == "    "
+        assert lines[1] == " bb " and lines[2] == " cc "
+
+    def test_color_override(self):
+        assert k("round_corner", "abcdef", "2,1,red") == "rrcdrr"
