@@ -176,9 +176,8 @@ def ivf_topk(
     qids, qmat = _query_matrix(sf_dir, n_queries)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
 
-    # deterministic seeded init: n_centroids vectors picked by hashed id
+    # deterministic seeded init: n_centroids vectors picked by seeded ids
     rng = np.random.default_rng(seed)
-    init_ids = set()
     import pyarrow.parquet as pq
 
     n_total = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows

@@ -144,3 +144,38 @@ class TestNoDriverMaterialization:
         out = embedding_neardup(SF)
         assert len(to_pandas_spy) == 1
         assert to_pandas_spy[0] == len(out)
+
+
+class TestEmptyAndDegenerateInputs:
+    def test_neardup_on_orthogonal_vectors_empty(self, ray_session):
+        import numpy as np
+        from imagor_ray.pipelines.ann import embedding_neardup_ds
+
+        # one-hot vectors: no pair reaches any positive threshold
+        df = pd.DataFrame({
+            "vec_id": np.arange(16, dtype="int64"),
+            "embedding": [np.eye(16)[i] for i in range(16)],
+        })
+        out = embedding_neardup_ds(rd.from_pandas(df), threshold=0.5).to_pandas()
+        assert len(out) == 0
+
+    def test_verify_pairs_with_missing_member(self, ray_session):
+        # a candidate pair whose member is absent from the corpus is
+        # dropped, not crashed (the reduce's missing-payload guard)
+        from imagor_ray.pipelines.pairs import verify_pairs
+
+        pairs = rd.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series([1, 5], dtype="int64"),
+            "doc_b": pd.Series([2, 99], dtype="int64"),  # 99 missing
+        }))
+        items = rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([1, 2, 5], dtype="int64"),
+            "text": ["a b", "a b", "zzz"],
+        }))
+        out = verify_pairs(
+            pairs, items,
+            lambda b: b["text"].map(lambda t: t.encode()),
+            lambda pa_, pb_: 1.0 if pa_ == pb_ else 0.0,
+        ).to_pandas()
+        assert sorted(zip(out["doc_a"], out["doc_b"])) == [(1, 2)]
+        assert out["score"].tolist() == [1.0]
