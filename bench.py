@@ -227,10 +227,78 @@ def run_sortwall() -> dict:
     }
 
 
+def run_stream() -> dict:
+    """End-to-end StreamingFlagshipJob throughput: the production
+    micro-batch loop (watermark + late routing + chain → cycle-scoped
+    exactly-once sink + open-session carryover) over a multi-cycle
+    stream, measured as sustained turns/sec across all cycles."""
+    import shutil
+
+    import ray
+    from ray.data import DataContext
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("GRAFT_STREAM_CPUS", "16"))
+    n_cycles = int(os.environ.get("GRAFT_STREAM_CYCLES", "10"))
+    per_cycle = int(os.environ.get("GRAFT_STREAM_REPLICAS_PER_CYCLE", "10"))
+    root = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/imagor_ray_stream")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(os.environ.get(
+                 "GRAFT_BENCH_OBJ_STORE", str(80_000_000_000))))
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.target_max_block_size = int(os.environ.get(
+        "GRAFT_BENCH_TMBS", str(256 * 1024 * 1024)))
+
+    from imagor_ray.pipelines.streaming import StreamingFlagshipJob
+    from imagor_ray.sources.transcripts import derive_transcripts
+
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "in")
+    os.makedirs(input_dir)
+
+    # stage the micro-batch files (distributed writes; excluded from the
+    # measured window — arrival is the upstream producer's job)
+    import pyarrow.parquet as _pq
+
+    n_events = _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n_turns = n_cycles * per_cycle * n_events
+    for c in range(n_cycles):
+        ds = derive_transcripts(
+            sf_dir, with_turn_idx=True,
+            replicas=(c * per_cycle, (c + 1) * per_cycle),
+        )
+        ds.write_parquet(os.path.join(input_dir, f"batch-{c:05d}.parquet"))
+
+    job = StreamingFlagshipJob(input_dir, os.path.join(root, "state"),
+                               gap_s=1800, num_buckets=64)
+    t0 = time.perf_counter()
+    results = job.run_all()
+    job.flush()
+    wall = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "streaming_flagship_end_to_end",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_turns": int(n_turns),
+        "cycles": len(results),
+        "num_cpus": num_cpus,
+        "turns_per_sec": round(n_turns / wall, 1),
+        "late_rows": int(sum(r["late"] for r in results)),
+        "closed_sessions": int(sum(r["closed"] for r in results)),
+        "sf": sf_dir,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--sortwall" in sys.argv:
         print(json.dumps(run_sortwall()))
+    elif "--stream" in sys.argv:
+        print(json.dumps(run_stream()))
     else:
         print(json.dumps(run_bench()))

@@ -310,7 +310,17 @@ class StreamingFlagshipJob(StreamingSessionJob):
             b["tool_cost"] = kinds.map(lambda kv: kv[1]).astype("int64")
             return b.drop(columns=["chain_path", "sig_ok"], errors="ignore")
 
-        ds = _rd.from_pandas(batch.reset_index(drop=True)).map_batches(
+        # from_pandas(df) yields ONE block — split the cycle into
+        # CPU-count chunks so the chain stage actually parallelizes
+        batch = batch.reset_index(drop=True)
+        import ray as _ray
+
+        n_chunks = max(1, min(
+            int(_ray.cluster_resources().get("CPU", 8)) * 2,
+            len(batch) // 8192 + 1,
+        ))
+        chunks = np.array_split(batch, n_chunks)
+        ds = _rd.from_pandas([c.reset_index(drop=True) for c in chunks]).map_batches(
             proc, batch_format="pandas"
         )
         sink = ExactlyOnceSink(

@@ -196,11 +196,20 @@ def derive_transcripts(
                 events_path,
                 columns=["event_id", "ts", "user_id", "event_type"],
             )
+            # replicas are disjoint in id space AND event time: each
+            # replica's stream is shifted one full span (+1 day) later,
+            # so replica-range micro-batch cycles form a genuinely
+            # advancing event-time stream (watermarks progress instead
+            # of marking later cycles late)
+            ts_us_col = pc.cast(tbl["ts"], pa.timestamp("us")).cast(pa.int64())
+            span = pc.max(ts_us_col).as_py() - pc.min(ts_us_col).as_py()
+            stride_us = span + 86_400_000_000
             for idx in batch["id"]:
                 r = replica_ids[int(idx)]
                 shifted = pa.table({
                     "event_id": pc.add(tbl["event_id"], int(r) * 1_000_000_000),
-                    "ts": tbl["ts"],
+                    "ts": pc.add(ts_us_col, int(r) * stride_us).cast(
+                        pa.timestamp("us")),
                     "user_id": pc.add(tbl["user_id"], int(r) * 1_000_000),
                     "event_type": tbl["event_type"],
                 })
