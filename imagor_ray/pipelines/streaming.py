@@ -146,7 +146,7 @@ class StreamingSessionJob:
         else:
             turns["_start"] = turns["ts"]
 
-        sessions = self._sessionize_with_start(turns, self.gap_s)
+        sessions = self._sessionize_cycle(turns, self.gap_s)
 
         # close sessions whose end + gap < watermark; keep the rest open
         end_us = ts_us(sessions["session_end"])
@@ -186,6 +186,41 @@ class StreamingSessionJob:
         self.cp.save(state)
         self.cp.gc_open_sessions(keep=open_fname)
         return result
+
+    #: above this cycle size the session merge runs as a bucketed Ray
+    #: groupby instead of one driver-side pandas sort (conversations are
+    #: hash-bucket-complete, so per-bucket sessionize is exact)
+    RAY_SESSIONIZE_THRESHOLD = 200_000
+
+    @classmethod
+    def _sessionize_cycle(cls, turns: pd.DataFrame, gap_s: int) -> pd.DataFrame:
+        """Per-cycle sessionize: driver pandas for small cycles, the
+        bucketed distributed path for large ones (same result — asserted
+        in tests)."""
+        if len(turns) <= cls.RAY_SESSIONIZE_THRESHOLD:
+            return cls._sessionize_with_start(turns, gap_s)
+        import ray
+        import ray.data as _rd
+
+        from ..functions.hashing import crc32_bucket
+
+        n_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        turns = turns.reset_index(drop=True)
+        turns["_sb"] = crc32_bucket(
+            turns["conv_id"].to_numpy(), n_buckets
+        ).astype("int32")
+        n_chunks = max(1, len(turns) // 65536 + 1)
+        chunks = [c.reset_index(drop=True) for c in np.array_split(turns, n_chunks)]
+        out = (
+            _rd.from_pandas(chunks)
+            .groupby("_sb")
+            .map_groups(
+                lambda g: cls._sessionize_with_start(g.drop(columns=["_sb"]), gap_s),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+        return out
 
     @staticmethod
     def _sessionize_with_start(turns: pd.DataFrame, gap_s: int) -> pd.DataFrame:

@@ -254,3 +254,32 @@ class TestCrashBetweenStageAndCommit:
         got = job2.closed_sessions().sort_values(
             ["conv_id", "session_start"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_ray_sessionize_path_equals_pandas(ray_session):
+    # the distributed per-cycle sessionize must equal the driver-side
+    # pandas path exactly (conversations are bucket-complete)
+    import numpy as np
+    from imagor_ray.pipelines.streaming import StreamingSessionJob
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    turns = pd.DataFrame({
+        "conv_id": [f"c{rng.integers(0, 200):04d}" for _ in range(n)],
+        "ts": pd.Timestamp("2024-05-01")
+        + pd.to_timedelta(rng.integers(0, 7 * 86400, n), unit="s"),
+        "n_turns": 1,
+    })
+    turns["_start"] = turns["ts"]
+    want = StreamingSessionJob._sessionize_with_start(turns.copy(), 1800)
+    old_thresh = StreamingSessionJob.RAY_SESSIONIZE_THRESHOLD
+    try:
+        StreamingSessionJob.RAY_SESSIONIZE_THRESHOLD = 100  # force Ray path
+        got = StreamingSessionJob._sessionize_cycle(turns.copy(), 1800)
+    finally:
+        StreamingSessionJob.RAY_SESSIONIZE_THRESHOLD = old_thresh
+    key = ["conv_id", "session_start"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
