@@ -715,7 +715,9 @@ def _q_streaming_sessions(sf_dir: str):
     batch sessionization result. The per-day micro-batch files are
     written DISTRIBUTED (one grouped task per day — no driver
     ``to_pandas()`` staging); only the event-time driver loop itself runs
-    on the driver, which is its design (SURVEY §7.4.2)."""
+    on the driver, which is its design (SURVEY §7.4.2). The staging dir
+    is node-local here; a multi-node cluster points it at shared
+    storage (the stream's arrival directory is shared by contract)."""
     import os
     import tempfile
 
