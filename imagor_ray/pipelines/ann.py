@@ -31,8 +31,12 @@ __all__ = [
 ]
 
 
-def _read_emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+def _read_emb(sf_dir: str, with_label: bool = False) -> rd.Dataset:
+    """Column-pruned read: ANN paths never need ``label`` (prune at the
+    read — a vector column dominates row bytes, but every dropped column
+    still saves decode + object-store traffic)."""
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -375,7 +379,8 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
             })
         return pd.DataFrame(rows)
 
-    partials = _read_emb(sf_dir).map_batches(partial, batch_format="pandas")
+    partials = _read_emb(sf_dir, with_label=True).map_batches(
+        partial, batch_format="pandas")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         total = np.sum(np.stack(g["sum_vec"].to_numpy()), axis=0)
