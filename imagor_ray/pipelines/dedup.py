@@ -38,6 +38,8 @@ __all__ = [
     "minhash_pairs",
     "minhash_pairs_ds",
     "simhash_signatures",
+    "simhash_pairs",
+    "simhash_pairs_ds",
     "NUM_HASHES",
     "BAND_SIZE",
 ]
@@ -230,3 +232,70 @@ def simhash_signatures(sf_dir: str) -> rd.Dataset:
         })
 
     return _read_docs(sf_dir).map_batches(batch, batch_format="pandas")
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_pairs_ds(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """SimHash near-duplicate pairs with GUARANTEED recall at the
+    threshold: the 32-bit signature splits into 4 disjoint 8-bit bands,
+    so any pair within Hamming distance ≤ 3 shares at least one exact
+    band (pigeonhole) — candidates come from exact-band buckets, never
+    an all-pairs scan, then the true Hamming distance verifies through
+    the shared co-group machinery. Same 100-TB shape as minhash_pairs:
+    the shuffle carries (band, value, doc_id) triples and candidate
+    signatures only.
+
+    Output rows: doc_a < doc_b, hamming (int) ≤ 3.
+    """
+    from .pairs import dedup_pairs, pairs_from_buckets, verify_pairs
+
+    sigs = simhash_signatures(sf_dir)
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["simhash"].to_numpy().astype(np.int64)
+        frames = []
+        for band in range(4):
+            frames.append(pd.DataFrame({
+                "band": np.full(len(h), band, dtype=np.int32),
+                "sig": (h >> (8 * band)) & 0xFF,
+                "doc_id": b["doc_id"].to_numpy(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        sigs.map_batches(band_rows, batch_format="pandas")
+        .groupby(["band", "sig"])
+        .map_groups(lambda g: pairs_from_buckets(g, "doc_id"), batch_format="pandas")
+    )
+    cand = dedup_pairs(cand, num_buckets=num_buckets)
+
+    def sig_payload(b: pd.DataFrame) -> pd.Series:
+        return b["simhash"].map(lambda h: int(h).to_bytes(8, "big"))
+
+    def hamming(pa_: bytes, pb_: bytes) -> float:
+        return float(bin(
+            int.from_bytes(pa_, "big") ^ int.from_bytes(pb_, "big")
+        ).count("1"))
+
+    scored = verify_pairs(
+        cand, simhash_signatures(sf_dir), sig_payload, hamming,
+        id_col="doc_id", num_buckets=num_buckets,
+    )
+    return scored.map_batches(
+        lambda b: b[b["score"] <= SIMHASH_MAX_HAMMING].rename(
+            columns={"score": "hamming"}
+        ).assign(hamming=lambda d: d["hamming"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
+def simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Catalog form: collects the (small) verified-pair result only."""
+    out = simhash_pairs_ds(sf_dir).to_pandas()
+    if "doc_a" not in out.columns:
+        out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                            "doc_b": pd.Series([], dtype="int64"),
+                            "hamming": pd.Series([], dtype="int64")})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

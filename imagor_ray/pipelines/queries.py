@@ -29,7 +29,10 @@ from ..sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts, tool_meta
 from ..stages.parse_sign import PATH_TEMPLATES
 from ..stages.windows import session_windows, sliding_tool_stats, tumbling_tool_stats
 from .ann import ann_topk, embedding_neardup, ivf_topk, label_centroids, lsh_topk
-from .dedup import exact_dedup, minhash_pairs, minhash_signatures, simhash_signatures
+from .dedup import (
+    exact_dedup, minhash_pairs, minhash_signatures, simhash_pairs,
+    simhash_signatures,
+)
 from .flagship import processed_turns
 from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
 
@@ -208,6 +211,27 @@ j AS (
           (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))), 6) AS jaccard
   FROM cand JOIN w wa ON wa.doc_id = cand.doc_a JOIN w wb ON wb.doc_id = cand.doc_b)
 SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+# simhash near-dup pairs (round 2): 4×8-bit exact-band candidates — the
+# pigeonhole guarantees every pair within hamming ≤ 3 shares a band —
+# verified by true Hamming distance via xor + bit_count.
+_SIMHASH_PAIRS_SQL_TPL = """
+WITH s AS ({SIMHASH}),
+b AS (
+  SELECT doc_id, 0 AS band, (simhash >> 0) & 255 AS sig FROM s
+  UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM s
+  UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM s
+  UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM s),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM b x JOIN b y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN s sa ON sa.doc_id = cand.doc_a
+JOIN s sb ON sb.doc_id = cand.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 """
 
 # 64-bit blurhash sketch SQL mirror (round 2 — was rows-only): whitespace
@@ -972,6 +996,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_pairs": minhash_pairs,
     "simhash_signatures": simhash_signatures,
+    "simhash_pairs": simhash_pairs,
     "text_stats": text_stats,
     "lang_id": lang_id,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -1011,6 +1036,7 @@ ORACLES = {
     "minhash_pairs": _MINHASH_PAIRS_SQL,
     "doc_blurhash": _BLURHASH_SQL,
     "simhash_signatures": _SIMHASH_SQL,
+    "simhash_pairs": _SIMHASH_PAIRS_SQL_TPL.format(SIMHASH=_SIMHASH_SQL),
     "text_stats": _TEXT_STATS_SQL,
     "lang_id": _LANG_ID_SQL,
     "doc_sketches": _SKETCHES_SQL,

@@ -179,3 +179,22 @@ class TestEmptyAndDegenerateInputs:
         ).to_pandas()
         assert sorted(zip(out["doc_a"], out["doc_b"])) == [(1, 2)]
         assert out["score"].tolist() == [1.0]
+
+
+class TestSimhashPairs:
+    def test_matches_bruteforce_hamming(self, ray_session):
+        # the 4x8-bit exact-band pigeonhole guarantees EVERY pair within
+        # hamming <= 3 is found — exact equality with all-pairs brute force
+        from imagor_ray.pipelines.dedup import _simhash32, simhash_pairs
+
+        got = simhash_pairs(SF)
+        docs = pd.read_parquet(f"{SF}/documents.parquet")
+        hs = {int(r.doc_id): _simhash32(r.text) for r in docs.itertuples()}
+        ids = sorted(hs)
+        brute = sorted(
+            (a, b, bin(hs[a] ^ hs[b]).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(hs[a] ^ hs[b]).count("1") <= 3
+        )
+        assert len(brute) > 0
+        assert [tuple(r) for r in got[["doc_a", "doc_b", "hamming"]].to_numpy()] == brute
