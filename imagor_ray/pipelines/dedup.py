@@ -247,6 +247,14 @@ def simhash_pairs_ds(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     the shuffle carries (band, value, doc_id) triples and candidate
     signatures only.
 
+    Scale note: 8-bit bands mean 256 buckets per band, so candidate
+    volume grows O(n²/256) — at corpus scale widen the signature and
+    bands together (64-bit simhash, 16-bit bands keeps the hamming ≤ 3
+    pigeonhole with 65536 buckets/band); the 32-bit form here is pinned
+    by the SQL mirror and the per-bucket cap bounds degenerate buckets
+    (capped buckets forfeit the recall guarantee — the cap is the
+    explicit trade recorded in `pairs.DEFAULT_BUCKET_CAP`).
+
     Output rows: doc_a < doc_b, hamming (int) ≤ 3.
     """
     from .pairs import dedup_pairs, pairs_from_buckets, verify_pairs

@@ -528,6 +528,28 @@ def _q_q1(sf_dir: str):
     )
 
 
+def _q_cep_funnel(sf_dir: str):
+    """CEP sequence detection (pipelines/cep.py): conversations where a
+    signup turn is followed by a purchase turn within one hour — all
+    qualifying ordered pairs counted per conversation."""
+    from .cep import tool_sequence_matches
+
+    return tool_sequence_matches(
+        derive_transcripts(sf_dir), "signup", "purchase", within_s=3600
+    )
+
+
+_CEP_FUNNEL_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+a AS (SELECT conv_id, epoch_us(ts) AS ts_us FROM t WHERE tool = 'signup'),
+b AS (SELECT conv_id, epoch_us(ts) AS ts_us FROM t WHERE tool = 'purchase')
+SELECT a.conv_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM a JOIN b ON a.conv_id = b.conv_id
+ AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 3600000000
+GROUP BY 1
+"""
+
+
 def _q_q3(sf_dir: str):
     """TPC-H Q3-shaped 3-way join: BUILDING-segment customers × orders
     before the cutoff × lineitems shipped after it, revenue per order.
@@ -986,6 +1008,7 @@ QUERIES = {
     "tumbling_tool_stats": _q_tumbling,
     "sliding_tool_stats": _q_sliding,
     "enriched_tool_stats": _q_enriched,
+    "cep_funnel": _q_cep_funnel,
     "event_props_type": _q_props_type,
     "doc_meta": _q_doc_meta,
     **{name: _mk_filter_query(spec[0], spec[2] if len(spec) > 2 else None)
@@ -1031,6 +1054,7 @@ ORACLES = {
     "tumbling_tool_stats": _TUMBLING_SQL,
     "sliding_tool_stats": _SLIDING_SQL,
     "enriched_tool_stats": _ENRICHED_SQL,
+    "cep_funnel": _CEP_FUNNEL_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "minhash_signatures": _MINHASH_SQL,
     "minhash_pairs": _MINHASH_PAIRS_SQL,
