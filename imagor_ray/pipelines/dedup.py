@@ -104,9 +104,7 @@ def _shingles(text: str) -> list[str]:
     return [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
 
 
-def _minhash_row(text: str) -> list[str]:
-    """k-th minhash = lexicographic min over shingles of md5('{k}|'+sh)."""
-    shingles = _shingles(text)
+def _minhash_from_shingles(shingles: list[str]) -> list[str]:
     out = []
     for k in range(NUM_HASHES):
         prefix = f"{k}|".encode()
@@ -114,11 +112,53 @@ def _minhash_row(text: str) -> list[str]:
     return out
 
 
+def _minhash_row(text: str) -> list[str]:
+    """k-th minhash = lexicographic min over shingles of md5('{k}|'+sh)."""
+    return _minhash_from_shingles(_shingles(text))
+
+
 def _signature_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    sigs = [_minhash_row(t) for t in batch["text"].tolist()]
-    cols = {"doc_id": batch["doc_id"].to_numpy()}
+    """Batch-level signature kernel: each DISTINCT shingle in the batch
+    is hashed once per k (documents share shingles heavily in real
+    corpora), then per-doc minima reduce over a bytes matrix — md5-hex
+    is ASCII so bytes ``min`` equals the string lexicographic min of
+    :func:`_minhash_row` exactly (equality-tested)."""
+    texts = batch["text"].tolist()
+    shingle_lists = [_shingles(t) for t in texts]
+    idx: dict[str, int] = {}
+    total = 0
+    for sl in shingle_lists:
+        total += len(sl)
+        for sh in sl:
+            if sh not in idx:
+                idx[sh] = len(idx)
+    if len(idx) > 0.6 * max(1, total):
+        # little cross-doc shingle sharing: the cache buys nothing and
+        # the rank machinery would only add overhead — per-row path
+        cols: dict = {"doc_id": batch["doc_id"].to_numpy()}
+        sigs = [_minhash_from_shingles(sl) for sl in shingle_lists]
+        for k in range(NUM_HASHES):
+            cols[f"mh{k}"] = [s[k] for s in sigs]
+        return pd.DataFrame(cols)
+    uniq = list(idx)
+    hk = np.empty((NUM_HASHES, len(uniq)), dtype="S32")
+    ranks = np.empty((NUM_HASHES, len(uniq)), dtype=np.int64)
     for k in range(NUM_HASHES):
-        cols[f"mh{k}"] = [s[k] for s in sigs]
+        prefix = f"{k}|".encode()
+        hk[k] = [hashlib.md5(prefix + sh.encode()).hexdigest().encode() for sh in uniq]
+        # lexicographic rank per unique shingle: per-doc min becomes an
+        # integer argmin (numpy has no min ufunc for bytes dtypes)
+        order = np.argsort(hk[k], kind="stable")
+        ranks[k, order] = np.arange(len(uniq))
+    cols: dict = {"doc_id": batch["doc_id"].to_numpy()}
+    doc_idx = [
+        np.fromiter((idx[sh] for sh in sl), dtype=np.int64, count=len(sl))
+        for sl in shingle_lists
+    ]
+    for k in range(NUM_HASHES):
+        cols[f"mh{k}"] = [
+            hk[k][ii[np.argmin(ranks[k][ii])]].decode("ascii") for ii in doc_idx
+        ]
     return pd.DataFrame(cols)
 
 
@@ -223,15 +263,36 @@ def _simhash32(text: str) -> int:
     return out
 
 
+def _simhash_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Batch-level SimHash: each DISTINCT word hashed once, its 32 vote
+    bits precomputed as a ±1 row, then per-doc votes are one matrix sum
+    over the word-index gather — bit-identical to :func:`_simhash32`
+    (equality-tested)."""
+    texts = b["text"].tolist()
+    word_lists = [sorted(set(t.split(" "))) for t in texts]
+    idx: dict[str, int] = {}
+    for wl in word_lists:
+        for w in wl:
+            if w not in idx:
+                idx[w] = len(idx)
+    bits = np.empty((len(idx), 32), dtype=np.int64)
+    for w, i in idx.items():
+        h = hashlib.md5(w.encode()).hexdigest()
+        for bpos in range(32):
+            nibble = int(h[bpos // 4], 16)
+            bits[i, bpos] = 1 if (nibble >> (3 - (bpos % 4))) & 1 else -1
+    weights = (np.int64(1) << np.arange(31, -1, -1, dtype=np.int64))
+    out = np.empty(len(texts), dtype=np.int64)
+    for r, wl in enumerate(word_lists):
+        ii = np.fromiter((idx[w] for w in wl), dtype=np.int64, count=len(wl))
+        votes = bits[ii].sum(axis=0)
+        out[r] = int(((votes > 0) * weights).sum())
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(), "simhash": out})
+
+
 def simhash_signatures(sf_dir: str) -> rd.Dataset:
     """Output: doc_id, simhash (int64)."""
-    def batch(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": b["doc_id"].to_numpy(),
-            "simhash": np.array([_simhash32(t) for t in b["text"].tolist()], dtype="int64"),
-        })
-
-    return _read_docs(sf_dir).map_batches(batch, batch_format="pandas")
+    return _read_docs(sf_dir).map_batches(_simhash_batch, batch_format="pandas")
 
 
 SIMHASH_MAX_HAMMING = 3

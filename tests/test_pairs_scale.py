@@ -198,3 +198,35 @@ class TestSimhashPairs:
         )
         assert len(brute) > 0
         assert [tuple(r) for r in got[["doc_a", "doc_b", "hamming"]].to_numpy()] == brute
+
+
+class TestBatchSignatureKernels:
+    """The batch-cached signature kernels must be bit-identical to the
+    per-row reference implementations."""
+
+    @staticmethod
+    def _texts():
+        return ["the quick brown fox", "a b", "", "one",
+                "the quick brown fox jumps", "x " * 30 + "y",
+                "héllo wörld 哈哈 test words here"]
+
+    def test_minhash_batch_equals_per_row(self):
+        from imagor_ray.pipelines.dedup import (
+            NUM_HASHES, _minhash_row, _signature_batch,
+        )
+
+        b = pd.DataFrame({"doc_id": range(len(self._texts())),
+                          "text": self._texts()})
+        got = _signature_batch(b.copy())
+        for i, t in enumerate(self._texts()):
+            want = _minhash_row(t)
+            for k in range(NUM_HASHES):
+                assert got[f"mh{k}"].iloc[i] == want[k], (i, k)
+
+    def test_simhash_batch_equals_per_row(self):
+        from imagor_ray.pipelines.dedup import _simhash32, _simhash_batch
+
+        b = pd.DataFrame({"doc_id": range(len(self._texts())),
+                          "text": self._texts()})
+        got = _simhash_batch(b.copy())
+        assert got["simhash"].tolist() == [_simhash32(t) for t in self._texts()]
