@@ -170,3 +170,45 @@ def test_sessionize_matches_bruteforce(rows, gap_s):
         got[["conv_id", "session_id", "session_start", "session_end", "n_turns"]],
         exp, check_dtype=False,
     )
+
+
+class TestChainFuzz:
+    """Robustness: arbitrary paths and filter args must never crash the
+    chain compiler or kernels (the reference ignores unknown filters and
+    swallows bad args via strconv defaults)."""
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=60),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=1000),
+                max_size=80),
+    )
+    def test_compile_and_run_never_crash(self, path, text):
+        import pandas as pd
+        from imagor_ray.stages.chain import compile_chain
+
+        chain = compile_chain(path)
+        out = chain.run(pd.Series([text], dtype=object)).iloc[0]
+        assert isinstance(out, str)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.sampled_from(["blur", "sharpen", "crop", "trim", "proportion",
+                         "padding", "round_corner", "rotate", "label", "text",
+                         "watermark", "focal", "pixelate", "max_bytes",
+                         "brightness", "hue", "rgb", "modulate", "fill",
+                         "background_color", "format", "page", "image"]),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=30).filter(lambda s: ")" not in s and "(" not in s),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=1000),
+                max_size=60),
+    )
+    def test_any_filter_any_args_never_crashes(self, name, args, text):
+        import pandas as pd
+        from imagor_ray.stages.chain import compile_chain
+
+        chain = compile_chain(f"filters:{name}({args})/img")
+        out = chain.run(pd.Series([text], dtype=object),
+                        lookup={"k": "SNIP"}.get).iloc[0]
+        assert isinstance(out, str)
