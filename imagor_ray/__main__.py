@@ -88,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=cfg.num_buckets, replicas=cfg.replicas,
             check_freshness=cfg.check_freshness,
             source_write_through=cfg.source_write_through or None,
+            disabled_filters=tuple(cfg.disabled_filters),
+            max_filter_ops=cfg.max_filter_ops,
+            detector=cfg.detector,
         )
         print(json.dumps(summary))
     elif args.cmd == "sessions":

@@ -108,6 +108,9 @@ def flagship_write(
     replicas=1,
     check_freshness: bool = False,
     source_write_through: str | None = None,
+    disabled_filters: tuple = (),
+    max_filter_ops: int | None = None,
+    detector: str | None = None,
 ) -> dict:
     """Fused flagship → exactly-once sink with ONE shuffle end-to-end.
 
@@ -174,7 +177,15 @@ def flagship_write(
             # extra shuffle — the save-goroutine analogue)
             raw = g[cols + ["signature", "_bucket"]].copy()
             source_sink.write_partition_df(raw, check_freshness=check_freshness)
-        g = filter_chain_batch(g, dim_ref=dim_ref, path_col="chain_path")
+        chain_kwargs = {}
+        if disabled_filters:
+            chain_kwargs["disabled_filters"] = tuple(disabled_filters)
+        if max_filter_ops is not None:
+            chain_kwargs["max_filter_ops"] = max_filter_ops
+        if detector is not None:
+            chain_kwargs["detector"] = detector
+        g = filter_chain_batch(g, dim_ref=dim_ref, path_col="chain_path",
+                               **chain_kwargs)
         kinds = g["tool"].map(lambda t: meta.get(t, ("unknown", 0)))
         g["tool_kind"] = kinds.map(lambda kv: kv[0])
         g["tool_cost"] = kinds.map(lambda kv: kv[1]).astype("int64")

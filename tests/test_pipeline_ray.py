@@ -527,3 +527,37 @@ class TestIvfTopk:
         full = ivf_topk(SF, n_queries=3, k=10, n_centroids=8, n_probe=8)
         pd.testing.assert_frame_equal(
             bf[bf["query_id"] < 3].reset_index(drop=True), full)
+
+
+class TestConfigPlumbing:
+    def test_disabled_filters_reach_the_flagship_chain(self, ray_session, tmp_path):
+        # disabling label must change chain output for the view template
+        # (config.go:33-133 → vipsconfig disable list); purchase has no
+        # label so it stays identical
+        from imagor_ray.pipelines.flagship import flagship_write
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d1, d2 = str(tmp_path / "on"), str(tmp_path / "off")
+        flagship_write(SF, d1, num_buckets=4)
+        flagship_write(SF, d2, num_buckets=4, disabled_filters=("label",))
+        a = ExactlyOnceSink(d1, 4).read().to_pandas().set_index(["conv_id", "turn_idx"])
+        b = ExactlyOnceSink(d2, 4).read().to_pandas().set_index(["conv_id", "turn_idx"])
+        view = a[a["tool"] == "view"].join(b, rsuffix="_off")
+        assert (view["text"] != view["text_off"]).any()   # [VIEW] overlay gone
+        other = a[a["tool"] == "purchase"].join(b, rsuffix="_off")
+        assert (other["text"] == other["text_off"]).all()
+
+    def test_cli_env_precedence_end_to_end(self):
+        import json
+        import subprocess
+        import sys as _sys
+
+        out = subprocess.run(
+            [_sys.executable, "-m", "imagor_ray", "config"],
+            env={**__import__("os").environ, "IMAGOR_RAY_NUM_BUCKETS": "13",
+                 "IMAGOR_RAY_DISABLED_FILTERS": "blur,sharpen"},
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout
+        cfg = json.loads(out.strip().splitlines()[-1])
+        assert cfg["num_buckets"] == 13
+        assert cfg["disabled_filters"] == ["blur", "sharpen"]
