@@ -156,7 +156,25 @@ class ExactlyOnceSink:
             # 389): they flow through the processed stream but are never
             # persisted
             g = g[~g["preview"].astype(bool)].drop(columns=["preview"])
-        g = g.drop_duplicates(subset=list(KEY_COLS), keep="first")
+        # deterministic keyed dedup: "first" must not depend on shuffle
+        # arrival order, or a replay whose blocks arrive differently could
+        # keep a different row when duplicate keys carry different
+        # payloads (cannot happen for legitimate flagship data — equal
+        # key ⇒ identical row — but the exactly-once contract holds for
+        # adversarial input too). Ties break on a content hash of the
+        # full row, so the kept row is a pure function of the data. The
+        # hash is gated behind a cheap key-duplicate probe, so the
+        # unique-key fast path (every flagship bucket) pays nothing.
+        if g.duplicated(subset=list(KEY_COLS)).any():
+            row_fp = pd.util.hash_pandas_object(
+                g.drop(columns=["_bucket"]), index=False
+            ).to_numpy()
+            g = (
+                g.assign(_row_fp=row_fp)
+                .sort_values([*KEY_COLS, "_row_fp"], kind="mergesort")
+                .drop_duplicates(subset=list(KEY_COLS), keep="first")
+                .drop(columns=["_row_fp"])
+            )
         g = g.sort_values(
             ["conv_id", "turn_idx", *sort_extra], kind="mergesort"
         ).drop(columns=["_bucket"]).reset_index(drop=True)

@@ -561,3 +561,42 @@ class TestConfigPlumbing:
         cfg = json.loads(out.strip().splitlines()[-1])
         assert cfg["num_buckets"] == 13
         assert cfg["disabled_filters"] == ["blur", "sharpen"]
+
+
+class TestSinkProperty:
+    """Hypothesis: for arbitrary keyed frames, replay and partial-repair
+    always reproduce the exact committed bytes (the exactly-once
+    contract under any data shape)."""
+
+    def test_random_frames_replay_byte_identical(self, ray_session, tmp_path):
+        import hashlib as _hl
+
+        import numpy as np
+        import ray.data as rd
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        rng = np.random.default_rng(17)
+        for trial in range(3):
+            n = int(rng.integers(1, 400))
+            df = pd.DataFrame({
+                "conv_id": [f"c{rng.integers(0, 37):03d}" for _ in range(n)],
+                "turn_idx": rng.integers(0, 50, n).astype("int32"),
+                "signature": [f"s{rng.integers(0, 10)}" for _ in range(n)],
+                "text": [f"payload {rng.integers(0, 1_000_000)}" for _ in range(n)],
+            })
+            d = str(tmp_path / f"t{trial}")
+            sink = ExactlyOnceSink(d, num_buckets=5)
+            sink.write(rd.from_pandas(df))
+            sha = sink.content_sha1()
+            # full replay is a no-op
+            s2 = sink.write(rd.from_pandas(df.sample(frac=1.0, random_state=1)))
+            assert s2["rows_written"] == 0
+            assert sink.content_sha1() == sha
+            # repair one randomly deleted bucket
+            files = sink.output_files()
+            victim = files[int(rng.integers(0, len(files)))]
+            bucket = victim.split("part-")[1][:5]
+            os.remove(victim)
+            os.remove(os.path.join(d, "_manifest", f"bucket-{bucket}.json"))
+            sink.write(rd.from_pandas(df))
+            assert sink.content_sha1() == sha, f"trial {trial} diverged"
