@@ -175,8 +175,13 @@ class ExactlyOnceSink:
                 .drop_duplicates(subset=list(KEY_COLS), keep="first")
                 .drop(columns=["_row_fp"])
             )
+        # total order over surviving rows: keys are unique after dedup,
+        # so appending the remaining key column makes the sort
+        # shuffle-order-independent (two rows sharing (conv, turn) but
+        # differing in signature previously kept arrival order); for
+        # flagship data (conv, turn) is already unique — bytes unchanged
         g = g.sort_values(
-            ["conv_id", "turn_idx", *sort_extra], kind="mergesort"
+            ["conv_id", "turn_idx", *sort_extra, "signature"], kind="mergesort"
         ).drop(columns=["_bucket"]).reset_index(drop=True)
         # per-key freshness probe (loadResult modified-time check,
         # imagor.go:605-652): the committed sha1 IS the content
