@@ -212,3 +212,31 @@ class TestChainFuzz:
         out = chain.run(pd.Series([text], dtype=object),
                         lookup={"k": "SNIP"}.get).iloc[0]
         assert isinstance(out, str)
+
+
+class TestNormalizeProperties:
+    """Normalize/escape invariants (normalize.go:16-143): idempotence and
+    safe-chars closure for arbitrary inputs."""
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=80))
+    def test_normalize_output_is_safe(self, s):
+        # NOT idempotent (the reference re-escapes '%' too); the real
+        # invariant: output contains only safe chars and %XX escapes
+        import re
+        from imagor_ray.functions.imagorpath import normalize
+
+        out = normalize(s)
+        stripped = re.sub(r"%[0-9A-F]{2}", "", out)
+        assert not re.search(r"[%\s]", stripped)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=500),
+                   max_size=60))
+    def test_signer_stable_and_urlsafe(self, path):
+        from imagor_ray.functions.imagorpath import HMACSigner
+
+        signer = HMACSigner("sha256", 0, "k")
+        sig = signer.sign(path)
+        assert sig == signer.sign(path)
+        assert all(c.isalnum() or c in "-_=" for c in sig)
