@@ -68,6 +68,13 @@ def crc32_bucket(values, num_buckets: int) -> np.ndarray:
 
 
 _CONV_PREFIX = np.frombuffer(b"conv_", dtype=np.uint8)
+# powers of 10 covering the full int64 range; digit count is a
+# searchsorted against this table — exact integer arithmetic, because
+# float log10 rounds up just below powers of 10 (10**15 - 1 has
+# log10 == 15.0 in float64, which would miscount 15 digits as 16 and
+# silently break the bit-identical crc32('conv_'||lpad(uid,6,'0'))
+# contract that aligns every partition key in the engine)
+_POW10 = 10 ** np.arange(1, 19, dtype=np.int64)
 
 
 def conv_bucket_from_uid(uid, num_buckets: int) -> np.ndarray:
@@ -79,10 +86,9 @@ def conv_bucket_from_uid(uid, num_buckets: int) -> np.ndarray:
     if len(uid) == 0:
         return np.empty(0, dtype=np.int64)
     # lpad to 6 → width grows only when uid has >6 digits (bench replicas)
-    ndig = np.full(len(uid), 6, dtype=np.int64)
-    big = uid >= 1_000_000
-    if big.any():
-        ndig[big] = np.int64(np.floor(np.log10(uid[big]))) + 1
+    ndig = np.maximum(
+        np.searchsorted(_POW10, uid, side="right") + 1, 6
+    ).astype(np.int64)
     out = np.empty(len(uid), dtype=np.uint32)
     for d in np.unique(ndig):
         idx = np.where(ndig == d)[0]

@@ -153,7 +153,12 @@ class StreamingSessionJob:
         closed_mask = (end_us + self.gap_s * 1_000_000) < new_watermark
         closed = sessions[closed_mask].sort_values(
             ["conv_id", "session_start"]).reset_index(drop=True)
-        still_open = sessions[~closed_mask].reset_index(drop=True)
+        # sort the snapshot too: above RAY_SESSIONIZE_THRESHOLD the
+        # sessionize is a Ray groupby whose output row order varies
+        # between runs, and the staged open-session side file must be
+        # byte-stable for the crash-replay byte-identity guarantee
+        still_open = sessions[~closed_mask].sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
 
         cycle = int(state.get("cycles", 0))
         if len(closed):

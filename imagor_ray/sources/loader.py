@@ -258,7 +258,11 @@ def guarded_load(ds, transport, **cfg):
     mirror of ``stages/errors.route``."""
     loaded = ds.map_batches(
         GuardedLoaderStage(transport, **cfg), batch_format="pandas"
-    )
+    ).materialize()
+    # materialize() pins the loaded blocks so the ok/dead branches below
+    # are filters over the SAME single execution — without it each
+    # consumer re-runs the loader stage, doubling every external fetch
+    # (and every retry) against the remote source
     ok = loaded.map_batches(lambda b: b[b["error_code"] == ""], batch_format="pandas")
     dead = loaded.map_batches(lambda b: b[b["error_code"] != ""], batch_format="pandas")
     return ok, dead

@@ -194,6 +194,13 @@ class ExactlyOnceSink:
             with open(mpath) as f:
                 committed_sha = json.load(f).get("sha1")
         tmp = final + ".tmp"
+        # inside the try block a COMMITTED data file pre-exists at `final`
+        # iff committed_sha is not None (without check_freshness a
+        # committed bucket returned early above; a data file without a
+        # manifest is an uncommitted leftover). `replaced` tracks whether
+        # THIS call swapped the new bytes in — the error handler must
+        # never delete previously committed data it didn't touch.
+        replaced = False
         try:
             table = pa.Table.from_pandas(g, preserve_index=False)
             pq.write_table(table, tmp, compression="snappy")
@@ -210,6 +217,7 @@ class ExactlyOnceSink:
                     {"bucket": [bucket], "rows": [0], "skipped": [True]}
                 )
             os.replace(tmp, final)  # atomic commit of the data file
+            replaced = True
             entry = {
                 "partition_id": bucket,
                 "rows": len(g),
@@ -237,9 +245,35 @@ class ExactlyOnceSink:
                     os.close(dfd)
         except BaseException:
             # delete-on-error like saveWithErrorHandling (imagor.go:795-808)
-            for path in (tmp, final):
+            # — but only for files THIS call created. A failed freshness
+            # rewrite of a committed bucket must not destroy the committed
+            # data: before os.replace the old (final, manifest) pair is
+            # untouched and stays committed; after os.replace the new
+            # bytes are in place but unrecorded, so the manifest comes
+            # off too and the bucket reverts to uncommitted (a replay
+            # rewrites it) rather than being skipped with its data gone.
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            if committed_sha is None:
+                # also drop the manifest this call may have just written
+                # (e.g. the directory fsync failed after the manifest
+                # rename) — a manifest must never outlive its data file
+                for path in (final, mpath, mpath + ".tmp"):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
+            elif replaced:
+                for path in (final, mpath, mpath + ".tmp"):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
+            else:
                 try:
-                    os.remove(path)
+                    os.remove(mpath + ".tmp")
                 except OSError:
                     pass
             raise

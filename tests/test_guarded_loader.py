@@ -163,3 +163,48 @@ class TestTransportChain:
         assert isinstance(chain, Transport)
         out = GuardedLoaderStage(chain)(pd.DataFrame({"key": ["h/f.txt"]}))
         assert out["payload"].tolist() == ["payload"]
+
+
+class TestSingleExecution:
+    """guarded_load materializes the loaded dataset once: consuming BOTH
+    the ok and dead-letter branches must not re-run the loader stage
+    (previously every external fetch — and every retry — executed twice,
+    doubling transport traffic)."""
+
+    def test_each_key_fetched_exactly_once(self, fixtures, ray_session, tmp_path):
+        import uuid
+
+        import ray.data as rd
+
+        marker_dir = str(tmp_path / "fetches")
+        os.makedirs(marker_dir)
+
+        class RecordingTransport(LocalFileTransport):
+            # fetch evidence must cross the Ray worker boundary: one
+            # marker file per get(), counted on the driver
+            def __init__(self, root, marker):
+                super().__init__(root)
+                self.marker = marker
+
+            def get(self, key):
+                with open(os.path.join(self.marker, uuid.uuid4().hex), "w") as f:
+                    f.write(key)
+                return super().get(key)
+
+        ds = rd.from_pandas(pd.DataFrame({"key": [
+            "cdn.example.fixture/img/small.txt",
+            "evil.example.fixture/img/evil.txt",
+        ]}))
+        ok, dead = guarded_load(
+            ds, RecordingTransport(fixtures, marker_dir),
+            allowed_sources=("cdn.*",),
+        )
+        assert ok.count() == 1
+        assert dead.count() == 1
+        fetched = sorted(
+            open(os.path.join(marker_dir, f)).read()
+            for f in os.listdir(marker_dir)
+        )
+        # the blocked key never hit the transport; the allowed key was
+        # fetched exactly once despite both branches being consumed
+        assert fetched == ["cdn.example.fixture/img/small.txt"]

@@ -95,3 +95,25 @@ class TestSmearVectorized:
         got = _smear_series(s, w, sharpen)
         want = s.map(lambda t: _smear(t, w, sharpen))
         assert got.tolist() == want.tolist()
+
+
+def test_conv_bucket_digit_count_boundaries():
+    """Regression (ADVICE r2): float log10 rounds up just below powers of
+    10 (e.g. 10**15 - 1), miscounting digits and silently breaking the
+    bit-identical contract with crc32 of the formatted conv_id."""
+    uids = [999_999_999_999_999]  # the reported failing value (10**15 - 1)
+    for k in range(6, 18):
+        uids += [10**k - 1, 10**k, 10**k + 1]
+    uids = np.array(uids, dtype=np.int64)
+    got = conv_bucket_from_uid(uids, 64)
+    want = _ref([f"conv_{u:06d}" for u in uids]).astype(np.int64) % 64
+    np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=30))
+def test_property_conv_bucket_full_int64_range(uids):
+    uids = np.array(uids, dtype=np.int64)
+    got = conv_bucket_from_uid(uids, 97)
+    want = _ref([f"conv_{u:06d}" for u in uids]).astype(np.int64) % 97
+    np.testing.assert_array_equal(got, want)

@@ -600,3 +600,100 @@ class TestSinkProperty:
             os.remove(os.path.join(d, "_manifest", f"bucket-{bucket}.json"))
             sink.write(rd.from_pandas(df))
             assert sink.content_sha1() == sha, f"trial {trial} diverged"
+
+
+class TestFreshnessCrashSafety:
+    """A failed freshness rewrite must never destroy committed data: the
+    delete-on-error handler (imagor.go:795-808 analogue) may only remove
+    files THIS call created. Previously any exception during a committed
+    bucket's probe/rewrite deleted the committed part file while its
+    manifest survived — the bucket was then skipped forever (silent
+    permanent loss)."""
+
+    @staticmethod
+    def _committed(tmp_path, name):
+        import ray.data as rd
+        from imagor_ray.state.sink import ExactlyOnceSink, conv_bucket
+
+        df = TestPerKeyFreshness._rows()
+        sink = ExactlyOnceSink(str(tmp_path / name), num_buckets=4)
+        sink.write(rd.from_pandas(df))
+        df2 = df.copy()
+        df2.loc[5, "text"] = "MUTATED"
+        df2["_bucket"] = conv_bucket(df2["conv_id"], 4).astype("int32")
+        hot = int(df2.loc[5, "_bucket"])
+        group = df2[df2["_bucket"] == hot].reset_index(drop=True)
+        return sink, df2.drop(columns=["_bucket"]), group, hot
+
+    def test_failure_before_replace_keeps_committed_bytes(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        from imagor_ray.state import sink as sink_mod
+
+        sink, _, group, hot = self._committed(tmp_path, "pre")
+        sha = sink.content_sha1()
+
+        def boom(*a, **k):
+            raise RuntimeError("disk full")
+
+        monkeypatch.setattr(sink_mod.pq, "write_table", boom)
+        with pytest.raises(RuntimeError):
+            sink.write_partition_df(group, check_freshness=True)
+        monkeypatch.undo()
+        # old committed (data, manifest) pair untouched and still readable
+        assert hot in sink.committed_buckets()
+        assert sink.content_sha1() == sha
+        for f in sink.output_files():
+            pd.read_parquet(f)
+
+    def test_failure_after_replace_reverts_bucket_to_uncommitted(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        import ray.data as rd
+        from imagor_ray.state import sink as sink_mod
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        sink, df2, group, hot = self._committed(tmp_path, "post")
+
+        def boom(*a, **k):
+            raise RuntimeError("crash during manifest write")
+
+        monkeypatch.setattr(sink_mod.json, "dump", boom)
+        with pytest.raises(RuntimeError):
+            sink.write_partition_df(group, check_freshness=True)
+        monkeypatch.undo()
+        # new bytes were swapped in but never recorded → the bucket must
+        # revert to uncommitted (manifest gone with the data file) so a
+        # replay rewrites it instead of skipping a hole
+        assert hot not in sink.committed_buckets()
+        part = os.path.join(sink.out_dir, f"part-{hot:05d}.parquet")
+        assert not os.path.exists(part)
+        # replay converges to a from-scratch run on the mutated input
+        sink.write(rd.from_pandas(df2))
+        fresh = ExactlyOnceSink(str(tmp_path / "post_fresh"), num_buckets=4)
+        fresh.write(rd.from_pandas(df2))
+        assert sink.content_sha1() == fresh.content_sha1()
+
+    def test_uncommitted_failure_never_leaves_orphan_manifest(
+        self, tmp_path, monkeypatch
+    ):
+        # first-time write failing mid-manifest-commit: no manifest may
+        # outlive a deleted data file
+        from imagor_ray.state import sink as sink_mod
+        from imagor_ray.state.sink import ExactlyOnceSink, conv_bucket
+
+        df = TestPerKeyFreshness._rows()
+        df["_bucket"] = conv_bucket(df["conv_id"], 4).astype("int32")
+        group = df[df["_bucket"] == int(df["_bucket"].iloc[0])].reset_index(drop=True)
+        sink = ExactlyOnceSink(str(tmp_path / "orphan"), num_buckets=4)
+        os.makedirs(sink.manifest_dir, exist_ok=True)
+
+        def boom(*a, **k):
+            raise RuntimeError("crash in manifest write")
+
+        monkeypatch.setattr(sink_mod.json, "dump", boom)
+        with pytest.raises(RuntimeError):
+            sink.write_partition_df(group)
+        monkeypatch.undo()
+        assert sink.committed_buckets() == set()
+        assert sink.output_files() == []

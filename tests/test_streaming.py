@@ -283,3 +283,30 @@ def test_ray_sessionize_path_equals_pandas(ray_session):
         got.sort_values(key).reset_index(drop=True),
         want.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_open_snapshot_byte_stable_across_runs(tmp_path, ray_session):
+    """The staged open-session snapshot must be byte-identical between a
+    run and its replay even when the per-cycle sessionize runs as a Ray
+    groupby (whose output row order varies) — still_open is sorted
+    before staging."""
+    rows = [
+        (f"c{i % 23:03d}", f"2024-06-01 {i % 24:02d}:{i % 60:02d}:00")
+        for i in range(400)
+    ]
+    stream = write_stream(tmp_path, [rows])
+    old = StreamingSessionJob.RAY_SESSIONIZE_THRESHOLD
+    try:
+        StreamingSessionJob.RAY_SESSIONIZE_THRESHOLD = 10  # force Ray path
+        shas = []
+        for name in ("sA", "sB"):
+            job = StreamingSessionJob(stream, str(tmp_path / name), gap_s=1800)
+            job.run_cycle()
+            state = job.cp.load()
+            snap = os.path.join(job.cp.path, state["open_sessions_file"])
+            with open(snap, "rb") as f:
+                import hashlib
+                shas.append(hashlib.sha1(f.read()).hexdigest())
+    finally:
+        StreamingSessionJob.RAY_SESSIONIZE_THRESHOLD = old
+    assert shas[0] == shas[1]
