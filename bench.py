@@ -269,7 +269,10 @@ def run_stream() -> dict:
             sf_dir, with_turn_idx=True,
             replicas=(c * per_cycle, (c + 1) * per_cycle),
         )
-        ds.write_parquet(os.path.join(input_dir, f"batch-{c:05d}.parquet"))
+        # producer-side file sizing: ~64k-row files keep the consumer's
+        # read from fragmenting into hundreds of tiny footers
+        ds.write_parquet(os.path.join(input_dir, f"batch-{c:05d}.parquet"),
+                         min_rows_per_file=65536)
 
     job = StreamingFlagshipJob(input_dir, os.path.join(root, "state"),
                                gap_s=1800, num_buckets=64)

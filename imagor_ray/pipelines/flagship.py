@@ -33,7 +33,9 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..sources.transcripts import TOOL_META, derive_transcripts, tool_meta_table
+from ..sources.transcripts import (
+    TOOL_META, derive_transcripts, enrich_tool_columns, tool_kind_cost_maps,
+)
 from ..stages.chain import FilterChainStage, filter_chain_batch
 from ..stages.parse_sign import DEFAULT_SECRET, parse_sign_batch
 from ..stages.windows import session_windows, tumbling_tool_stats
@@ -86,15 +88,10 @@ def processed_turns(
             fn_kwargs={"dim_ref": dim_ref, "path_col": "chain_path"},
             batch_format="pandas", batch_size=batch_size,
         )
-    meta = {
-        row["tool"]: (row["tool_kind"], row["tool_cost"])
-        for _, row in tool_meta_table().iterrows()
-    }
+    kind_map, cost_map = tool_kind_cost_maps()
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
-        kinds = b["tool"].map(lambda t: meta.get(t, ("unknown", 0)))
-        b["tool_kind"] = kinds.map(lambda kv: kv[0])
-        b["tool_cost"] = kinds.map(lambda kv: kv[1]).astype("int64")
+        b = enrich_tool_columns(b, kind_map, cost_map)
         return b.drop(columns=["chain_path", "sig_ok"], errors="ignore")
 
     return ds.map_batches(enrich, batch_format="pandas", batch_size=batch_size)
@@ -149,10 +146,7 @@ def flagship_write(
     done = sink.committed_buckets()
     os.makedirs(sink.manifest_dir, exist_ok=True)
     dim_ref = ray.put(snippet_dim())
-    meta = {
-        row["tool"]: (row["tool_kind"], row["tool_cost"])
-        for _, row in tool_meta_table().iterrows()
-    }
+    kind_map, cost_map = tool_kind_cost_maps()
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
     if done and not check_freshness:
@@ -186,9 +180,7 @@ def flagship_write(
             chain_kwargs["detector"] = detector
         g = filter_chain_batch(g, dim_ref=dim_ref, path_col="chain_path",
                                **chain_kwargs)
-        kinds = g["tool"].map(lambda t: meta.get(t, ("unknown", 0)))
-        g["tool_kind"] = kinds.map(lambda kv: kv[0])
-        g["tool_cost"] = kinds.map(lambda kv: kv[1]).astype("int64")
+        g = enrich_tool_columns(g, kind_map, cost_map)
         g = g.drop(columns=["chain_path", "sig_ok"], errors="ignore")
         g["_bucket"] = bucket
         return sink.write_partition_df(g, check_freshness=check_freshness)

@@ -459,12 +459,13 @@ def _q_sliding(sf_dir: str):
 
 def _q_enriched(sf_dir: str):
     ds = derive_transcripts(sf_dir, with_turn_idx=False)
-    meta = {r["tool"]: (r["tool_kind"], int(r["tool_cost"]))
-            for _, r in tool_meta_table().iterrows()}
+    from ..sources.transcripts import tool_kind_cost_maps
+
+    kind_map, cost_map = tool_kind_cost_maps()
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        kinds = b["tool"].map(lambda t: meta[t][0])
-        costs = b["tool"].map(lambda t: meta[t][1])
+        kinds = b["tool"].map(kind_map)
+        costs = b["tool"].map(cost_map)
         g = pd.DataFrame({"tool_kind": kinds, "tool_cost": costs}).groupby(
             "tool_kind", sort=False).agg(
             n_turns=("tool_cost", "size"), total_cost=("tool_cost", "sum")

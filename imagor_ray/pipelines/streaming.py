@@ -97,6 +97,14 @@ class StreamingSessionJob:
 
     # -- one cycle ---------------------------------------------------------
 
+    #: above this many rows the WHOLE cycle runs dataset-native —
+    #: ``rd.read_parquet`` → late split → subclass processing → bucketed
+    #: sessionize — with only session summaries, the late count and the
+    #: watermark returning to the driver (nothing row-scale crosses it).
+    #: Below it, driver pandas is faster: Ray per-stage overhead dominates
+    #: tiny cycles. Both paths are asserted equivalent in tests.
+    RAY_CYCLE_THRESHOLD = 150_000
+
     def run_cycle(self) -> dict | None:
         """Process the next micro-batch file; returns the cycle summary or
         None when the input is exhausted."""
@@ -106,8 +114,75 @@ class StreamingSessionJob:
         fname = pending[0]
         state = self.cp.load()
         watermark = int(state.get("watermark_us", 0))
+        cycle = int(state.get("cycles", 0))
+        path = os.path.join(self.input_dir, fname)
+        # read the snapshot COMMITTED by the checkpoint, never a staged one
+        open_prev = self.cp.load_open_sessions(state)
 
-        batch = pd.read_parquet(os.path.join(self.input_dir, fname))
+        import pyarrow.dataset as pads
+
+        # row count from parquet footers only — picks the execution path
+        # without reading any data
+        nrows = pads.dataset(path).count_rows()
+        if nrows > self.RAY_CYCLE_THRESHOLD:
+            still_open, closed_count, late_count, new_watermark = (
+                self._cycle_dataset(path, fname, watermark, cycle, open_prev)
+            )
+        else:
+            still_open, closed_count, late_count, new_watermark = (
+                self._cycle_pandas(path, fname, watermark, cycle, open_prev)
+            )
+        n_ontime = nrows - late_count
+
+        # stage the post-cycle snapshot under a cycle-versioned name; it
+        # only becomes visible when checkpoint.json (the single atomic
+        # commit point) records it below — a crash between here and
+        # cp.save(state) replays the cycle against the pre-cycle snapshot,
+        # keeping the byte-identical-replay guarantee.
+        open_fname = self.cp.stage_open_sessions(still_open, cycle)
+        state["open_sessions_file"] = open_fname
+        state["watermark_us"] = new_watermark
+        state["processed"] = list(state.get("processed", [])) + [fname]
+        state["late_rows"] = int(state.get("late_rows", 0)) + int(late_count)
+        state["cycles"] = cycle + 1
+        result = {
+            "file": fname,
+            "watermark_us": new_watermark,
+            "rows": int(n_ontime),
+            "closed": int(closed_count),
+            "open": len(still_open),
+            "late": int(late_count),
+        }
+        # per-cycle metrics ride in the checkpoint (lineage + metrics)
+        state["cycle_metrics"] = list(state.get("cycle_metrics", [])) + [result]
+        self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
+        return result
+
+    # -- cycle execution paths --------------------------------------------
+
+    def _close_split(
+        self, sessions: pd.DataFrame, new_watermark: int
+    ) -> tuple[pd.DataFrame, pd.DataFrame]:
+        """Split summaries into (closed, still_open) by the watermark,
+        both sorted (conv_id, session_start) — the sort makes the staged
+        snapshot and the closed output byte-stable even when the
+        producing sessionize ran as a Ray groupby with nondeterministic
+        row order."""
+        end_us = np.asarray(ts_us(sessions["session_end"]))
+        closed_mask = (end_us + self.gap_s * 1_000_000) < new_watermark
+        closed = sessions[closed_mask].sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+        still_open = sessions[~closed_mask].sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+        return closed, still_open
+
+    def _cycle_pandas(
+        self, path, fname, watermark, cycle, open_prev
+    ) -> tuple[pd.DataFrame, int, int, int]:
+        """Driver-pandas cycle for small micro-batches. Returns
+        ``(still_open, closed_count, late_count, new_watermark)``."""
+        batch = pd.read_parquet(path)
         us = ts_us(batch["ts"])
 
         # late-data routing against the PRE-advance watermark
@@ -122,16 +197,14 @@ class StreamingSessionJob:
 
         # subclass hook: per-cycle processing of the on-time rows (the
         # chain → exactly-once sink leg of the DAG)
-        self._process_batch(batch, int(state.get("cycles", 0)))
-
+        self._process_batch(batch, cycle)
         # watermark advance: max event time seen − allowed lateness
         new_watermark = max(
-            watermark, (int(us.max()) - self.lateness_us) if len(us) else watermark
+            watermark,
+            (int(us.max()) - self.lateness_us) if len(us) else watermark,
         )
 
-        # merge open sessions (carried summaries) with this batch's turns —
-        # read the snapshot COMMITTED by the checkpoint, never a staged one
-        open_prev = self.cp.load_open_sessions(state)
+        # merge open sessions (carried summaries) with this batch's turns
         turns = batch[["conv_id", "ts"]].copy()
         turns["n_turns"] = 1
         if open_prev is not None and len(open_prev):
@@ -145,52 +218,232 @@ class StreamingSessionJob:
             turns = pd.concat([prev, turns], ignore_index=True)
         else:
             turns["_start"] = turns["ts"]
-
         sessions = self._sessionize_cycle(turns, self.gap_s)
-
-        # close sessions whose end + gap < watermark; keep the rest open
-        end_us = ts_us(sessions["session_end"])
-        closed_mask = (end_us + self.gap_s * 1_000_000) < new_watermark
-        closed = sessions[closed_mask].sort_values(
-            ["conv_id", "session_start"]).reset_index(drop=True)
-        # sort the snapshot too: above RAY_SESSIONIZE_THRESHOLD the
-        # sessionize is a Ray groupby whose output row order varies
-        # between runs, and the staged open-session side file must be
-        # byte-stable for the crash-replay byte-identity guarantee
-        still_open = sessions[~closed_mask].sort_values(
-            ["conv_id", "session_start"]).reset_index(drop=True)
-
-        cycle = int(state.get("cycles", 0))
+        closed, still_open = self._close_split(sessions, new_watermark)
         if len(closed):
-            closed.to_parquet(
-                os.path.join(self.closed_dir, f"closed-{cycle:05d}.parquet"),
-                index=False,
+            out = os.path.join(self.closed_dir, f"closed-{cycle:05d}.parquet")
+            if os.path.isdir(out):  # leftover from a crashed dataset-path run
+                import shutil
+
+                shutil.rmtree(out)
+            closed.to_parquet(out, index=False)
+        return still_open, len(closed), int(late_mask.sum()), new_watermark
+
+    def _cycle_bucket_count(self) -> int:
+        import ray
+
+        return max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
+    def _make_grouped_cycle_work(self, cycle: int):
+        """Subclass hook for the fused dataset cycle: return a callable
+        run INSIDE each bucket's grouped task with that bucket's on-time
+        turn rows (full payload + ``_bucket``), or None for no extra
+        work. The flagship returns its chain→exactly-once-partition-write
+        leg here, so sink and sessionize share ONE shuffle."""
+        return None
+
+    def _cycle_dataset(
+        self, path, fname, watermark, cycle, open_prev
+    ) -> tuple[pd.DataFrame, int, int, int]:
+        """Dataset-native cycle, fused to a single all-to-all:
+
+        - one Arrow read+flag+bucket pass pinned via ``materialize()``
+          (the cycle is a bounded micro-batch — its blocks fit the
+          cluster object store and spill if not);
+        - late split + count and the watermark advance over the pinned
+          blocks (zero-copy Arrow filters + a metadata-cheap max, no
+          re-read) — the watermark is known BEFORE the shuffle, so the
+          close/open split distributes too;
+        - open-session summaries are injected as pseudo-turn rows
+          (``ts = session_end``, carried ``_start``/``n_turns``,
+          ``_prev`` marker) into the SAME conv-bucket shuffle;
+        - one ``groupby(_bucket).map_groups`` then runs, per bucket, the
+          subclass's chain→sink partition write (turn rows only), the
+          vectorized sessionize (turn + pseudo-turn rows), AND the
+          close split — CLOSED summaries are written distributedly as
+          deterministic per-bucket files under
+          ``closed-{cycle}.parquet/``; only the still-OPEN summaries
+          (bounded by conversations alive at the cycle boundary) return
+          to the driver. The flagship cycle pays exactly one shuffle
+          end-to-end, like the batch flagship (BENCH.md: the fused
+          reduce is the 100 TB shape), and nothing row-scale ever
+          crosses the driver.
+
+        Returns ``(still_open, closed_count, late_count,
+        new_watermark)`` like the pandas path (asserted equivalent in
+        tests). The watermark uses max over ALL event ts in the file:
+        late rows can't raise it (their ts is below the old watermark by
+        definition) so this equals the pandas path's on-time max."""
+        import ray
+        import ray.data as _rd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import crc32_bucket
+
+        wm = watermark
+        nb = self._cycle_bucket_count()
+
+        def flag_and_bucket(t: pa.Table) -> pa.Table:
+            unit = t.schema.field("ts").type.unit
+            ts_i = pc.cast(t["ts"], pa.int64())
+            if unit == "ns":
+                ts_i = pc.divide(ts_i, 1000)
+            elif unit == "s":
+                ts_i = pc.multiply(ts_i, 1_000_000)
+            elif unit == "ms":
+                ts_i = pc.multiply(ts_i, 1000)
+            late = pc.cast(pc.less(ts_i, pa.scalar(wm, pa.int64())), pa.int8())
+            conv = t["conv_id"].to_numpy(zero_copy_only=False)
+            bucket = crc32_bucket(conv, nb).astype(np.int32)
+            t = t.append_column("_late", late)
+            return t.append_column("_bucket", pa.array(bucket, type=pa.int32()))
+
+        read_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        flagged = (
+            _rd.read_parquet(path, override_num_blocks=read_blocks)
+            .map_batches(flag_and_bucket, batch_format="pyarrow")
+            .materialize()
+        )
+        base_schema = flagged.schema().base_schema
+        late_count = int(flagged.sum("_late") or 0)
+        # watermark advance before the shuffle (metadata-cheap pass over
+        # pinned blocks); max over all rows == max over on-time rows for
+        # watermark purposes (late ts < old watermark by definition)
+        max_ts = flagged.max("ts") if late_count < flagged.count() else None
+        new_watermark = (
+            max(wm, int(pd.Timestamp(max_ts).value // 1000) - self.lateness_us)
+            if max_ts is not None else wm
+        )
+        if late_count:
+            late_path = os.path.join(self.late_dir, f"late-{fname}")
+            # replay idempotency at directory granularity: a crashed
+            # cycle's partial late output is replaced wholesale
+            import shutil
+
+            shutil.rmtree(late_path, ignore_errors=True)
+            flagged.map_batches(
+                lambda t: t.filter(pc.equal(t["_late"], 1)).drop_columns(
+                    ["_late", "_bucket"]
+                ),
+                batch_format="pyarrow",
+            ).write_parquet(late_path)
+
+        def ontime_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["_late"], 0)).drop_columns(["_late"])
+            n = t.num_rows
+            t = t.append_column("n_turns", pa.array(np.ones(n, np.int64)))
+            t = t.append_column("_start", t["ts"])
+            return t.append_column("_prev", pa.array(np.zeros(n, np.bool_)))
+
+        shuffled = flagged.map_batches(ontime_prep, batch_format="pyarrow")
+
+        if open_prev is not None and len(open_prev):
+            # pseudo-turn rows matching the on-time schema exactly:
+            # payload columns are null-padded (values never read — the
+            # _prev marker keeps them out of the grouped sink work)
+            fields = [f for f in base_schema if f.name != "_late"]
+            n = len(open_prev)
+            ends = pa.array(
+                open_prev["session_end"].astype("datetime64[us]"),
+                type=base_schema.field("ts").type,
+            )
+            pb = crc32_bucket(
+                open_prev["conv_id"].to_numpy(), nb
+            ).astype(np.int32)
+            cols, names = [], []
+            for f in fields:
+                names.append(f.name)
+                if f.name == "conv_id":
+                    cols.append(pa.array(open_prev["conv_id"], type=f.type))
+                elif f.name == "ts":
+                    cols.append(ends)
+                elif f.name == "_bucket":
+                    cols.append(pa.array(pb, type=pa.int32()))
+                else:
+                    cols.append(pa.nulls(n, type=f.type))
+            names += ["n_turns", "_start", "_prev"]
+            cols += [
+                pa.array(open_prev["n_turns"].astype("int64")),
+                pa.array(
+                    open_prev["session_start"].astype("datetime64[us]"),
+                    type=base_schema.field("ts").type,
+                ),
+                pa.array(np.ones(n, np.bool_)),
+            ]
+            shuffled = shuffled.union(
+                _rd.from_arrow(pa.table(cols, names=names))
             )
 
-        # stage the post-cycle snapshot under a cycle-versioned name; it
-        # only becomes visible when checkpoint.json (the single atomic
-        # commit point) records it below — a crash between here and
-        # cp.save(state) replays the cycle against the pre-cycle snapshot,
-        # keeping the byte-identical-replay guarantee.
-        open_fname = self.cp.stage_open_sessions(still_open, cycle)
-        state["open_sessions_file"] = open_fname
-        state["watermark_us"] = new_watermark
-        state["processed"] = list(state.get("processed", [])) + [fname]
-        state["late_rows"] = int(state.get("late_rows", 0)) + int(late_mask.sum())
-        state["cycles"] = cycle + 1
-        result = {
-            "file": fname,
-            "watermark_us": new_watermark,
-            "rows": int(len(batch)),
-            "closed": len(closed),
-            "open": len(still_open),
-            "late": int(late_mask.sum()),
-        }
-        # per-cycle metrics ride in the checkpoint (lineage + metrics)
-        state["cycle_metrics"] = list(state.get("cycle_metrics", [])) + [result]
-        self.cp.save(state)
-        self.cp.gc_open_sessions(keep=open_fname)
-        return result
+        # pandas dtypes the grouped work must see: groups containing
+        # null-padded pseudo-turn rows degrade int columns to float64 on
+        # arrow→pandas conversion; restore the clean-schema dtypes after
+        # dropping the pseudo-turn rows
+        dtype_map = (
+            pa.schema([f for f in base_schema if f.name != "_late"])
+            .empty_table().to_pandas().dtypes.to_dict()
+        )
+        work = self._make_grouped_cycle_work(cycle)
+        gap_s = self.gap_s
+        sess_fn = self._sessionize_with_start
+        closed_dir = os.path.join(
+            self.closed_dir, f"closed-{cycle:05d}.parquet"
+        )
+        if os.path.isfile(closed_dir):
+            # leftover single file from a crashed pandas-path run of this
+            # cycle (threshold changed between runs); replaced wholesale
+            os.remove(closed_dir)
+        os.makedirs(closed_dir, exist_ok=True)
+        final_wm = new_watermark
+
+        def fused(g: pd.DataFrame) -> pd.DataFrame:
+            bucket = int(g["_bucket"].iloc[0])
+            prev_mask = g["_prev"].to_numpy()
+            if work is not None and not prev_mask.all():
+                turns = (
+                    g.loc[~prev_mask]
+                    .drop(columns=["n_turns", "_start", "_prev"])
+                    .reset_index(drop=True)
+                    .astype(dtype_map)
+                )
+                work(turns)
+            sessions = sess_fn(g[["conv_id", "ts", "n_turns", "_start"]], gap_s)
+            end_us = np.asarray(ts_us(sessions["session_end"]))
+            closed_mask = (end_us + gap_s * 1_000_000) < final_wm
+            closed = sessions[closed_mask].sort_values(
+                ["conv_id", "session_start"]).reset_index(drop=True)
+            if len(closed):
+                # deterministic per-bucket file + atomic rename: a
+                # replayed cycle overwrites with identical bytes
+                part = os.path.join(closed_dir, f"part-{bucket:05d}.parquet")
+                closed.to_parquet(part + ".tmp", index=False)
+                os.replace(part + ".tmp", part)
+            return sessions[~closed_mask]
+
+        still_open = (
+            shuffled.groupby("_bucket")
+            .map_groups(fused, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(still_open):
+            still_open = still_open.sort_values(
+                ["conv_id", "session_start"]).reset_index(drop=True)
+        else:
+            still_open = pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "session_start": pd.Series([], dtype="datetime64[us]"),
+                "session_end": pd.Series([], dtype="datetime64[us]"),
+                "n_turns": pd.Series([], dtype="int64"),
+            })
+        import pyarrow.dataset as pads
+
+        closed_count = (
+            pads.dataset(closed_dir).count_rows()
+            if os.listdir(closed_dir) else 0
+        )
+        if not os.listdir(closed_dir):
+            os.rmdir(closed_dir)  # keep closed_sessions() listings clean
+        return still_open, int(closed_count), late_count, new_watermark
 
     #: above this cycle size the session merge runs as a bucketed Ray
     #: groupby instead of one driver-side pandas sort (conversations are
@@ -281,7 +534,9 @@ class StreamingSessionJob:
         return closed
 
     def _process_batch(self, batch: pd.DataFrame, cycle: int) -> None:
-        """Hook for subclasses; the base job only sessionizes."""
+        """Hook for subclasses (driver-pandas cycles); the base job only
+        sessionizes. Dataset-native cycles use
+        :meth:`_make_grouped_cycle_work` instead."""
 
     def closed_sessions(self) -> pd.DataFrame:
         files = sorted(
@@ -324,50 +579,73 @@ class StreamingFlagshipJob(StreamingSessionJob):
         self.processed_dir = os.path.join(state_dir, "processed_turns")
         os.makedirs(self.processed_dir, exist_ok=True)
 
-    def _process_batch(self, batch: pd.DataFrame, cycle: int) -> None:
-        if len(batch) == 0:
-            return
-        import ray.data as _rd
-
+    def _make_proc(self):
+        """The per-batch chain leg (parse/sign → filter chain → tool
+        enrich) shared by both cycle paths; closure state is plain dicts
+        so it ships to workers once per task."""
         from ..pipelines.flagship import snippet_dim
-        from ..sources.transcripts import tool_meta_table
+        from ..sources.transcripts import enrich_tool_columns, tool_kind_cost_maps
         from ..stages.chain import filter_chain_batch
         from ..stages.parse_sign import parse_sign_batch
-        from ..state.sink import ExactlyOnceSink
 
-        meta = {
-            r["tool"]: (r["tool_kind"], int(r["tool_cost"]))
-            for _, r in tool_meta_table().iterrows()
-        }
+        kind_map, cost_map = tool_kind_cost_maps()
         dim = snippet_dim()
         secret = self.secret
 
         def proc(b: pd.DataFrame) -> pd.DataFrame:
             b = parse_sign_batch(b.copy(), secret=secret)
             b = filter_chain_batch(b, dim_ref=dim, path_col="chain_path")
-            kinds = b["tool"].map(lambda t: meta.get(t, ("unknown", 0)))
-            b["tool_kind"] = kinds.map(lambda kv: kv[0])
-            b["tool_cost"] = kinds.map(lambda kv: kv[1]).astype("int64")
+            b = enrich_tool_columns(b, kind_map, cost_map)
             return b.drop(columns=["chain_path", "sig_ok"], errors="ignore")
+
+        return proc
+
+    def _cycle_sink(self, cycle: int):
+        from ..state.sink import ExactlyOnceSink
+
+        return ExactlyOnceSink(
+            os.path.join(self.processed_dir, f"cycle-{cycle:05d}"),
+            num_buckets=self.num_buckets,
+        )
+
+    def _process_batch(self, batch: pd.DataFrame, cycle: int) -> None:
+        if len(batch) == 0:
+            return
+        import ray as _ray
+        import ray.data as _rd
 
         # from_pandas(df) yields ONE block — split the cycle into
         # CPU-count chunks so the chain stage actually parallelizes
         batch = batch.reset_index(drop=True)
-        import ray as _ray
-
         n_chunks = max(1, min(
             int(_ray.cluster_resources().get("CPU", 8)) * 2,
             len(batch) // 8192 + 1,
         ))
         chunks = np.array_split(batch, n_chunks)
         ds = _rd.from_pandas([c.reset_index(drop=True) for c in chunks]).map_batches(
-            proc, batch_format="pandas"
+            self._make_proc(), batch_format="pandas"
         )
-        sink = ExactlyOnceSink(
-            os.path.join(self.processed_dir, f"cycle-{cycle:05d}"),
-            num_buckets=self.num_buckets,
-        )
-        sink.write(ds)
+        self._cycle_sink(cycle).write(ds)
+
+    def _cycle_bucket_count(self) -> int:
+        # ONE bucket key serves both the sink partitions and the
+        # sessionize groups in the fused dataset cycle
+        return self.num_buckets
+
+    def _make_grouped_cycle_work(self, cycle: int):
+        proc = self._make_proc()
+        sink = self._cycle_sink(cycle)
+        os.makedirs(sink.manifest_dir, exist_ok=True)
+
+        def work(turns: pd.DataFrame) -> None:
+            bucket = turns["_bucket"].iloc[0]
+            g = proc(turns.drop(columns=["_bucket"]))
+            g["_bucket"] = bucket
+            # committed buckets skip inside (replayed cycles are
+            # idempotent; the rows still flowed here for sessionize)
+            sink.write_partition_df(g)
+
+        return work
 
     def processed_sha1(self) -> str:
         """Digest over every committed cycle partition — replay probe."""

@@ -61,6 +61,31 @@ def tool_meta_table() -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def tool_kind_cost_maps() -> tuple[dict[str, str], dict[str, int]]:
+    """Plain tool→kind and tool→cost dicts for the broadcast enrich join
+    (imagor.go:699-760 first-hit lookup collapsed into a hash join)."""
+    kind = {k: v["tool_kind"] for k, v in TOOL_META.items()}
+    cost = {k: int(v["tool_cost"]) for k, v in TOOL_META.items()}
+    return kind, cost
+
+
+def enrich_tool_columns(
+    b: pd.DataFrame, kind_map: dict[str, str], cost_map: dict[str, int]
+) -> pd.DataFrame:
+    """Vectorized tool_kind/tool_cost attach: ``Series.map(dict)`` runs in
+    the C path — no per-row Python lambdas in the hottest post-chain
+    stage. Unknown tools get ("unknown", 0) like the dict-get fallback."""
+    kinds = b["tool"].map(kind_map)
+    if kinds.isna().any():
+        kinds = kinds.fillna("unknown")
+        b["tool_kind"] = kinds
+        b["tool_cost"] = b["tool"].map(cost_map).fillna(0).astype("int64")
+    else:
+        b["tool_kind"] = kinds
+        b["tool_cost"] = b["tool"].map(cost_map).astype("int64")
+    return b
+
+
 def _doc_count(sf_dir: str) -> int:
     return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 

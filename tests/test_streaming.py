@@ -310,3 +310,83 @@ def test_open_snapshot_byte_stable_across_runs(tmp_path, ray_session):
     finally:
         StreamingSessionJob.RAY_SESSIONIZE_THRESHOLD = old
     assert shas[0] == shas[1]
+
+
+class TestDatasetNativeCycle:
+    """Above RAY_CYCLE_THRESHOLD a cycle runs dataset-native end-to-end
+    (rd.read_parquet → late split → chain→sink → bucketed sessionize).
+    The two paths must produce byte-identical sink output and identical
+    session/late accounting."""
+
+    def test_paths_byte_identical(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.streaming import (
+            StreamingFlagshipJob, StreamingSessionJob,
+        )
+
+        batches = [
+            [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00"),
+             ("e", "2024-01-01 00:06:00"), ("f", "2024-01-01 00:07:00")],
+            [("a", "2024-01-01 02:00:00"), ("c", "2024-01-01 03:00:00"),
+             ("zz", "2023-12-31 00:00:00")],  # late row in cycle 1
+            [("d", "2024-01-02 00:00:00")],
+        ]
+        s = write_stream(tmp_path, batches)
+
+        jp = StreamingFlagshipJob(s, str(tmp_path / "pd"), gap_s=1800, num_buckets=2)
+        rp = jp.run_all()
+        jp.flush()
+
+        old = StreamingSessionJob.RAY_CYCLE_THRESHOLD
+        try:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = 0  # force dataset path
+            jd = StreamingFlagshipJob(s, str(tmp_path / "ds"), gap_s=1800, num_buckets=2)
+            rds = jd.run_all()
+            jd.flush()
+        finally:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = old
+
+        # identical per-cycle accounting (rows, late, closed, watermark)
+        assert rds == rp
+        # byte-identical exactly-once sink output
+        assert jd.processed_sha1() == jp.processed_sha1()
+        # identical closed sessions
+        key = ["conv_id", "session_start"]
+        pd.testing.assert_frame_equal(
+            jd.closed_sessions().sort_values(key).reset_index(drop=True),
+            jp.closed_sessions().sort_values(key).reset_index(drop=True),
+        )
+        # late routing captured the out-of-order row in both
+        assert sum(r["late"] for r in rds) == 1
+        late_files = os.listdir(jd.late_dir)
+        assert len(late_files) == 1
+        late = pd.read_parquet(os.path.join(jd.late_dir, late_files[0]))
+        assert late["conv_id"].tolist() == ["zz"]
+
+    def test_dataset_cycle_kill_resume(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.streaming import (
+            StreamingFlagshipJob, StreamingSessionJob,
+        )
+
+        batches = [
+            [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00")],
+            [("a", "2024-01-01 02:00:00"), ("c", "2024-01-01 03:00:00")],
+            [("d", "2024-01-02 00:00:00")],
+        ]
+        s = write_stream(tmp_path, batches)
+        old = StreamingSessionJob.RAY_CYCLE_THRESHOLD
+        try:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = 0
+            j1 = StreamingFlagshipJob(s, str(tmp_path / "w1"), gap_s=1800, num_buckets=2)
+            j1.run_all()
+            j1.flush()
+            want = j1.processed_sha1()
+
+            j2 = StreamingFlagshipJob(s, str(tmp_path / "w2"), gap_s=1800, num_buckets=2)
+            j2.run_cycle()
+            del j2
+            j3 = StreamingFlagshipJob(s, str(tmp_path / "w2"), gap_s=1800, num_buckets=2)
+            j3.run_all()
+            j3.flush()
+            assert j3.processed_sha1() == want
+        finally:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = old
