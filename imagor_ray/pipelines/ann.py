@@ -28,6 +28,7 @@ __all__ = [
     "label_centroids",
     "embedding_neardup",
     "embedding_neardup_ds",
+    "embedding_neardup_planted",
 ]
 
 
@@ -40,13 +41,35 @@ def _read_emb(sf_dir: str, with_label: bool = False) -> rd.Dataset:
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """Query-vector selection with the predicate pushed INTO the read:
+    only row groups whose vec_id range intersects [0, n_queries) are
+    decoded and only matching rows reach the driver — at 100 TB the
+    driver holds n_queries vectors, never the table (round-2 verdict
+    item 2)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    df = df[df["vec_id"] < n_queries].sort_values("vec_id")
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
     q = np.stack(df["embedding"].to_numpy()).astype("float64")
     return df["vec_id"].to_numpy(), q
+
+
+def _rows_by_id(sf_dir: str, ids: np.ndarray) -> pd.DataFrame:
+    """Row-group-pruned point lookup of specific vec_ids (IVF seed pick):
+    same pushdown shape as :func:`_query_matrix` — no full scan, no
+    distributed pass just to select a handful of seed vectors."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(i) for i in ids])],
+    )
+    return t.to_pandas()
 
 
 def ann_topk(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
@@ -185,18 +208,11 @@ def ivf_topk(
     import pyarrow.parquet as pq
 
     n_total = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    init_ids = set(rng.choice(n_total, size=min(n_centroids, n_total), replace=False).tolist())
-    init_ref = ray.put(np.array(sorted(init_ids), dtype=np.int64))
-
-    def pick_init(b: pd.DataFrame) -> pd.DataFrame:
-        ids = b["vec_id"].to_numpy().astype(np.int64)
-        keep = np.isin(ids, ray.get(init_ref))
-        return pd.DataFrame({
-            "vec_id": ids[keep],
-            "embedding": b["embedding"].to_numpy()[keep],
-        })
-
-    seeds = _read_emb(sf_dir).map_batches(pick_init, batch_format="pandas").to_pandas()
+    init_ids = np.array(sorted(
+        rng.choice(n_total, size=min(n_centroids, n_total), replace=False).tolist()
+    ), dtype=np.int64)
+    # pushdown point lookup — no full scan just to pick seed vectors
+    seeds = _rows_by_id(sf_dir, init_ids)
     cents = np.stack(seeds.sort_values("vec_id")["embedding"].to_numpy()).astype("float64")
     cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -363,7 +379,49 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
             "vec_id_b": pd.Series([], dtype="int64"),
             "cos": pd.Series([], dtype="float64"),
         })
-    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    return (
+        out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+        .astype({"vec_id_a": "int64", "vec_id_b": "int64", "cos": "float64"})
+    )
+
+
+def embedding_neardup_planted(
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_planted: int = 20,
+    id_offset: int = 1_000_000,
+) -> pd.DataFrame:
+    """Non-vacuous oracle variant (round-2 verdict item 3): the synthetic
+    corpora contain no organic cos ≥ 0.9 pairs, so the green
+    ``embedding_neardup`` row matched on 0 rows. This variant derives a
+    deterministic augmented table — every ``vec_id < n_planted`` gets an
+    exact twin at ``vec_id + id_offset`` — inside the query itself, runs
+    the SAME banded-LSH → co-group verify Dataset pipeline over it, and
+    is SQL-mirrored (the oracle plants identical twins via UNION ALL), so
+    the hash check bites on ``n_planted`` known pairs with cos = 1.0.
+    Exact twins make LSH recall deterministic (identical signatures
+    collide in every band) and keep the rounded cosine float-stable
+    across numpy and DuckDB."""
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["vec_id"] < n_planted]
+        if not len(sel):
+            return b
+        twins = sel.assign(vec_id=sel["vec_id"] + id_offset)
+        return pd.concat([b, twins], ignore_index=True)
+
+    planted = _read_emb(sf_dir).map_batches(plant, batch_format="pandas")
+    out = embedding_neardup_ds(planted, threshold=threshold).to_pandas()
+    if "vec_id_a" not in out.columns:
+        out = pd.DataFrame({
+            "vec_id_a": pd.Series([], dtype="int64"),
+            "vec_id_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        })
+    return (
+        out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+        .astype({"vec_id_a": "int64", "vec_id_b": "int64", "cos": "float64"})
+    )
 
 
 def label_centroids(sf_dir: str) -> pd.DataFrame:

@@ -28,7 +28,10 @@ import ray.data as rd
 from ..sources.transcripts import TRANSCRIPTS_SQL, derive_transcripts, tool_meta_table
 from ..stages.parse_sign import PATH_TEMPLATES
 from ..stages.windows import session_windows, sliding_tool_stats, tumbling_tool_stats
-from .ann import ann_topk, embedding_neardup, ivf_topk, label_centroids, lsh_topk
+from .ann import (
+    ann_topk, embedding_neardup, embedding_neardup_planted, ivf_topk,
+    label_centroids, lsh_topk,
+)
 from .dedup import (
     exact_dedup, minhash_pairs, minhash_signatures, simhash_pairs,
     simhash_signatures,
@@ -281,6 +284,25 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 5) AS cos
 FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+"""
+
+# planted-twin variant: the oracle plants the SAME deterministic exact
+# duplicates (vec_id < 20 → twin at vec_id + 1000000) so the hash check
+# matches on nonzero rows (cos of identical vectors is exactly 1.0 on
+# both engines after round-5)
+_NEARDUP_PLANTED_SQL = """
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id < 20
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cos
+FROM emb a JOIN emb b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.9
 """
@@ -1029,6 +1051,7 @@ QUERIES = {
         ["doc_id", "blurhash"]),  # SQL-mirrored since round 2 (_BLURHASH_SQL)
     "ann_topk": ann_topk,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_planted": embedding_neardup_planted,
     "ann_lsh_topk": lsh_topk,  # rows-only (approximate by design)
     "ann_ivf_topk": ivf_topk,  # rows-only (approximate by design)
     "label_centroids": label_centroids,
@@ -1067,6 +1090,7 @@ ORACLES = {
     "doc_sketches": _SKETCHES_SQL,
     "ann_topk": _ANN_SQL,
     "embedding_neardup": _NEARDUP_SQL,
+    "embedding_neardup_planted": _NEARDUP_PLANTED_SQL,
     "label_centroids": _CENTROIDS_SQL,
     "q1_pricing": _Q1_SQL,
     "q3_shipping": _Q3_SQL,

@@ -230,3 +230,43 @@ class TestBatchSignatureKernels:
                           "text": self._texts()})
         got = _simhash_batch(b.copy())
         assert got["simhash"].tolist() == [_simhash32(t) for t in self._texts()]
+
+
+class TestAnnQueryPrepPushdown:
+    """Round-2 verdict item 2: the ANN query-prep must never read the
+    whole embeddings table driver-side — every pq.read_table in the
+    query path must carry a row filter, and the rows reaching the
+    driver must be bounded by n_queries / n_centroids, not the table."""
+
+    def test_read_table_always_filtered(self, ray_session, monkeypatch):
+        import pyarrow.parquet as pq
+
+        from imagor_ray.pipelines import ann
+
+        calls = []
+        real = pq.read_table
+
+        def spy(path, *a, **k):
+            calls.append(k.get("filters"))
+            return real(path, *a, **k)
+
+        monkeypatch.setattr(pq, "read_table", spy)
+        bf = ann.ann_topk(SF, n_queries=3, k=5)
+        ann.lsh_topk(SF, n_queries=3, k=5, bits=3)
+        ann.ivf_topk(SF, n_queries=3, k=5, n_centroids=4, iters=1)
+        monkeypatch.undo()
+        # every driver-side read carried a pushdown filter
+        assert calls, "expected query-prep reads"
+        assert all(f is not None for f in calls), calls
+        # results still correct (brute force output shape intact)
+        assert set(bf["query_id"]) == {0, 1, 2}
+        assert (bf.groupby("query_id").size() == 5).all()
+
+    def test_query_matrix_rows_bounded(self):
+        from imagor_ray.pipelines.ann import _query_matrix, _rows_by_id
+
+        ids, q = _query_matrix(SF, 4)
+        assert list(ids) == [0, 1, 2, 3]
+        assert q.shape[0] == 4
+        sel = _rows_by_id(SF, np.array([2, 9, 17], dtype=np.int64))
+        assert sorted(sel["vec_id"]) == [2, 9, 17]
