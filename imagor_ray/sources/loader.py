@@ -30,6 +30,7 @@ from ..functions.blob import sniff_content_type
 __all__ = [
     "AllowedSource",
     "LocalFileTransport",
+    "HTTPTransport",
     "FlakyTransport",
     "TransportChain",
     "RoutedTransport",
@@ -89,6 +90,123 @@ class LocalFileTransport:
             raise FileNotFoundError(key)
         with open(path, "rb") as f:
             return f.read()
+
+
+class HTTPTransport:
+    """Real HTTP fetch behind the ``Transport`` protocol — the engine's
+    ``httploader.go:182-260`` analogue, drop-in below the existing guard
+    stack (allow-list, size pre-check, retries, sniff, dead-letter all
+    live in :class:`GuardedLoaderStage` above it):
+
+    - keys are ``host[:port]/path`` like every other transport; the
+      scheme is configuration, not data;
+    - ``stat`` issues HEAD and returns Content-Length (the size
+      pre-check, httploader.go:192-208) or None when the server omits
+      it;
+    - gzip accept/decode (httploader.go:262-327);
+    - bounded redirects with per-hop host re-validation
+      (``validate_host``) — the SSRF re-check of httploader.go:62-118:
+      a redirect may not escape to a host the caller's allow-list would
+      reject;
+    - status mapping into the transport error model: 404/410 →
+      FileNotFoundError (dead-letters as ERR_NOT_FOUND), 429/5xx and
+      connection errors → TransientFetchError (retried, then
+      ERR_FETCH_FAILED).
+
+    Unit-tested against a local ``http.server`` fixture; in the sandbox
+    no external network exists, which is exactly what the fixture
+    stands in for.
+    """
+
+    def __init__(
+        self,
+        scheme: str = "http",
+        timeout: float = 10.0,
+        max_redirects: int = 5,
+        user_agent: str = "imagor-ray/1.0",
+        accept_gzip: bool = True,
+        validate_host: "Callable[[str], bool] | None" = None,
+    ):
+        self.scheme = scheme
+        self.timeout = timeout
+        self.max_redirects = max_redirects
+        self.user_agent = user_agent
+        self.accept_gzip = accept_gzip
+        self.validate_host = validate_host
+        self._opener = None  # built lazily per process (not picklable)
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_opener"] = None
+        return state
+
+    def _build_opener(self):
+        import urllib.request
+
+        transport = self
+
+        class GuardedRedirect(urllib.request.HTTPRedirectHandler):
+            max_redirections = transport.max_redirects
+
+            def redirect_request(self, req, fp, code, msg, headers, newurl):
+                from urllib.parse import urlsplit
+
+                host = urlsplit(newurl).netloc
+                if (transport.validate_host is not None
+                        and not transport.validate_host(host)):
+                    raise FileNotFoundError(
+                        f"redirect to disallowed host {host}"
+                    )
+                return super().redirect_request(
+                    req, fp, code, msg, headers, newurl
+                )
+
+        return urllib.request.build_opener(GuardedRedirect())
+
+    def _open(self, key: str, method: str):
+        import urllib.error
+        import urllib.request
+
+        if self._opener is None:
+            self._opener = self._build_opener()
+        url = f"{self.scheme}://{key}"
+        headers = {"User-Agent": self.user_agent}
+        if self.accept_gzip and method == "GET":
+            headers["Accept-Encoding"] = "gzip"
+        req = urllib.request.Request(url, headers=headers, method=method)
+        try:
+            return self._opener.open(req, timeout=self.timeout)
+        except FileNotFoundError:
+            raise  # redirect-to-disallowed-host from the handler
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 410):
+                raise FileNotFoundError(key) from e
+            raise TransientFetchError(f"HTTP {e.code} for {key}") from e
+        except urllib.error.URLError as e:
+            raise TransientFetchError(f"{e.reason} for {key}") from e
+        except OSError as e:  # socket timeouts, resets
+            raise TransientFetchError(f"{e} for {key}") from e
+
+    def stat(self, key: str) -> "int | None":
+        resp = self._open(key, "HEAD")
+        try:
+            length = resp.headers.get("Content-Length")
+        finally:
+            resp.close()
+        return int(length) if length is not None else None
+
+    def get(self, key: str) -> bytes:
+        resp = self._open(key, "GET")
+        try:
+            body = resp.read()
+            encoding = (resp.headers.get("Content-Encoding") or "").lower()
+        finally:
+            resp.close()
+        if encoding == "gzip":
+            import gzip
+
+            body = gzip.decompress(body)
+        return body
 
 
 class FlakyTransport:

@@ -208,3 +208,172 @@ class TestSingleExecution:
         # the blocked key never hit the transport; the allowed key was
         # fetched exactly once despite both branches being consumed
         assert fetched == ["cdn.example.fixture/img/small.txt"]
+
+
+@pytest.fixture(scope="module")
+def http_fixture():
+    """Local http.server standing in for the external source: static
+    files plus redirect / gzip / flaky-503 / sized endpoints."""
+    import gzip
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    small = b"hello world"
+    big = b"x" * 4096
+    state = {"fail_left": 2}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _serve(self, body, ctype="text/plain", gzipped=False, head=False):
+            self.send_response(200)
+            payload = gzip.compress(body) if gzipped else body
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(payload)))
+            if gzipped:
+                self.send_header("Content-Encoding", "gzip")
+            self.end_headers()
+            if not head:
+                self.wfile.write(payload)
+
+        def _route(self, head):
+            p = self.path
+            if p == "/img/small.txt":
+                self._serve(small, head=head)
+            elif p == "/img/big.txt":
+                self._serve(big, head=head)
+            elif p == "/img/zipped.txt":
+                self._serve(small, gzipped=True, head=head)
+            elif p == "/redir/once":
+                self.send_response(302)
+                self.send_header("Location", "/img/small.txt")
+                self.end_headers()
+            elif p == "/redir/away":
+                self.send_response(302)
+                self.send_header(
+                    "Location", "http://evil.invalid:1/steal")
+                self.end_headers()
+            elif p == "/redir/loop":
+                self.send_response(302)
+                self.send_header("Location", "/redir/loop")
+                self.end_headers()
+            elif p == "/flaky":
+                if state["fail_left"] > 0:
+                    state["fail_left"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                else:
+                    self._serve(small, head=head)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_GET(self):
+            self._route(head=False)
+
+        def do_HEAD(self):
+            self._route(head=True)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"127.0.0.1:{srv.server_address[1]}", state
+    finally:
+        srv.shutdown()
+
+
+class TestHTTPTransport:
+    """Real HTTP transport below the guard stack
+    (httploader.go:182-260, 262-327; redirect guard 62-118)."""
+
+    def test_get_and_stat(self, http_fixture):
+        from imagor_ray.sources.loader import HTTPTransport
+
+        host, _ = http_fixture
+        t = HTTPTransport()
+        assert t.get(f"{host}/img/small.txt") == b"hello world"
+        assert t.stat(f"{host}/img/small.txt") == 11
+        assert t.stat(f"{host}/img/big.txt") == 4096
+
+    def test_gzip_decoded(self, http_fixture):
+        from imagor_ray.sources.loader import HTTPTransport
+
+        host, _ = http_fixture
+        assert HTTPTransport().get(f"{host}/img/zipped.txt") == b"hello world"
+
+    def test_not_found_maps(self, http_fixture):
+        from imagor_ray.sources.loader import HTTPTransport
+
+        host, _ = http_fixture
+        with pytest.raises(FileNotFoundError):
+            HTTPTransport().get(f"{host}/img/none.txt")
+        with pytest.raises(FileNotFoundError):
+            HTTPTransport().stat(f"{host}/img/none.txt")
+
+    def test_5xx_is_transient_and_retry_recovers(self, http_fixture):
+        from imagor_ray.sources.loader import (
+            HTTPTransport, TransientFetchError,
+        )
+
+        host, state = http_fixture
+        state["fail_left"] = 2
+        t = HTTPTransport()
+        with pytest.raises(TransientFetchError):
+            t.get(f"{host}/flaky")
+        with pytest.raises(TransientFetchError):
+            t.get(f"{host}/flaky")
+        assert t.get(f"{host}/flaky") == b"hello world"
+
+    def test_redirect_followed(self, http_fixture):
+        from imagor_ray.sources.loader import HTTPTransport
+
+        host, _ = http_fixture
+        assert HTTPTransport().get(f"{host}/redir/once") == b"hello world"
+
+    def test_redirect_to_disallowed_host_rejected(self, http_fixture):
+        from imagor_ray.sources.loader import HTTPTransport
+
+        host, _ = http_fixture
+        t = HTTPTransport(validate_host=lambda h: h.startswith("127.0.0.1"))
+        with pytest.raises(FileNotFoundError):
+            t.get(f"{host}/redir/away")
+        # same-host redirects still fine under the validator
+        assert t.get(f"{host}/redir/once") == b"hello world"
+
+    def test_redirect_loop_bounded(self, http_fixture):
+        from imagor_ray.sources.loader import (
+            HTTPTransport, TransientFetchError,
+        )
+
+        host, _ = http_fixture
+        with pytest.raises(TransientFetchError):
+            HTTPTransport(max_redirects=3).get(f"{host}/redir/loop")
+
+    def test_guard_stack_over_http(self, http_fixture):
+        """The full GuardedLoaderStage semantics hold with HTTP swapped
+        into the Transport slot (verdict done-condition)."""
+        from imagor_ray.sources.loader import GuardedLoaderStage, HTTPTransport
+
+        host, state = http_fixture
+        state["fail_left"] = 2
+        stage = GuardedLoaderStage(
+            HTTPTransport(),
+            allowed_sources=("127.0.0.1*",),
+            max_allowed_size=1024,
+            max_retries=2,
+        )
+        out = stage(pd.DataFrame({"key": [
+            f"{host}/img/small.txt",     # ok
+            f"{host}/img/big.txt",       # size pre-check via HEAD
+            f"{host}/img/none.txt",      # 404
+            f"{host}/flaky",             # 2×503 then ok (retries)
+            f"evil.invalid/steal",       # allow-list
+        ]}))
+        assert out["error_code"].tolist() == [
+            "", ERR_MAX_SIZE_EXCEEDED, ERR_NOT_FOUND, "",
+            ERR_SOURCE_NOT_ALLOWED,
+        ]
+        assert out["payload"].iloc[0] == "hello world"
+        assert out["payload"].iloc[3] == "hello world"
