@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("config", help="print the resolved engine config (env + defaults)")
 
+    p = sub.add_parser(
+        "metrics",
+        help="unified per-stage metrics report (prometheus.go analogue)",
+    )
+    p.add_argument("--sink", default=None, help="exactly-once sink directory")
+    p.add_argument("--state", default=None, help="streaming state directory")
+
     p = sub.add_parser("stream", help="micro-batch streaming job (full DAG)")
     p.add_argument("--input", required=True, help="micro-batch parquet dir")
     p.add_argument("--state", required=True, help="checkpoint/state dir")
@@ -71,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "config":
         print(json.dumps(cfg.describe()))
+        return 0
+    if args.cmd == "metrics":
+        # pull model over committed artifacts — no Ray session needed
+        from imagor_ray.state.metrics import EngineMetrics
+
+        print(json.dumps(EngineMetrics.collect(
+            sink=args.sink, state_dir=args.state,
+        )))
         return 0
 
     _ensure_ray()

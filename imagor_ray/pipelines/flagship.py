@@ -161,11 +161,17 @@ def flagship_write(
         )
 
     def process_and_write(g: pd.DataFrame) -> pd.DataFrame:
+        import time as _t
+
+        from ..state import metrics as _metrics
+
         bucket = g["_bucket"].iloc[0]
         g = _assign_turn_idx_bucket(g)[cols + ["_bucket"]]
         from ..stages.parse_sign import parse_sign_batch
 
+        t0 = _t.perf_counter()
         g = parse_sign_batch(g, secret=secret)
+        t_parse = _t.perf_counter()
         if source_sink is not None:
             # raw-input checkpoint alongside processing (same task, no
             # extra shuffle — the save-goroutine analogue)
@@ -178,12 +184,30 @@ def flagship_write(
             chain_kwargs["max_filter_ops"] = max_filter_ops
         if detector is not None:
             chain_kwargs["detector"] = detector
+        hits0 = _metrics.get("chain.cache_hits")
+        misses0 = _metrics.get("chain.cache_misses")
+        t1 = _t.perf_counter()
         g = filter_chain_batch(g, dim_ref=dim_ref, path_col="chain_path",
                                **chain_kwargs)
+        t2 = _t.perf_counter()
         g = enrich_tool_columns(g, kind_map, cost_map)
+        t3 = _t.perf_counter()
         g = g.drop(columns=["chain_path", "sig_ok"], errors="ignore")
         g["_bucket"] = bucket
-        return sink.write_partition_df(g, check_freshness=check_freshness)
+        # per-partition stage metrics ride the lineage manifest — the
+        # durable tier of the unified metrics surface
+        # (prometheus.go:51-80 analogue; see state/metrics.py)
+        return sink.write_partition_df(
+            g, check_freshness=check_freshness,
+            stage_metrics={
+                "parse_ms": (t_parse - t0) * 1000,
+                "chain_ms": (t2 - t1) * 1000,
+                "enrich_ms": (t3 - t2) * 1000,
+                "rows": len(g),
+                "chain_cache_hits": _metrics.get("chain.cache_hits") - hits0,
+                "chain_cache_misses": _metrics.get("chain.cache_misses") - misses0,
+            },
+        )
 
     result = ds.groupby("_bucket").map_groups(
         process_and_write, batch_format="pandas"

@@ -559,11 +559,23 @@ class FilterChainStage:
         return texts.map(results)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import time as _time
+
+        from ..state import metrics as _metrics
+
+        t0 = _time.perf_counter()
+        hits0, misses0 = self.cache_hits, self.cache_misses
         texts = batch[self._text_col]
         out = texts.copy()
         for path, idx in texts.groupby(batch[self._path_col]).groups.items():
             out.loc[idx] = self._run_group(path, texts.loc[idx])
         batch[self._text_col] = out
+        # per-batch counter adds (process-local, prometheus.go:51-80
+        # analogue — per-replica counters, one add per batch)
+        _metrics.inc("chain.rows", len(batch))
+        _metrics.inc("chain.ms", int((_time.perf_counter() - t0) * 1000))
+        _metrics.inc("chain.cache_hits", self.cache_hits - hits0)
+        _metrics.inc("chain.cache_misses", self.cache_misses - misses0)
         return batch
 
 

@@ -104,9 +104,17 @@ def route(
     ok = verified.map_batches(
         lambda b: b[b["error_code"] == ""], batch_format="pandas"
     )
-    dead = verified.map_batches(
-        lambda b: b[b["error_code"] != ""], batch_format="pandas"
-    )
+
+    def dead_split(b: pd.DataFrame) -> pd.DataFrame:
+        from ..state import metrics as _metrics
+
+        d = b[b["error_code"] != ""]
+        if len(d):
+            for code, n in d["error_code"].value_counts().items():
+                _metrics.inc(f"dead_letter.{code}", int(n))
+        return d
+
+    dead = verified.map_batches(dead_split, batch_format="pandas")
     return ok, dead
 
 

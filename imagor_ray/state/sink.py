@@ -133,6 +133,7 @@ class ExactlyOnceSink:
         g: pd.DataFrame,
         sort_extra: tuple[str, ...] = (),
         check_freshness: bool = False,
+        stage_metrics: dict | None = None,
     ) -> pd.DataFrame:
         """Atomic exactly-once write of ONE hash-bucket partition: dedup on
         key (keep-first) → stable sort (conv_id, turn_idx) → temp write →
@@ -230,6 +231,13 @@ class ExactlyOnceSink:
                 "bytes": os.path.getsize(final),
                 "write_ms": int((_time.perf_counter() - t0) * 1000),
             }
+            if stage_metrics:
+                # per-stage wall-ms / counters recorded by the producing
+                # grouped task (fused flagship) — the durable tier of the
+                # unified metrics surface (state/metrics.py)
+                entry["stage_metrics"] = {
+                    k: int(v) for k, v in stage_metrics.items()
+                }
             mtmp = mpath + ".tmp"
             with open(mtmp, "w") as f:
                 json.dump(entry, f)
