@@ -40,6 +40,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..functions.hashing import crc32_bucket
+from .storage import storage_for
 
 __all__ = ["ExactlyOnceSink", "conv_bucket"]
 
@@ -57,17 +58,22 @@ def conv_bucket(conv_ids: pd.Series, num_buckets: int) -> pd.Series:
 
 class ExactlyOnceSink:
     def __init__(self, out_dir: str, num_buckets: int = 16):
+        # out_dir may be a plain path, file://, or any fsspec URI
+        # (memory:// in tests; s3://, gcs:// on a real cluster) — the
+        # commit protocol runs unchanged through the storage layer
+        # (state/storage.py documents per-backend rename semantics)
+        self._st, out_dir = storage_for(out_dir)
         self.out_dir = out_dir
         self.num_buckets = num_buckets
-        self.manifest_dir = os.path.join(out_dir, "_manifest")
+        self.manifest_dir = self._st.join(out_dir, "_manifest")
 
     # -- lineage -----------------------------------------------------------
 
     def committed_buckets(self) -> set[int]:
-        if not os.path.isdir(self.manifest_dir):
+        if not self._st.isdir(self.manifest_dir):
             return set()
         out = set()
-        for name in os.listdir(self.manifest_dir):
+        for name in self._st.listdir(self.manifest_dir):
             if name.startswith("bucket-") and name.endswith(".json"):
                 out.add(int(name[7:-5]))
         return out
@@ -75,7 +81,9 @@ class ExactlyOnceSink:
     def read_manifest(self) -> list[dict]:
         entries = []
         for b in sorted(self.committed_buckets()):
-            with open(os.path.join(self.manifest_dir, f"bucket-{b:05d}.json")) as f:
+            with self._st.open(
+                self._st.join(self.manifest_dir, f"bucket-{b:05d}.json"), "r"
+            ) as f:
                 entries.append(json.load(f))
         return entries
 
@@ -101,7 +109,7 @@ class ExactlyOnceSink:
         atomically rewritten, so an updated source row invalidates
         exactly its own bucket.
         """
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self._st.makedirs(self.manifest_dir)
         done = self.committed_buckets()
         nb = self.num_buckets
 
@@ -147,10 +155,11 @@ class ExactlyOnceSink:
         import time as _time
 
         t0 = _time.perf_counter()
+        st = self._st
         bucket = int(g["_bucket"].iloc[0])
-        final = os.path.join(self.out_dir, f"part-{bucket:05d}.parquet")
-        mpath = os.path.join(self.manifest_dir, f"bucket-{bucket:05d}.json")
-        if os.path.exists(mpath) and not check_freshness:
+        final = st.join(self.out_dir, f"part-{bucket:05d}.parquet")
+        mpath = st.join(self.manifest_dir, f"bucket-{bucket:05d}.json")
+        if st.exists(mpath) and not check_freshness:
             return pd.DataFrame({"bucket": [bucket], "rows": [0], "skipped": [True]})
         if "preview" in g.columns:
             # preview() rows bypass result storage (imagor.go:328-329,
@@ -191,8 +200,8 @@ class ExactlyOnceSink:
         # burdens the normal write path. The probe writes the tmp file,
         # compares digests, and discards it when the bucket is fresh.
         committed_sha = None
-        if check_freshness and os.path.exists(mpath):
-            with open(mpath) as f:
+        if check_freshness and st.exists(mpath):
+            with st.open(mpath, "r") as f:
                 committed_sha = json.load(f).get("sha1")
         tmp = final + ".tmp"
         # inside the try block a COMMITTED data file pre-exists at `final`
@@ -204,20 +213,24 @@ class ExactlyOnceSink:
         replaced = False
         try:
             table = pa.Table.from_pandas(g, preserve_index=False)
-            pq.write_table(table, tmp, compression="snappy")
-            with open(tmp, "rb") as f:
+            if st.is_local:
+                pq.write_table(table, tmp, compression="snappy")
+            else:
+                with st.open(tmp, "wb") as f:
+                    pq.write_table(table, f, compression="snappy")
+            with st.open(tmp, "rb") as f:
                 digest = hashlib.sha1(f.read()).hexdigest()
                 # durability before visibility: on power loss the manifest
                 # must never survive a truncated data file (the manifest
                 # commit below is already fsynced)
-                os.fsync(f.fileno())
+                st.fsync_file(f)
             if committed_sha is not None and digest == committed_sha:
                 # freshness probe: bucket unchanged → keep committed bytes
-                os.remove(tmp)
+                st.remove(tmp)
                 return pd.DataFrame(
                     {"bucket": [bucket], "rows": [0], "skipped": [True]}
                 )
-            os.replace(tmp, final)  # atomic commit of the data file
+            st.replace(tmp, final)  # atomic commit of the data file
             replaced = True
             entry = {
                 "partition_id": bucket,
@@ -225,10 +238,10 @@ class ExactlyOnceSink:
                 "key_min": [str(g["conv_id"].iloc[0]), int(g["turn_idx"].iloc[0])] if len(g) else None,
                 "key_max": [str(g["conv_id"].iloc[-1]), int(g["turn_idx"].iloc[-1])] if len(g) else None,
                 "sha1": digest,  # doubles as the freshness fingerprint
-                "file": os.path.basename(final),
+                "file": final.rsplit("/", 1)[-1],
                 # per-partition metrics (lineage + metrics, north rule);
                 # not part of the replay-compared data bytes
-                "bytes": os.path.getsize(final),
+                "bytes": st.getsize(final),
                 "write_ms": int((_time.perf_counter() - t0) * 1000),
             }
             if stage_metrics:
@@ -239,18 +252,13 @@ class ExactlyOnceSink:
                     k: int(v) for k, v in stage_metrics.items()
                 }
             mtmp = mpath + ".tmp"
-            with open(mtmp, "w") as f:
+            with st.open(mtmp, "w") as f:
                 json.dump(entry, f)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(mtmp, mpath)  # atomic lineage commit
+                st.fsync_file(f)
+            st.replace(mtmp, mpath)  # atomic lineage commit
             # fsync both directories so the renames themselves are durable
             for d in (self.out_dir, self.manifest_dir):
-                dfd = os.open(d, os.O_RDONLY)
-                try:
-                    os.fsync(dfd)
-                finally:
-                    os.close(dfd)
+                st.fsync_dir(d)
         except BaseException:
             # delete-on-error like saveWithErrorHandling (imagor.go:795-808)
             # — but only for files THIS call created. A failed freshness
@@ -261,7 +269,7 @@ class ExactlyOnceSink:
             # off too and the bucket reverts to uncommitted (a replay
             # rewrites it) rather than being skipped with its data gone.
             try:
-                os.remove(tmp)
+                st.remove(tmp)
             except OSError:
                 pass
             if committed_sha is None:
@@ -270,18 +278,18 @@ class ExactlyOnceSink:
                 # rename) — a manifest must never outlive its data file
                 for path in (final, mpath, mpath + ".tmp"):
                     try:
-                        os.remove(path)
+                        st.remove(path)
                     except OSError:
                         pass
             elif replaced:
                 for path in (final, mpath, mpath + ".tmp"):
                     try:
-                        os.remove(path)
+                        st.remove(path)
                     except OSError:
                         pass
             else:
                 try:
-                    os.remove(mpath + ".tmp")
+                    st.remove(mpath + ".tmp")
                 except OSError:
                     pass
             raise
@@ -290,12 +298,20 @@ class ExactlyOnceSink:
     # -- read back ---------------------------------------------------------
 
     def read(self) -> rd.Dataset:
-        return rd.read_parquet(self.out_dir)
+        if self._st.is_local:
+            return rd.read_parquet(self.out_dir)
+        # non-local fsspec backends (memory:// is per-process): stage
+        # through the driver — the backend is inherently driver-visible
+        frames = [
+            pd.read_parquet(self._st.open(p, "rb"))
+            for p in self.output_files()
+        ]
+        return rd.from_pandas(frames) if frames else rd.from_items([])
 
     def output_files(self) -> list[str]:
         return sorted(
-            os.path.join(self.out_dir, n)
-            for n in os.listdir(self.out_dir)
+            self._st.join(self.out_dir, n)
+            for n in self._st.listdir(self.out_dir)
             if n.endswith(".parquet")
         )
 
@@ -321,6 +337,6 @@ class ExactlyOnceSink:
         """Digest over all committed part files — replay equality probe."""
         h = hashlib.sha1()
         for path in self.output_files():
-            with open(path, "rb") as f:
+            with self._st.open(path, "rb") as f:
                 h.update(f.read())
         return h.hexdigest()

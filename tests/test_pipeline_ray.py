@@ -697,3 +697,99 @@ class TestFreshnessCrashSafety:
         monkeypatch.undo()
         assert sink.committed_buckets() == set()
         assert sink.output_files() == []
+
+
+class TestSinkURIBackends:
+    """The 'S3/GCS is a URI swap' claim made concrete: the sink's full
+    commit protocol (keyed dedup, total sort, temp→rename, manifest
+    commit, replay skip, freshness rewrite, delete-on-error) runs
+    unchanged over an fsspec backend addressed by URI. memory:// stands
+    in for the object store; rename semantics per backend are documented
+    in state/storage.py."""
+
+    @staticmethod
+    def _bucketed(df, nb=4):
+        from imagor_ray.state.sink import conv_bucket
+
+        df = df.copy()
+        df["_bucket"] = conv_bucket(df["conv_id"], nb).astype("int32")
+        return df
+
+    def _drive(self, sink, df):
+        # drive the commit protocol partition by partition (driver-side:
+        # memory:// is per-process by nature — the point under test is
+        # the protocol, which is identical for cluster-visible backends)
+        for _, g in self._bucketed(df).groupby("_bucket"):
+            sink.write_partition_df(g.reset_index(drop=True))
+
+    def test_memory_uri_replay_byte_identical_to_local(self, tmp_path):
+        import fsspec
+
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        fsspec.filesystem("memory").rm("/sinkA", recursive=True) if \
+            fsspec.filesystem("memory").exists("/sinkA") else None
+        df = TestPerKeyFreshness._rows()
+        mem = ExactlyOnceSink("memory://sinkA", num_buckets=4)
+        mem._st.makedirs(mem.manifest_dir)
+        self._drive(mem, df)
+        local = ExactlyOnceSink(str(tmp_path / "local"), num_buckets=4)
+        local._st.makedirs(local.manifest_dir)
+        self._drive(local, df)
+        # identical bytes across backends and committed lineage
+        assert mem.content_sha1() == local.content_sha1()
+        assert mem.committed_buckets() == {0, 1, 2, 3}
+        # replay is an idempotent skip
+        out = mem.write_partition_df(self._bucketed(df).groupby("_bucket").get_group(0))
+        assert bool(out["skipped"].iloc[0])
+        assert mem.content_sha1() == local.content_sha1()
+        # metrics/readback work through the storage layer
+        assert mem.metrics()["partitions"] == 4
+        assert mem.read().count() == len(df)
+
+    def test_memory_uri_freshness_rewrite(self):
+        import fsspec
+
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        fs = fsspec.filesystem("memory")
+        if fs.exists("/sinkB"):
+            fs.rm("/sinkB", recursive=True)
+        df = TestPerKeyFreshness._rows()
+        sink = ExactlyOnceSink("memory://sinkB", num_buckets=4)
+        sink._st.makedirs(sink.manifest_dir)
+        self._drive(sink, df)
+        fps = {e["partition_id"]: e["sha1"] for e in sink.read_manifest()}
+        df2 = df.copy()
+        df2.loc[5, "text"] = "MUTATED"
+        b2 = self._bucketed(df2)
+        hot = int(b2.loc[5, "_bucket"])
+        for _, g in b2.groupby("_bucket"):
+            sink.write_partition_df(g.reset_index(drop=True), check_freshness=True)
+        fps2 = {e["partition_id"]: e["sha1"] for e in sink.read_manifest()}
+        assert [b for b in fps2 if fps2[b] != fps[b]] == [hot]
+
+    def test_memory_uri_delete_on_error(self, monkeypatch):
+        import fsspec
+
+        from imagor_ray.state import sink as sink_mod
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        fs = fsspec.filesystem("memory")
+        if fs.exists("/sinkC"):
+            fs.rm("/sinkC", recursive=True)
+        df = TestPerKeyFreshness._rows()
+        sink = ExactlyOnceSink("memory://sinkC", num_buckets=4)
+        sink._st.makedirs(sink.manifest_dir)
+
+        def boom(*a, **k):
+            raise RuntimeError("object store write failed")
+
+        monkeypatch.setattr(sink_mod.json, "dump", boom)
+        g = self._bucketed(df).groupby("_bucket").get_group(1).reset_index(drop=True)
+        with pytest.raises(RuntimeError):
+            sink.write_partition_df(g)
+        monkeypatch.undo()
+        # no orphan manifest, no data file: bucket fully reverted
+        assert sink.committed_buckets() == set()
+        assert sink.output_files() == []
