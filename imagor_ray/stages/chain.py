@@ -478,6 +478,7 @@ class FilterChainStage:
         max_filter_ops: int = DEFAULT_MAX_FILTER_OPS,
         cache_size: int = 4096,
         result_cache_bytes: int = 0,
+        preview_cache_bytes: int = 4 << 20,
         suppress_duplicates: bool = False,
         detector=None,
     ):
@@ -503,6 +504,16 @@ class FilterChainStage:
         self._result_cache_used = 0
         self.cache_hits = 0
         self.cache_misses = 0
+        # preview cacher tier (imagor.go:52-62, process.go:61-72):
+        # preview() rows bypass result storage, so the reference gives
+        # them a memory cacher instead — here a dedicated byte-budgeted
+        # per-actor cache that preview-flagged rows always consult, even
+        # when the general result cache is disabled
+        self._preview_cache_bytes = preview_cache_bytes
+        self._preview_cache: "dict[tuple[str, str], str]" = {}
+        self._preview_cache_used = 0
+        self.preview_cache_hits = 0
+        self.preview_cache_misses = 0
         # within-batch duplicate suppression — singleflight collapse
         # (imagor.go:114, 842-884): identical (path, text) keys compute
         # once per batch and fan back; across batches the idempotent sink
@@ -558,6 +569,41 @@ class FilterChainStage:
                     self._cache_put((path, t), r)
         return texts.map(results)
 
+    def _preview_put(self, key: tuple[str, str], value: str) -> None:
+        size = len(key[1]) + len(value) + 64
+        while (self._preview_cache
+               and self._preview_cache_used + size > self._preview_cache_bytes):
+            k, v = next(iter(self._preview_cache.items()))
+            self._preview_cache.pop(k)
+            self._preview_cache_used -= len(k[1]) + len(v) + 64
+        if size <= self._preview_cache_bytes:
+            self._preview_cache[key] = value
+            self._preview_cache_used += size
+
+    def _run_preview_group(self, path: str, texts: pd.Series) -> pd.Series:
+        """Chain run for preview() rows through the preview memory
+        cacher: every distinct (path, text) is looked up first and
+        cached after — repeat preview requests never recompute."""
+        chain = self._chain(path)
+        texts = texts.astype(str)
+        results: dict[str, str] = {}
+        todo = []
+        for t in texts.drop_duplicates():
+            hit = self._preview_cache.get((path, t))
+            if hit is not None:
+                results[t] = hit
+                self.preview_cache_hits += 1
+            else:
+                todo.append(t)
+                self.preview_cache_misses += 1
+        if todo:
+            computed = chain.run(pd.Series(todo), lookup=self._lookup,
+                                 detector=self._detector)
+            for t, r in zip(todo, computed):
+                results[t] = r
+                self._preview_put((path, t), r)
+        return texts.map(results)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         import time as _time
 
@@ -567,8 +613,20 @@ class FilterChainStage:
         hits0, misses0 = self.cache_hits, self.cache_misses
         texts = batch[self._text_col]
         out = texts.copy()
+        preview_idx = None
+        if (self._preview_cache_bytes > 0 and "preview" in batch.columns
+                and batch["preview"].any()):
+            preview_idx = batch.index[batch["preview"].astype(bool)]
         for path, idx in texts.groupby(batch[self._path_col]).groups.items():
-            out.loc[idx] = self._run_group(path, texts.loc[idx])
+            if preview_idx is not None:
+                pidx = idx.intersection(preview_idx)
+                nidx = idx.difference(pidx)
+                if len(nidx):
+                    out.loc[nidx] = self._run_group(path, texts.loc[nidx])
+                if len(pidx):
+                    out.loc[pidx] = self._run_preview_group(path, texts.loc[pidx])
+            else:
+                out.loc[idx] = self._run_group(path, texts.loc[idx])
         batch[self._text_col] = out
         # per-batch counter adds (process-local, prometheus.go:51-80
         # analogue — per-replica counters, one add per batch)
@@ -576,6 +634,8 @@ class FilterChainStage:
         _metrics.inc("chain.ms", int((_time.perf_counter() - t0) * 1000))
         _metrics.inc("chain.cache_hits", self.cache_hits - hits0)
         _metrics.inc("chain.cache_misses", self.cache_misses - misses0)
+        if preview_idx is not None:
+            _metrics.inc("chain.preview_rows", len(preview_idx))
         return batch
 
 

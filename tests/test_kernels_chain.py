@@ -452,3 +452,73 @@ class TestRoundCornerArgs:
 
     def test_color_override(self):
         assert k("round_corner", "abcdef", "2,1,red") == "rrcdrr"
+
+
+class TestPreviewCacher:
+    """preview() cacher tier (imagor.go:52-62, process.go:61-72):
+    preview rows bypass the sink, so they get a per-actor memory cache —
+    repeated preview chains hit it instead of recomputing; results stay
+    bit-identical to the uncached path."""
+
+    def test_repeat_preview_hits_cache(self):
+        import pandas as pd
+
+        from imagor_ray.stages.chain import FilterChainStage
+
+        stage = FilterChainStage()
+        b = pd.DataFrame({
+            "path": ["filters:preview():grayscale()/doc"] * 3,
+            "text": ["AbC", "AbC", "XyZ"],
+            "preview": [True, True, True],
+        })
+        out1 = stage(b.copy())
+        assert stage.preview_cache_misses == 2  # two distinct texts
+        assert stage.preview_cache_hits == 0
+        out2 = stage(b.copy())
+        assert stage.preview_cache_hits == 2
+        assert out2["text"].tolist() == out1["text"].tolist() == [
+            "abc", "abc", "xyz"]
+
+    def test_non_preview_rows_unaffected(self):
+        import pandas as pd
+
+        from imagor_ray.stages.chain import FilterChainStage
+
+        stage = FilterChainStage()
+        b = pd.DataFrame({
+            "path": ["filters:grayscale()/doc"] * 2,
+            "text": ["AbC", "DeF"],
+            "preview": [False, False],
+        })
+        out = stage(b.copy())
+        assert out["text"].tolist() == ["abc", "def"]
+        assert stage.preview_cache_hits == stage.preview_cache_misses == 0
+
+    def test_mixed_batch_split_is_bit_stable(self):
+        import pandas as pd
+
+        from imagor_ray.stages.chain import FilterChainStage
+
+        b = pd.DataFrame({
+            "path": ["filters:grayscale()/doc"] * 4,
+            "text": ["AbC", "DeF", "GhI", "JkL"],
+            "preview": [True, False, True, False],
+        })
+        cached = FilterChainStage()(b.copy())
+        plain = FilterChainStage(preview_cache_bytes=0)(b.copy())
+        assert cached["text"].tolist() == plain["text"].tolist()
+
+    def test_byte_budget_evicts(self):
+        import pandas as pd
+
+        from imagor_ray.stages.chain import FilterChainStage
+
+        stage = FilterChainStage(preview_cache_bytes=200)
+        b = pd.DataFrame({
+            "path": ["filters:grayscale()/doc"] * 6,
+            "text": [f"text-{i:02d}-" + "x" * 40 for i in range(6)],
+            "preview": [True] * 6,
+        })
+        stage(b.copy())
+        assert stage._preview_cache_used <= 200
+        assert len(stage._preview_cache) < 6
