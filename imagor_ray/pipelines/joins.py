@@ -1,0 +1,132 @@
+"""Temporal joins Ray Data lacks natively — implemented as the SURVEY
+§2 "custom operators" recipe (a): composition of ``map_batches`` +
+one bucketed ``groupby().map_groups`` with a fully vectorized merge
+inside each group.
+
+``asof_join_events_orders`` — each event joined to the LATEST order of
+the same customer at or before the event's timestamp (ties on
+order-date broken by max o_orderkey, so the result is a pure function
+of the data — DuckDB's bare ``ASOF JOIN`` leaves date-ties
+implementation-defined, so the oracle mirrors the deterministic form
+with an explicit window).
+
+Partitioning assumption (documented per SURVEY §2): both sides are
+hash-bucketed on the join key, so every (customer → its orders, its
+events) pair is bucket-complete; the single all-to-all carries only the
+pruned join columns of both sides. Inside a bucket the merge is
+numpy-vectorized: sort orders by (key, time, tie), build dense
+(key-rank, time-rank) composites, one ``searchsorted`` positions every
+event against its customer's order timeline — no per-key loop (the
+engine-wide bucketed-merge rule, BENCH.md finding 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["asof_join_events_orders"]
+
+
+def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    ev = g[g["side"] == 0]
+    od = g[g["side"] == 1]
+    out_cols = {
+        "event_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "user_id": pd.Series([], dtype="int64"),
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+    }
+    if not len(ev) or not len(od):
+        return pd.DataFrame(out_cols)
+    # sentinel-padded union (no nulls → no int→float64 dtype
+    # degradation on arrow→pandas); sentinels never surface: each
+    # side's real columns are read only from that side's rows
+    ek = ev["key"].to_numpy().astype(np.int64)
+    et = ev["time"].to_numpy().astype(np.int64)
+    eid = ev["event_id"].to_numpy().astype(np.int64)
+    ok = od["key"].to_numpy().astype(np.int64)
+    ot = od["time"].to_numpy().astype(np.int64)
+    okey = od["o_orderkey"].to_numpy().astype(np.int64)
+    oval = od["o_totalprice"].to_numpy().astype(np.float64)
+
+    # orders sorted by (key, time, o_orderkey): searchsorted-right then
+    # -1 lands on the max (time, o_orderkey) at or before each event —
+    # the deterministic tie-break
+    o_order = np.lexsort((okey, ot, ok))
+    ok, ot, okey, oval = ok[o_order], ot[o_order], okey[o_order], oval[o_order]
+
+    # dense (key-rank, time-rank) composite keeps everything in int64:
+    # rank products are bounded by bucket_rows², never raw µs × keys
+    uniq_t = np.unique(np.concatenate([ot, et]))
+    uniq_k = np.unique(np.concatenate([ok, ek]))
+    m = np.int64(len(uniq_t) + 1)
+    comp_o = np.searchsorted(uniq_k, ok).astype(np.int64) * m + np.searchsorted(uniq_t, ot)
+    rk_e = np.searchsorted(uniq_k, ek).astype(np.int64)
+    comp_e = rk_e * m + np.searchsorted(uniq_t, et)
+
+    pos = np.searchsorted(comp_o, comp_e, side="right") - 1
+    safe = np.clip(pos, 0, None)
+    valid = (pos >= 0) & (comp_o[safe] // m == rk_e)  # same customer
+    if not valid.any():
+        return pd.DataFrame(out_cols)
+    sel, p = np.where(valid)[0], safe[valid]
+    return pd.DataFrame({
+        "event_id": eid[sel],
+        "ts": pd.Series(et[sel]).astype("datetime64[us]"),
+        "user_id": ek[sel],
+        "o_orderkey": okey[p],
+        "o_orderdate": pd.Series(ot[p]).astype("datetime64[us]"),
+        "o_totalprice": oval[p],
+    })
+
+
+def asof_join_events_orders(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Output: event_id, ts, user_id, o_orderkey, o_orderdate,
+    o_totalprice — inner as-of semantics (events with no order at or
+    before their ts are dropped, matching the SQL mirror)."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": key,
+            "time": b["ts"].astype("datetime64[us]").astype("int64"),
+            "side": np.zeros(len(b), dtype=np.int8),
+            "event_id": b["event_id"].astype("int64"),
+            "o_orderkey": np.full(len(b), -1, dtype=np.int64),
+            "o_totalprice": np.zeros(len(b), dtype=np.float64),
+            "_jb": (key % num_buckets).astype(np.int32),
+        })
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["o_custkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": key,
+            "time": b["o_orderdate"].astype("datetime64[us]").astype("int64"),
+            "side": np.ones(len(b), dtype=np.int8),
+            "event_id": np.full(len(b), -1, dtype=np.int64),
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "o_totalprice": b["o_totalprice"].astype("float64"),
+            "_jb": (key % num_buckets).astype(np.int32),
+        })
+
+    tagged = events.map_batches(tag_events, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+    return (
+        tagged.groupby("_jb")
+        .map_groups(
+            lambda g: _asof_bucket(g.drop(columns=["_jb"])),
+            batch_format="pandas",
+        )
+    )

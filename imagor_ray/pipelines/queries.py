@@ -37,6 +37,8 @@ from .dedup import (
     simhash64_signatures, simhash_pairs, simhash_signatures,
 )
 from .flagship import processed_turns
+from .joins import asof_join_events_orders
+from .sampling import dataset_split, deterministic_sample
 from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
 
 # ---------------------------------------------------------------------------
@@ -696,6 +698,130 @@ def _q_q3(sf_dir: str):
     )
 
 
+def _q_q5(sf_dir: str):
+    """TPC-H Q5-shaped 5-way join: region → nation → customer chain
+    folded into ONE broadcast map (all three dims are small — the
+    multi-dim analogue of the tool-meta enrich), orders pruned and
+    nation-tagged map-side, then the genuine large-large
+    orders × lineitem exchange via native ``Dataset.join``, revenue per
+    nation in integer milli-cents (bit-identical IEEE expression on
+    both engines)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    rk = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(set(rk))]
+    cmap = cust.merge(
+        nat, left_on="c_nationkey", right_on="n_nationkey", how="inner"
+    )[["c_custkey", "n_name"]]
+    name_by_cust = dict(zip(cmap["c_custkey"].astype(int), cmap["n_name"]))
+    map_ref = _ray.put(name_by_cust)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(map_ref)
+        names = b["o_custkey"].map(m)
+        keep = names.notna()
+        return pd.DataFrame({
+            "o_orderkey": b.loc[keep, "o_orderkey"].astype("int64"),
+            "n_name": names[keep],
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def line_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ext = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        part = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            # identical IEEE expression to the oracle SQL → exact sums
+            "rev_m": np.floor(ext * (1 - disc) * 1000).astype("int64"),
+        })
+        # per-batch combiner: one row per orderkey enters the join
+        return part.groupby("l_orderkey", sort=False).agg(
+            rev_m=("rev_m", "sum")).reset_index()
+
+    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    joined = orders.map_batches(tag_orders, batch_format="pandas").join(
+        line.map_batches(line_partial, batch_format="pandas"),
+        "inner", num_partitions=n_parts,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("n_name", sort=False).agg(
+            revenue_m=("rev_m", "sum")).reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby("n_name", sort=False).agg(
+            revenue_m=("revenue_m", "sum")).reset_index()
+        return g.sort_values("n_name").reset_index(drop=True)
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda b: b.assign(_k=0), batch_format="pandas")
+        .groupby("_k")
+        .map_groups(lambda g: merge(g.drop(columns=["_k"])), batch_format="pandas")
+    )
+
+
+def _q_asof(sf_dir: str):
+    return asof_join_events_orders(sf_dir)
+
+
+_Q5_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_m
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+# deterministic as-of: DuckDB's bare ASOF JOIN leaves date-ties
+# implementation-defined, so the oracle pins the same explicit
+# tie-break as the engine (max o_orderdate then max o_orderkey)
+_ASOF_SQL = """
+SELECT e.event_id, e.ts, e.user_id,
+       o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM events e
+JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+QUALIFY row_number() OVER (
+  PARTITION BY e.event_id
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+"""
+
+_SPLIT_SQL = """
+SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' THEN 'val'
+       ELSE 'train' END AS split
+FROM documents
+"""
+
+_SAMPLE_SQL = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '4'
+"""
+
+
 _Q3_SQL = """
 SELECT o.o_orderkey,
        CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_m,
@@ -1104,6 +1230,10 @@ QUERIES = {
     # relational breadth
     "q1_pricing": _q_q1,
     "q3_shipping": _q_q3,
+    "q5_nation_revenue": _q_q5,
+    "asof_events_orders": _q_asof,
+    "dataset_split": dataset_split,
+    "deterministic_sample": deterministic_sample,
     "top_customers": _q_top_customers,
     "events_by_type": _q_events_by_type,
 }
@@ -1142,6 +1272,10 @@ ORACLES = {
     "label_centroids": _CENTROIDS_SQL,
     "q1_pricing": _Q1_SQL,
     "q3_shipping": _Q3_SQL,
+    "q5_nation_revenue": _Q5_SQL,
+    "asof_events_orders": _ASOF_SQL,
+    "dataset_split": _SPLIT_SQL,
+    "deterministic_sample": _SAMPLE_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "events_by_type": _EVENTS_BY_TYPE_SQL,
 }

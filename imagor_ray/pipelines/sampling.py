@@ -1,0 +1,68 @@
+"""Deterministic sampling / split assignment — training-data-pipeline
+operators a 100 TB corpus needs: reproducible train/val/test membership
+that is a pure function of the row key, so any node (and any rerun, and
+the DuckDB oracle) assigns identically with no coordination, no RNG
+state, and no shuffle — membership is a pure ``map_batches``.
+
+The splitter hashes the key's decimal string with md5 and buckets on
+the first hex nibble: 0..b → train (12/16), c..d → val (2/16),
+e..f → test (2/16). md5 is already the engine's cross-engine hash
+contract (dedup.py docstring): ``hashlib.md5 == DuckDB md5()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["dataset_split", "deterministic_sample"]
+
+_TRAIN = set("0123456789ab")
+_VAL = set("cd")
+
+
+def _split_of(key: int) -> str:
+    c = hashlib.md5(str(key).encode()).hexdigest()[0]
+    return "train" if c in _TRAIN else ("val" if c in _VAL else "test")
+
+
+def dataset_split(sf_dir: str) -> rd.Dataset:
+    """Output: doc_id, split ('train' 12/16, 'val' 2/16, 'test' 2/16)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "split": [_split_of(int(i)) for i in ids],
+        })
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
+def deterministic_sample(
+    sf_dir: str, rate_sixteenths: int = 4
+) -> rd.Dataset:
+    """Hash-gated sample of the events stream: keep rows whose
+    md5(event_id) first nibble < ``rate_sixteenths`` — an exact
+    rate_sixteenths/16 expected rate, reproducible across engines and
+    reruns. Output: event_id, user_id, event_type."""
+    gate = set("0123456789abcdef"[:rate_sixteenths])
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].astype("int64")
+        mask = np.fromiter(
+            (hashlib.md5(str(int(i)).encode()).hexdigest()[0] in gate
+             for i in ids),
+            dtype=bool, count=len(ids),
+        )
+        return b[mask]
+
+    return ev.map_batches(keep, batch_format="pandas")

@@ -1,0 +1,117 @@
+"""As-of join (bucketed vectorized merge) and deterministic
+sampling/split operators — edge cases beyond the DuckDB parity gate
+(which runs via tests/test_oracle_parity.py for all four entries)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bucket_frame(events, orders):
+    ev = pd.DataFrame({
+        "key": [e[0] for e in events],
+        "time": [e[1] for e in events],
+        "side": np.int8(0),
+        "event_id": [e[2] for e in events],
+        "o_orderkey": np.int64(-1),
+        "o_totalprice": 0.0,
+    })
+    od = pd.DataFrame({
+        "key": [o[0] for o in orders],
+        "time": [o[1] for o in orders],
+        "side": np.int8(1),
+        "event_id": np.int64(-1),
+        "o_orderkey": [o[2] for o in orders],
+        "o_totalprice": [o[3] for o in orders],
+    })
+    return pd.concat([ev, od], ignore_index=True)
+
+
+class TestAsofBucketMerge:
+    def test_picks_latest_at_or_before(self):
+        from imagor_ray.pipelines.joins import _asof_bucket
+
+        g = _bucket_frame(
+            events=[(7, 100, 1), (7, 250, 2), (7, 50, 3)],
+            orders=[(7, 100, 10, 1.5), (7, 200, 11, 2.5)],
+        )
+        out = _asof_bucket(g).sort_values("event_id").reset_index(drop=True)
+        # event@100 → order@100 (at-or-before inclusive); event@250 →
+        # order@200; event@50 → no order → dropped
+        assert out["event_id"].tolist() == [1, 2]
+        assert out["o_orderkey"].tolist() == [10, 11]
+        assert out["o_totalprice"].tolist() == [1.5, 2.5]
+
+    def test_date_tie_breaks_on_max_orderkey(self):
+        from imagor_ray.pipelines.joins import _asof_bucket
+
+        g = _bucket_frame(
+            events=[(3, 500, 1)],
+            orders=[(3, 400, 20, 1.0), (3, 400, 25, 2.0), (3, 400, 22, 3.0)],
+        )
+        out = _asof_bucket(g)
+        assert out["o_orderkey"].tolist() == [25]
+
+    def test_keys_do_not_cross(self):
+        from imagor_ray.pipelines.joins import _asof_bucket
+
+        g = _bucket_frame(
+            events=[(1, 100, 1), (2, 100, 2)],
+            orders=[(1, 50, 10, 1.0)],  # key 2 has no orders
+        )
+        out = _asof_bucket(g)
+        assert out["event_id"].tolist() == [1]
+
+    def test_empty_sides(self):
+        from imagor_ray.pipelines.joins import _asof_bucket
+
+        assert len(_asof_bucket(_bucket_frame([], [(1, 1, 1, 1.0)]))) == 0
+        assert len(_asof_bucket(_bucket_frame([(1, 1, 1)], []))) == 0
+
+    def test_random_equals_pandas_bruteforce(self):
+        from imagor_ray.pipelines.joins import _asof_bucket
+
+        rng = np.random.default_rng(5)
+        events = [(int(rng.integers(0, 20)), int(rng.integers(0, 1000)), i)
+                  for i in range(300)]
+        orders = [(int(rng.integers(0, 20)), int(rng.integers(0, 1000)),
+                   j, float(j)) for j in range(200)]
+        got = _asof_bucket(_bucket_frame(events, orders)).sort_values(
+            "event_id").reset_index(drop=True)
+        want = []
+        for k, t, eid in events:
+            cands = [(ot, okey, val) for ok_, ot, okey, val in orders
+                     if ok_ == k and ot <= t]
+            if cands:
+                ot, okey, val = max(cands)
+                want.append((eid, okey, val))
+        want.sort()
+        assert list(map(tuple, got[["event_id", "o_orderkey",
+                                    "o_totalprice"]].to_numpy())) == [
+            (float(e), float(k), v) for e, k, v in want] or \
+            got["event_id"].tolist() == [w[0] for w in want]
+        assert got["o_orderkey"].tolist() == [w[1] for w in want]
+
+
+class TestDeterministicSplit:
+    def test_split_rates_and_stability(self, ray_session):
+        from imagor_ray.pipelines.sampling import dataset_split
+
+        a = dataset_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = dataset_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)  # pure function of the key
+        frac = a["split"].value_counts(normalize=True)
+        assert 0.6 < frac["train"] < 0.9
+        assert set(a["split"]) == {"train", "val", "test"}
+
+    def test_sample_rate(self, ray_session):
+        from imagor_ray.pipelines.sampling import deterministic_sample
+
+        n4 = deterministic_sample(SF, rate_sixteenths=4).count()
+        n16 = deterministic_sample(SF, rate_sixteenths=16).count()
+        assert n16 == 1000
+        assert 0.15 * n16 < n4 < 0.35 * n16
