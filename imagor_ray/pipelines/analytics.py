@@ -1,0 +1,127 @@
+"""Window-function analytics over the event stream — SQL-window-shaped
+operators (RANGE frames, per-group ranking) recast as bucketed
+vectorized merges, since Ray Data has no window functions.
+
+Partitioning assumption (SURVEY §2 custom-operator recipe a): one hash
+bucket per key group, key-complete; inside a bucket everything is numpy
+— the same dense-rank composite + ``searchsorted`` machinery as
+``pipelines/joins.py``, plus global prefix sums for O(1) range-sum
+lookups. No per-key Python loop anywhere (BENCH.md finding 1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["rolling_user_stats", "top_orders_per_customer"]
+
+_7D_US = 7 * 86400 * 1_000_000
+
+
+def _rolling_bucket(g: pd.DataFrame, span_us: int) -> pd.DataFrame:
+    """Per-bucket rolling RANGE window: for each event, count and
+    value-sum of the same user's events with ts in [ts - span, ts] —
+    the frame `RANGE BETWEEN span PRECEDING AND CURRENT ROW`. Equal-ts
+    rows all see the full tie group (order-independent, matching SQL
+    RANGE semantics exactly)."""
+    u = g["user_id"].to_numpy().astype(np.int64)
+    t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    eid = g["event_id"].to_numpy().astype(np.int64)
+    vm = g["value_m"].to_numpy().astype(np.int64)
+
+    order = np.lexsort((t, u))
+    u, t, eid, vm = u[order], t[order], eid[order], vm[order]
+
+    uniq_u = np.unique(u)
+    uniq_t = np.unique(t)
+    m = np.int64(len(uniq_t) + 1)
+    ru = np.searchsorted(uniq_u, u).astype(np.int64)
+    comp = ru * m + np.searchsorted(uniq_t, t)
+
+    # frame bounds per row: lo = first same-user index with ts >= ts-span
+    # ('left' rank of the bound keeps the composite order-isomorphic),
+    # hi = one past the last same-user index with ts <= ts (tie group
+    # included via 'right' on the exact rank)
+    lo = np.searchsorted(comp, ru * m + np.searchsorted(uniq_t, t - span_us, side="left"))
+    hi = np.searchsorted(comp, ru * m + np.searchsorted(uniq_t, t), side="right")
+
+    cs = np.concatenate([[0], np.cumsum(vm)])
+    return pd.DataFrame({
+        "event_id": eid,
+        "user_id": u,
+        "ts": pd.Series(t).astype("datetime64[us]"),
+        "n_7d": (hi - lo).astype(np.int64),
+        "value_m_7d": (cs[hi] - cs[lo]).astype(np.int64),
+    })
+
+
+def rolling_user_stats(
+    sf_dir: str, span_us: int = _7D_US, num_buckets: int = 32
+) -> rd.Dataset:
+    """7-day rolling per-user event count + integer-milli value sum at
+    each event (SQL mirror: RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND
+    CURRENT ROW). Output: event_id, user_id, ts, n_7d, value_m_7d."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy()
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "ts": b["ts"].astype("datetime64[us]"),
+            "user_id": b["user_id"].astype("int64"),
+            # identical IEEE expression to the oracle SQL → exact sums
+            "value_m": np.floor(v * 1000).astype("int64"),
+            "_wb": (b["user_id"].to_numpy().astype(np.int64) % num_buckets
+                    ).astype(np.int32),
+        })
+
+    return (
+        ev.map_batches(prep, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(
+            lambda g: _rolling_bucket(g.drop(columns=["_wb"]), span_us),
+            batch_format="pandas",
+        )
+    )
+
+
+def top_orders_per_customer(
+    sf_dir: str, k: int = 2, num_buckets: int = 32
+) -> rd.Dataset:
+    """Per-group top-k ranking (the window-function `row_number() ...
+    QUALIFY <= k` shape): each customer's k most expensive orders,
+    price ties broken by min o_orderkey — deterministic on both
+    engines. Output: o_custkey, o_orderkey, o_totalprice, rank."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_wb"] = (b["o_custkey"].to_numpy().astype(np.int64) % num_buckets
+                    ).astype(np.int32)
+        return b
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        g = g.assign(rank=g.groupby("o_custkey", sort=False).cumcount() + 1)
+        g = g[g["rank"] <= k]
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rank"]].astype(
+            {"o_custkey": "int64", "o_orderkey": "int64", "rank": "int64"}
+        )
+
+    return (
+        orders.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_wb")
+        .map_groups(
+            lambda g: topk(g.drop(columns=["_wb"])), batch_format="pandas"
+        )
+    )

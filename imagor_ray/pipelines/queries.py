@@ -37,6 +37,7 @@ from .dedup import (
     simhash64_signatures, simhash_pairs, simhash_signatures,
 )
 from .flagship import processed_turns
+from .analytics import rolling_user_stats, top_orders_per_customer
 from .joins import asof_join_events_orders
 from .sampling import dataset_split, deterministic_sample
 from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
@@ -807,6 +808,23 @@ QUALIFY row_number() OVER (
   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
 """
 
+_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS value_m_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+_TOPK_PER_CUST_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+FROM orders
+QUALIFY rank <= 2
+"""
+
 _SPLIT_SQL = """
 SELECT doc_id,
   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
@@ -1232,6 +1250,8 @@ QUERIES = {
     "q3_shipping": _q_q3,
     "q5_nation_revenue": _q_q5,
     "asof_events_orders": _q_asof,
+    "rolling_user_stats": rolling_user_stats,
+    "topk_orders_per_customer": top_orders_per_customer,
     "dataset_split": dataset_split,
     "deterministic_sample": deterministic_sample,
     "top_customers": _q_top_customers,
@@ -1274,6 +1294,8 @@ ORACLES = {
     "q3_shipping": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
     "asof_events_orders": _ASOF_SQL,
+    "rolling_user_stats": _ROLLING_SQL,
+    "topk_orders_per_customer": _TOPK_PER_CUST_SQL,
     "dataset_split": _SPLIT_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

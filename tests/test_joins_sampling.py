@@ -115,3 +115,30 @@ class TestDeterministicSplit:
         n16 = deterministic_sample(SF, rate_sixteenths=16).count()
         assert n16 == 1000
         assert 0.15 * n16 < n4 < 0.35 * n16
+
+
+class TestRollingWindow:
+    def test_ties_and_span_vs_bruteforce(self):
+        from imagor_ray.pipelines.analytics import _rolling_bucket
+
+        rng = np.random.default_rng(9)
+        n = 400
+        base = 1_700_000_000_000_000
+        g = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 8, n).astype("int64"),
+            # coarse grid forces equal-ts ties within users
+            "ts": pd.Series(
+                base + rng.integers(0, 20, n).astype("int64") * 3_600_000_000
+            ).astype("datetime64[us]"),
+            "value_m": rng.integers(-50, 50, n).astype("int64"),
+        })
+        span = 5 * 3_600_000_000  # 5h
+        got = _rolling_bucket(g.copy(), span).sort_values(
+            "event_id").reset_index(drop=True)
+        t = g["ts"].astype("int64").to_numpy()
+        for i in rng.choice(n, 60, replace=False):
+            mask = (g["user_id"] == g["user_id"][i]) & (t >= t[i] - span) & (t <= t[i])
+            row = got[got["event_id"] == i].iloc[0]
+            assert row["n_7d"] == int(mask.sum())
+            assert row["value_m_7d"] == int(g.loc[mask, "value_m"].sum())
