@@ -825,6 +825,19 @@ FROM orders
 QUALIFY rank <= 2
 """
 
+def _q_media_hashes(sf_dir: str):
+    from ..stages.multimodal import media_hashes
+
+    return media_hashes(sf_dir)
+
+
+_MEDIA_HASHES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
 _SPLIT_SQL = """
 SELECT doc_id,
   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
@@ -1253,6 +1266,7 @@ QUERIES = {
     "rolling_user_stats": rolling_user_stats,
     "topk_orders_per_customer": top_orders_per_customer,
     "dataset_split": dataset_split,
+    "media_hashes": _q_media_hashes,
     "deterministic_sample": deterministic_sample,
     "top_customers": _q_top_customers,
     "events_by_type": _q_events_by_type,
@@ -1297,6 +1311,7 @@ ORACLES = {
     "rolling_user_stats": _ROLLING_SQL,
     "topk_orders_per_customer": _TOPK_PER_CUST_SQL,
     "dataset_split": _SPLIT_SQL,
+    "media_hashes": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "events_by_type": _EVENTS_BY_TYPE_SQL,

@@ -213,3 +213,34 @@ def media_features(batch: pa.Table, dim: int = 16) -> pa.Table:
         "media_id": batch["media_id"],
         "embedding": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
     })
+
+
+def media_hashes(sf_dir: str):
+    """Content addressing for binary payloads — the first multimodal
+    entry with a FULL SQL oracle: each document's utf8 payload bytes
+    (standing in for an opaque media blob; the real pipeline hashes the
+    binary column identically) get byte length + sha256. This is the
+    dedup/cache key layer every 100 TB media pipeline needs before any
+    decode happens (imagor's content-addressed result keys,
+    imagor.go:388-398), and it is pure map — zero shuffle.
+
+    Output: doc_id, n_bytes, sha256 (lowercase hex).
+    """
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def hash_batch(b: pd.DataFrame) -> pd.DataFrame:
+        payloads = [t.encode("utf-8") for t in b["text"]]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64",
+                                 index=b.index),
+            "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+        })
+
+    return docs.map_batches(hash_batch, batch_format="pandas")
