@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["asof_join_events_orders"]
+__all__ = ["asof_join_events_orders", "error_context_window"]
 
 
 def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -127,6 +127,99 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         tagged.groupby("_jb")
         .map_groups(
             lambda g: _asof_bucket(g.drop(columns=["_jb"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def _context_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """Per-bucket interval join: for each anchor row, every same-user
+    context row with ts in [anchor.ts − window, anchor.ts], excluding
+    the anchor itself. Fully vectorized: one composite searchsorted per
+    bound, pair expansion via the repeat/offset trick — output size is
+    the true pair count, never an n² intermediate."""
+    anchors = g[g["is_anchor"]]
+    ctx = g  # every event is candidate context (incl. other anchors)
+    empty = pd.DataFrame({
+        "anchor_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "anchor_ts": pd.Series([], dtype="datetime64[us]"),
+        "ctx_event_id": pd.Series([], dtype="int64"),
+        "ctx_ts": pd.Series([], dtype="datetime64[us]"),
+        "ctx_type": pd.Series([], dtype=object),
+    })
+    if not len(anchors) or not len(ctx):
+        return empty
+    au = anchors["user_id"].to_numpy().astype(np.int64)
+    at = anchors["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    aid = anchors["event_id"].to_numpy().astype(np.int64)
+    cu = ctx["user_id"].to_numpy().astype(np.int64)
+    ct = ctx["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    cid = ctx["event_id"].to_numpy().astype(np.int64)
+    ctype = ctx["event_type"].to_numpy()
+
+    order = np.lexsort((ct, cu))
+    cu, ct, cid, ctype = cu[order], ct[order], cid[order], ctype[order]
+
+    uniq_t = np.unique(np.concatenate([ct, at, at - window_us]))
+    uniq_u = np.unique(np.concatenate([cu, au]))
+    m = np.int64(len(uniq_t) + 1)
+    comp_c = np.searchsorted(uniq_u, cu).astype(np.int64) * m + np.searchsorted(uniq_t, ct)
+    ra = np.searchsorted(uniq_u, au).astype(np.int64)
+    lo = np.searchsorted(comp_c, ra * m + np.searchsorted(uniq_t, at - window_us))
+    hi = np.searchsorted(comp_c, ra * m + np.searchsorted(uniq_t, at), side="right")
+
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    a_rep = np.repeat(np.arange(len(aid)), counts)
+    offsets = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    c_idx = np.repeat(lo, counts) + offsets
+    keep = cid[c_idx] != aid[a_rep]  # drop anchor-to-itself
+    a_rep, c_idx = a_rep[keep], c_idx[keep]
+    return pd.DataFrame({
+        "anchor_id": aid[a_rep],
+        "user_id": au[a_rep],
+        "anchor_ts": pd.Series(at[a_rep]).astype("datetime64[us]"),
+        "ctx_event_id": cid[c_idx],
+        "ctx_ts": pd.Series(ct[c_idx]).astype("datetime64[us]"),
+        "ctx_type": ctype[c_idx],
+    })
+
+
+def error_context_window(
+    sf_dir: str, window_s: int = 3600, num_buckets: int = 32
+) -> rd.Dataset:
+    """Interval (range) join — context extraction around anchor events,
+    the shape a training pipeline uses to pull the surrounding activity
+    of every interesting row: for each 'error' event, all events of the
+    same user in the preceding ``window_s`` seconds (inclusive bounds,
+    anchor excluded). Same bucketed one-shuffle design as the as-of
+    join; output is exactly the pair set, produced without any n²
+    intermediate. SQL mirror is the plain inequality join."""
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    window_us = window_s * 1_000_000
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "ts": b["ts"].astype("datetime64[us]"),
+            "user_id": b["user_id"].astype("int64"),
+            "event_type": b["event_type"],
+            "is_anchor": (b["event_type"] == "error").to_numpy(),
+            "_jb": (b["user_id"].to_numpy().astype(np.int64) % num_buckets
+                    ).astype(np.int32),
+        })
+
+    return (
+        ev.map_batches(prep, batch_format="pandas")
+        .groupby("_jb")
+        .map_groups(
+            lambda g: _context_bucket(g.drop(columns=["_jb"]), window_us),
             batch_format="pandas",
         )
     )

@@ -38,7 +38,7 @@ from .dedup import (
 )
 from .flagship import processed_turns
 from .analytics import rolling_user_stats, top_orders_per_customer
-from .joins import asof_join_events_orders
+from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample
 from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
 
@@ -808,6 +808,16 @@ QUALIFY row_number() OVER (
   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
 """
 
+_ERROR_CONTEXT_SQL = """
+SELECT a.event_id AS anchor_id, a.user_id, a.ts AS anchor_ts,
+       c.event_id AS ctx_event_id, c.ts AS ctx_ts, c.event_type AS ctx_type
+FROM events a JOIN events c
+  ON c.user_id = a.user_id
+ AND c.ts <= a.ts AND c.ts >= a.ts - INTERVAL 1 HOUR
+ AND c.event_id <> a.event_id
+WHERE a.event_type = 'error'
+"""
+
 _ROLLING_SQL = """
 SELECT event_id, user_id, ts,
   CAST(count(*) OVER w AS BIGINT) AS n_7d,
@@ -1264,6 +1274,7 @@ QUERIES = {
     "q5_nation_revenue": _q_q5,
     "asof_events_orders": _q_asof,
     "rolling_user_stats": rolling_user_stats,
+    "error_context": error_context_window,
     "topk_orders_per_customer": top_orders_per_customer,
     "dataset_split": dataset_split,
     "media_hashes": _q_media_hashes,
@@ -1309,6 +1320,7 @@ ORACLES = {
     "q5_nation_revenue": _Q5_SQL,
     "asof_events_orders": _ASOF_SQL,
     "rolling_user_stats": _ROLLING_SQL,
+    "error_context": _ERROR_CONTEXT_SQL,
     "topk_orders_per_customer": _TOPK_PER_CUST_SQL,
     "dataset_split": _SPLIT_SQL,
     "media_hashes": _MEDIA_HASHES_SQL,

@@ -142,3 +142,34 @@ class TestRollingWindow:
             row = got[got["event_id"] == i].iloc[0]
             assert row["n_7d"] == int(mask.sum())
             assert row["value_m_7d"] == int(g.loc[mask, "value_m"].sum())
+
+
+class TestIntervalJoin:
+    def test_context_bucket_vs_bruteforce(self):
+        from imagor_ray.pipelines.joins import _context_bucket
+
+        rng = np.random.default_rng(13)
+        n = 300
+        base = 1_700_000_000_000_000
+        g = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.Series(
+                base + rng.integers(0, 30, n).astype("int64") * 600_000_000
+            ).astype("datetime64[us]"),
+            "user_id": rng.integers(0, 6, n).astype("int64"),
+            "event_type": rng.choice(["error", "click", "view"], n),
+            "is_anchor": np.zeros(n, dtype=bool),
+        })
+        g["is_anchor"] = (g["event_type"] == "error").to_numpy()
+        window = 3 * 600_000_000
+        got = _context_bucket(g.copy(), window)
+        got_set = set(zip(got["anchor_id"], got["ctx_event_id"]))
+        t = g["ts"].astype("int64").to_numpy()
+        want = set()
+        for i in np.where(g["is_anchor"])[0]:
+            for j in range(n):
+                if (j != i and g["user_id"][j] == g["user_id"][i]
+                        and t[i] - window <= t[j] <= t[i]):
+                    want.add((i, j))
+        assert got_set == want
+        assert len(got) == len(want)  # no duplicate pairs
