@@ -46,6 +46,9 @@ class EngineConfig:
     window_s: int = 3600
     allowed_lateness_s: int = 0
     salt_bucket_s: int = 0              # 0 = unsalted
+    # rows per cycle above which the streaming driver runs the fused
+    # dataset-native cycle (0 = always dataset-native)
+    stream_cycle_threshold: int = 150_000
 
     # filter chain (vipsconfig: disabled filters, MaxFilterOps, caches)
     max_filter_ops: int = 64

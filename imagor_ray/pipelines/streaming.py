@@ -59,11 +59,15 @@ class StreamingSessionJob:
         state_dir: str,
         gap_s: int = 1800,
         allowed_lateness_s: int = 0,
+        ray_cycle_threshold: int | None = None,
     ):
         self.input_dir = input_dir
         self.cp = Checkpoint(state_dir)
         self.gap_s = gap_s
         self.lateness_us = allowed_lateness_s * 1_000_000
+        if ray_cycle_threshold is not None:
+            # instance override of the class default (config-bound knob)
+            self.RAY_CYCLE_THRESHOLD = ray_cycle_threshold
         self.closed_dir = os.path.join(state_dir, "closed")
         self.late_dir = os.path.join(state_dir, "late")
         os.makedirs(self.closed_dir, exist_ok=True)
@@ -578,8 +582,10 @@ class StreamingFlagshipJob(StreamingSessionJob):
         allowed_lateness_s: int = 0,
         secret: str | None = None,
         num_buckets: int = 8,
+        ray_cycle_threshold: int | None = None,
     ):
-        super().__init__(input_dir, state_dir, gap_s, allowed_lateness_s)
+        super().__init__(input_dir, state_dir, gap_s, allowed_lateness_s,
+                         ray_cycle_threshold=ray_cycle_threshold)
         from ..stages.parse_sign import DEFAULT_SECRET
 
         self.secret = secret or DEFAULT_SECRET
