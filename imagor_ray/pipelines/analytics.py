@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["rolling_user_stats", "top_orders_per_customer"]
+__all__ = ["rolling_user_stats", "top_orders_per_customer", "user_stats_by_type"]
 
 _7D_US = 7 * 86400 * 1_000_000
 
@@ -123,5 +123,75 @@ def top_orders_per_customer(
         .groupby("_wb")
         .map_groups(
             lambda g: topk(g.drop(columns=["_wb"])), batch_format="pandas"
+        )
+    )
+
+
+def user_stats_by_type(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Distinct-count + exact discrete median per event type, built from
+    the two patterns a 100 TB groupby needs:
+
+    - **map-side partial distinct**: each batch emits its DISTINCT
+      (event_type, user_id) pairs before the shuffle, so the all-to-all
+      carries the (small) distinct set, not the stream — the combiner
+      form of COUNT(DISTINCT);
+    - **exact discrete quantile** (``quantile_disc(0.5)`` semantics:
+      element at ceil(q·n)−1 of the ascending sort): values shuffle
+      bucketed by type. Exact selection needs the key's values together;
+      the documented scale path for very hot keys is a mergeable
+      quantile sketch (t-digest) — approximate, so it would drop to a
+      rows-only gate; the exact form here is the oracle-checked one.
+
+    Output: event_type, n_users, median_value.
+    """
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        users = b[["event_type", "user_id"]].drop_duplicates()
+        out = pd.DataFrame({
+            "event_type": b["event_type"],
+            "user_id": np.int64(-1),
+            "value": b["value"],
+            "is_user": np.zeros(len(b), dtype=bool),
+        })
+        du = pd.DataFrame({
+            "event_type": users["event_type"],
+            "user_id": users["user_id"].astype("int64"),
+            "value": 0.0,
+            "is_user": np.ones(len(users), dtype=bool),
+        })
+        return pd.concat([out, du], ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, sub in g.groupby("event_type", sort=True):
+            vals = np.sort(sub.loc[~sub["is_user"], "value"].to_numpy())
+            idx = int(np.ceil(0.5 * len(vals))) - 1 if len(vals) else 0
+            rows.append({
+                "event_type": etype,
+                "n_users": np.int64(
+                    sub.loc[sub["is_user"], "user_id"].nunique()
+                ),
+                "median_value": float(vals[idx]) if len(vals) else np.nan,
+            })
+        return pd.DataFrame(rows)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import crc32_bucket
+
+        b = b.copy()
+        b["_ab"] = crc32_bucket(
+            b["event_type"].to_numpy(), num_buckets
+        ).astype("int32")
+        return b
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_ab")
+        .map_groups(
+            lambda g: merge(g.drop(columns=["_ab"])), batch_format="pandas"
         )
     )

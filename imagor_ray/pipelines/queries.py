@@ -37,7 +37,9 @@ from .dedup import (
     simhash64_signatures, simhash_pairs, simhash_signatures,
 )
 from .flagship import processed_turns
-from .analytics import rolling_user_stats, top_orders_per_customer
+from .analytics import (
+    rolling_user_stats, top_orders_per_customer, user_stats_by_type,
+)
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample
 from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
@@ -848,6 +850,13 @@ SELECT doc_id,
 FROM documents
 """
 
+_USER_STATS_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY 1
+"""
+
 _SPLIT_SQL = """
 SELECT doc_id,
   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
@@ -1276,6 +1285,7 @@ QUERIES = {
     "rolling_user_stats": rolling_user_stats,
     "error_context": error_context_window,
     "topk_orders_per_customer": top_orders_per_customer,
+    "user_stats_by_type": user_stats_by_type,
     "dataset_split": dataset_split,
     "media_hashes": _q_media_hashes,
     "deterministic_sample": deterministic_sample,
@@ -1322,6 +1332,7 @@ ORACLES = {
     "rolling_user_stats": _ROLLING_SQL,
     "error_context": _ERROR_CONTEXT_SQL,
     "topk_orders_per_customer": _TOPK_PER_CUST_SQL,
+    "user_stats_by_type": _USER_STATS_SQL,
     "dataset_split": _SPLIT_SQL,
     "media_hashes": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
