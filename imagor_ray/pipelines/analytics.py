@@ -15,7 +15,10 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["rolling_user_stats", "top_orders_per_customer", "user_stats_by_type"]
+__all__ = [
+    "rolling_user_stats", "top_orders_per_customer", "user_stats_by_type",
+    "approx_quantiles_by_type",
+]
 
 _7D_US = 7 * 86400 * 1_000_000
 
@@ -194,4 +197,99 @@ def user_stats_by_type(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         .map_groups(
             lambda g: merge(g.drop(columns=["_ab"])), batch_format="pandas"
         )
+    )
+
+
+def approx_quantiles_by_type(
+    sf_dir: str, n_bins: int = 4096, qs: tuple = (0.5, 0.9, 0.99)
+) -> rd.Dataset:
+    """Mergeable-histogram quantile sketch — the documented scale path
+    for quantiles over hot keys (see :func:`user_stats_by_type`): two
+    narrow passes, both all-to-alls carrying only sketch rows.
+
+    Pass 1 aggregates per-type (min, max, n) from per-batch partials;
+    pass 2 builds per-batch fixed-bin histograms over integer
+    milli-units and merges them per type; the q-quantile estimate is
+    the LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q·n). Everything after the milli-unit floor is integer
+    arithmetic, so although the estimate is approximate by design
+    (error ≤ one bin width = (hi−lo)/n_bins), it is bit-identical
+    across engines and carries a full SQL oracle — an approximate
+    operator with an exact correctness gate.
+
+    Output: event_type, q, approx_value_m (int64 milli-units).
+    """
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def to_milli(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            # identical IEEE expression to the oracle SQL
+            "vm": np.floor(b["value"].to_numpy() * 1000).astype("int64"),
+        })
+
+    milli = ev.map_batches(to_milli, batch_format="pandas")
+
+    def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("event_type", sort=False).agg(
+            lo=("vm", "min"), hi=("vm", "max"), n=("vm", "size")
+        ).reset_index()
+        return g
+
+    bounds = (
+        milli.map_batches(bounds_partial, batch_format="pandas")
+        .to_pandas()  # one row per (type, batch) — sketch-sized
+        .groupby("event_type", sort=True)
+        .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+        .reset_index()
+    )
+    bounds["wdt"] = np.maximum(
+        (bounds["hi"] - bounds["lo"] + (n_bins - 1)) // n_bins, 1
+    ).astype("int64")
+    import ray as _ray
+
+    bref = _ray.put({
+        r.event_type: (int(r.lo), int(r.wdt)) for r in bounds.itertuples()
+    })
+    meta = {r.event_type: (int(r.lo), int(r.wdt), int(r.n))
+            for r in bounds.itertuples()}
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        bm = _ray.get(bref)
+        frames = []
+        for etype, sub in b.groupby("event_type", sort=False):
+            lo, wdt = bm[etype]
+            bins = np.minimum(
+                (sub["vm"].to_numpy() - lo) // wdt, n_bins - 1
+            )
+            uniq, counts = np.unique(bins, return_counts=True)
+            frames.append(pd.DataFrame({
+                "event_type": etype,
+                "bin": uniq.astype("int64"),
+                "c": counts.astype("int64"),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        etype = g["event_type"].iloc[0]
+        lo, wdt, n = meta[etype]
+        h = g.groupby("bin", sort=True).agg(c=("c", "sum")).reset_index()
+        cum = h["c"].cumsum().to_numpy()
+        rows = []
+        for q in qs:
+            need = np.ceil(q * n)
+            bin_ = int(h["bin"].to_numpy()[np.searchsorted(cum, need)])
+            rows.append({
+                "event_type": etype,
+                "q": float(q),
+                "approx_value_m": np.int64(lo + wdt * bin_),
+            })
+        return pd.DataFrame(rows)
+
+    return (
+        milli.map_batches(hist_partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(quantiles, batch_format="pandas")
     )

@@ -38,7 +38,8 @@ from .dedup import (
 )
 from .flagship import processed_turns
 from .analytics import (
-    rolling_user_stats, top_orders_per_customer, user_stats_by_type,
+    approx_quantiles_by_type, rolling_user_stats, top_orders_per_customer,
+    user_stats_by_type,
 )
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample
@@ -857,6 +858,24 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+# histogram-sketch quantiles: integer milli-unit bins make the
+# approximate estimate bit-identical across engines (see analytics.py)
+_APPROX_QUANTILES_SQL = """
+WITH m AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+b AS (SELECT event_type, min(vm) AS lo, max(vm) AS hi, count(*) AS n FROM m GROUP BY 1),
+w AS (SELECT *, greatest((hi - lo + 4095) // 4096, 1) AS wdt FROM b),
+h AS (SELECT m.event_type, least((vm - lo) // wdt, 4095) AS bin, count(*) AS c
+      FROM m JOIN w USING (event_type) GROUP BY 1, 2),
+c AS (SELECT event_type, bin, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM h),
+q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT w.event_type, q.q,
+       CAST(any_value(w.lo) + any_value(w.wdt) * min(c.bin) AS BIGINT) AS approx_value_m
+FROM w CROSS JOIN q JOIN c ON c.event_type = w.event_type
+WHERE c.cum >= ceil(q.q * w.n)
+GROUP BY 1, 2
+"""
+
 _SPLIT_SQL = """
 SELECT doc_id,
   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' THEN 'test'
@@ -1286,6 +1305,7 @@ QUERIES = {
     "error_context": error_context_window,
     "topk_orders_per_customer": top_orders_per_customer,
     "user_stats_by_type": user_stats_by_type,
+    "approx_quantiles_by_type": approx_quantiles_by_type,
     "dataset_split": dataset_split,
     "media_hashes": _q_media_hashes,
     "deterministic_sample": deterministic_sample,
@@ -1333,6 +1353,7 @@ ORACLES = {
     "error_context": _ERROR_CONTEXT_SQL,
     "topk_orders_per_customer": _TOPK_PER_CUST_SQL,
     "user_stats_by_type": _USER_STATS_SQL,
+    "approx_quantiles_by_type": _APPROX_QUANTILES_SQL,
     "dataset_split": _SPLIT_SQL,
     "media_hashes": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,

@@ -173,3 +173,21 @@ class TestIntervalJoin:
                     want.add((i, j))
         assert got_set == want
         assert len(got) == len(want)  # no duplicate pairs
+
+
+class TestApproxQuantiles:
+    def test_within_one_bin_of_exact(self, ray_session):
+        from imagor_ray.pipelines.analytics import approx_quantiles_by_type
+
+        got = approx_quantiles_by_type(SF).to_pandas()
+        ev = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "value"])
+        ev["vm"] = np.floor(ev["value"].to_numpy() * 1000).astype("int64")
+        for r in got.itertuples():
+            vals = np.sort(ev.loc[ev["event_type"] == r.event_type, "vm"].to_numpy())
+            exact = vals[int(np.ceil(r.q * len(vals))) - 1]
+            wdt = max((vals[-1] - vals[0] + 4095) // 4096, 1)
+            # estimate is the lower edge of the bin holding the exact
+            # quantile → within one bin width below it
+            assert exact - wdt <= r.approx_value_m <= exact, (
+                r.event_type, r.q, r.approx_value_m, exact, wdt)
