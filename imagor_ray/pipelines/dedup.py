@@ -338,6 +338,22 @@ def simhash64_signatures(sf_dir: str) -> rd.Dataset:
     return _read_docs(sf_dir).map_batches(_simhash64_batch, batch_format="pandas")
 
 
+
+# byte-popcount table for the vectorized hamming scorer (numpy < 2 has
+# no bitwise_count); exact integer arithmetic, safe for the oracle
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.int64)
+
+
+def _hamming_vec(pa: np.ndarray, pb: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hamming over two object arrays of 8-byte
+    payloads: one C-level join + byte xor + table-lookup popcount."""
+    a = np.frombuffer(b"".join(pa), dtype=np.uint8).reshape(len(pa), 8)
+    b = np.frombuffer(b"".join(pb), dtype=np.uint8).reshape(len(pb), 8)
+    return _POPCOUNT8[a ^ b].sum(axis=1).astype("float64")
+
+
 SIMHASH_MAX_HAMMING = 3
 
 
@@ -394,6 +410,7 @@ def simhash_pairs_ds(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     scored = verify_pairs(
         cand, simhash_signatures(sf_dir), sig_payload, hamming,
         id_col="doc_id", num_buckets=num_buckets,
+        score_vec_fn=_hamming_vec,
     )
     return scored.map_batches(
         lambda b: b[b["score"] <= SIMHASH_MAX_HAMMING].rename(
@@ -460,6 +477,7 @@ def simhash64_pairs_ds(
     scored = verify_pairs(
         cand, simhash64_signatures(sf_dir), sig_payload, hamming,
         id_col="doc_id", num_buckets=num_buckets,
+        score_vec_fn=_hamming_vec,
     )
     return scored.map_batches(
         lambda b: b[b["score"] <= max_hamming].rename(
