@@ -1110,6 +1110,12 @@ def _q_media_meta(sf_dir: str):
     )
 
 
+def _q_media_real_decode(sf_dir: str):
+    from ..stages.multimodal import media_real_decode
+
+    return media_real_decode(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # standalone per-filter parity queries over documents (each runs ONE chain
 # through the real compiler/kernels and is mirrored exactly in SQL)
@@ -1276,6 +1282,7 @@ QUERIES = {
     **{name: _mk_filter_query(spec[0], spec[2] if len(spec) > 2 else None)
        for name, spec in _FILTER_QUERY_SPECS.items()},
     "media_meta": _q_media_meta,  # rows-only: binary decode has no SQL surface
+    "media_real_decode": _q_media_real_decode,  # rows-only: real WAV/BMP codecs
     # training-data ops
     "dedup_exact": exact_dedup,
     "minhash_signatures": minhash_signatures,

@@ -4,12 +4,16 @@ opaque ``binary`` columns with typed metadata, processed by actor-pool
 vips-processor path (``blob.go`` payload modes; processor lifecycle
 ``processor/vipsprocessor/processor.go:127-209``) onto media payloads.
 
-The image/audio codec libraries are NOT available in this container, so
-the decode kernel itself is a clearly-marked STUB: real codecs raise
-``NotImplementedError`` and the deterministic fake codec (a fixed header
-format over seeded bytes, produced by ``gen_media``) stands in. The Ray
-side — schema, actor signature, batch sizing for large binary rows,
-output layout — is real and tested:
+Codec status (round 3): WAV audio and 24-bit BMP images decode FOR
+REAL — stdlib ``wave`` + struct/numpy, no external libraries
+(``stages/codecs.py``; ``codec="auto"`` sniffs per payload), including
+real nearest-neighbour pixel resize and windowed RMS audio features.
+Formats that genuinely need libraries absent from this container
+(JPEG/PNG/MP4) remain clearly-marked ``NotImplementedError`` plug
+points with the deterministic fake codec (IMRF header over seeded
+bytes, ``gen_media``) standing in for tests. The Ray side — schema,
+actor signature, batch sizing for large binary rows, output layout —
+is real and tested:
 
 - payloads are ``binary`` Arrow columns; batches stay in
   ``batch_format="pyarrow"`` (binary columns don't survive pandas object
@@ -38,6 +42,8 @@ __all__ = [
     "gen_media",
     "MediaDecodeStage",
     "MediaResizeStage",
+    "gen_real_media",
+    "media_real_decode",
     "frame_sample",
     "media_features",
 ]
@@ -87,20 +93,45 @@ class MediaDecodeStage:
                        batch_size=64,        # large binary rows → small batches
                        concurrency=(1, N), num_cpus=1)
 
-    ``codec="real"`` raises NotImplementedError — the hook where a real
-    image/audio library (PIL / libsndfile / pyav) plugs in once available;
-    ``codec="fake"`` parses the deterministic IMRF header.
+    Codecs:
+
+    - ``codec="fake"`` parses the deterministic IMRF header (tests);
+    - ``codec="auto"`` sniffs the container magic per payload
+      (blob.go:354-521 dispatch) and REALLY decodes WAV (stdlib wave)
+      and 24-bit BMP (struct+numpy) — see ``stages/codecs.py``; IMRF
+      still parses;
+    - ``codec="real"`` raises NotImplementedError — the remaining plug
+      point for formats that need external libraries (JPEG/PNG/MP4 via
+      PIL/pyav/libsndfile).
     """
 
     def __init__(self, codec: str = "fake"):
         if codec == "real":
             raise NotImplementedError(
-                "real media codecs are not available in this environment; "
-                "plug PIL/pyav/libsndfile here and decode payload bytes"
+                "JPEG/PNG/MP4 codecs need external libraries not present "
+                "in this environment; WAV and BMP decode for real via "
+                "codec='auto' (stages/codecs.py) — plug PIL/pyav here "
+                "for the rest"
             )
         self._codec = codec
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, int, int, int]:
+        """(width, height, n_frames, channels, body_len). For audio,
+        width/height are 0 and n_frames is the PCM frame count."""
+        if self._codec == "auto":
+            from .codecs import BmpCodec, WavCodec, sniff_media
+
+            kind = sniff_media(payload)
+            if kind == "wav":
+                m = WavCodec.decode_meta(payload)
+                return (0, 0, m["n_frames"], m["n_channels"],
+                        m["n_frames"] * m["n_channels"] * m["sample_width"])
+            if kind == "bmp":
+                m = BmpCodec.decode_meta(payload)
+                return (m["width"], m["height"], 1, 3,
+                        m["width"] * m["height"] * 3)
+            if kind != "imrf":
+                raise ValueError("unknown media container")
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
         if magic != _MAGIC:
             raise ValueError("unknown media container")
@@ -165,9 +196,12 @@ class MediaResizeStage:
                  codec: str = "fake"):
         if codec == "real":
             raise NotImplementedError(
-                "real media resampling is not available in this environment; "
-                "plug PIL/pyav here"
+                "JPEG/PNG resampling needs external libraries; BMP "
+                "payloads resize for REAL via codec='auto' "
+                "(nearest-neighbour pixel gather, stages/codecs.py) — "
+                "plug PIL/pyav here for the rest"
             )
+        self.codec = codec
         self.width = width
         self.height = height
         self.fit = fit
@@ -181,6 +215,14 @@ class MediaResizeStage:
         return max(1, int(w * scale)), max(1, int(h * scale))
 
     def _resize_one(self, payload: bytes) -> bytes:
+        if self.codec == "auto":
+            from .codecs import BmpCodec, sniff_media
+
+            if sniff_media(payload) == "bmp":
+                m = BmpCodec.decode_meta(payload)
+                nw, nh = self._fit_dims(m["width"], m["height"])
+                # REAL pixel resize (nearest-neighbour gather)
+                return BmpCodec.resize(payload, nw, nh)
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
         if magic != _MAGIC:
             raise ValueError("unknown media container")
@@ -244,3 +286,65 @@ def media_hashes(sf_dir: str):
         })
 
     return docs.map_batches(hash_batch, batch_format="pandas")
+
+
+def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
+    """Deterministic media table whose payloads are REAL containers:
+    even rows are PCM16 WAV files (seeded sine, varying rate/length/
+    channels), odd rows 24-bit BMPs (seeded pixels, varying dims) —
+    the corpus the real-codec decode path runs on."""
+    from .codecs import encode_bmp, encode_wav
+
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "media_type": [], "payload": [], "source": []}
+    for i in range(n):
+        if i % 2 == 0:
+            rate = int(rng.choice([8000, 16000, 44100]))
+            frames = int(rng.integers(200, 3000))
+            ch = int(rng.integers(1, 3))
+            t = np.arange(frames) / rate
+            freq = float(rng.uniform(100, 2000))
+            mono = (np.sin(2 * np.pi * freq * t) * 18000).astype("<i2")
+            pcm = np.stack([mono] * ch, axis=1)
+            payload = encode_wav(pcm, rate)
+            kind = "audio"
+        else:
+            h = int(rng.integers(4, 64))
+            w = int(rng.integers(4, 64))
+            payload = encode_bmp(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            kind = "image"
+        rows["media_id"].append(i)
+        rows["media_type"].append(kind)
+        rows["payload"].append(payload)
+        rows["source"].append(f"src{i % 4}")
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def media_real_decode(sf_dir: str) -> rd.Dataset:
+    """Real-codec decode pipeline (rows-only at the driver gate — binary
+    container decoding has no SQL surface; strong verification is the
+    round-trip pytest suite in tests/test_codecs.py): the mixed WAV/BMP
+    corpus through the sniffing decode stage, plus windowed RMS energy
+    for the audio rows — actual decode math, not the IMRF stub.
+
+    Output: media_id, media_type, width, height, n_frames, channels,
+    n_bytes, rms_mean (audio; 0.0 for images).
+    """
+    from .codecs import WavCodec, sniff_media
+
+    ds = rd.from_arrow(gen_real_media(48))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        stage = MediaDecodeStage(codec="auto")
+        rms = []
+        for payload in batch["payload"].to_pylist():
+            if sniff_media(payload) == "wav":
+                pcm, _ = WavCodec.decode_pcm(payload)
+                rms.append(float(np.round(WavCodec.rms_windows(pcm).mean(), 4)))
+            else:
+                rms.append(0.0)
+        out = stage(batch)
+        return out.append_column("rms_mean", pa.array(rms, pa.float64()))
+
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=16)

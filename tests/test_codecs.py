@@ -1,0 +1,122 @@
+"""Real in-sandbox media codecs (stages/codecs.py): WAV via the stdlib
+wave module, 24-bit BMP via struct+numpy — actual decode/resize math,
+replacing part of the declared codec stub (round-2 missing item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from imagor_ray.stages.codecs import (
+    BmpCodec, WavCodec, encode_bmp, encode_wav, sniff_media,
+)
+
+
+def _sine(n=4410, rate=44100, freq=440.0, channels=2):
+    t = np.arange(n) / rate
+    mono = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    return np.stack([mono] * channels, axis=1)
+
+
+class TestWav:
+    def test_meta_roundtrip(self):
+        pcm = _sine()
+        payload = encode_wav(pcm, 44100)
+        assert sniff_media(payload) == "wav"
+        m = WavCodec.decode_meta(payload)
+        assert m == {"n_channels": 2, "sample_rate": 44100,
+                     "n_frames": 4410, "sample_width": 2,
+                     "duration_ms": 100}
+
+    def test_pcm_roundtrip_exact(self):
+        pcm = _sine(n=999, channels=1)
+        got, rate = WavCodec.decode_pcm(encode_wav(pcm, 8000))
+        assert rate == 8000
+        np.testing.assert_array_equal(got, pcm)
+
+    def test_rms_windows_match_direct(self):
+        pcm = _sine(n=1600, channels=2)
+        rms = WavCodec.rms_windows(pcm, n_windows=4)
+        mono = pcm.astype(np.float64).mean(axis=1)
+        w = 400
+        want = [np.sqrt((mono[i*w:(i+1)*w] ** 2).mean()) for i in range(4)]
+        np.testing.assert_allclose(rms, want)
+        # silence has zero energy
+        assert WavCodec.rms_windows(np.zeros((100, 1), dtype="<i2")).sum() == 0
+
+
+class TestBmp:
+    @staticmethod
+    def _img(h=13, w=7, seed=3):  # w=7 exercises 4-byte row padding
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_pixel_roundtrip_exact(self):
+        px = self._img()
+        payload = encode_bmp(px)
+        assert sniff_media(payload) == "bmp"
+        m = BmpCodec.decode_meta(payload)
+        assert (m["width"], m["height"], m["bpp"]) == (7, 13, 24)
+        np.testing.assert_array_equal(BmpCodec.decode_pixels(payload), px)
+
+    def test_resize_is_real_pixel_math(self):
+        px = self._img(h=16, w=8)
+        out = BmpCodec.resize(encode_bmp(px), 4, 8)
+        got = BmpCodec.decode_pixels(out)
+        ri = (np.arange(8) * 16 // 8).clip(0, 15)
+        ci = (np.arange(4) * 8 // 4).clip(0, 7)
+        np.testing.assert_array_equal(got, px[ri][:, ci])
+
+    def test_unsupported_depth_raises(self):
+        payload = bytearray(encode_bmp(self._img()))
+        payload[28] = 32  # claim 32bpp
+        with pytest.raises(NotImplementedError):
+            BmpCodec.decode_pixels(bytes(payload))
+
+
+class TestAutoSniffStage:
+    def test_mixed_table_decodes_per_container(self, ray_session):
+        import ray.data as rd
+
+        from imagor_ray.stages.multimodal import (
+            MEDIA_SCHEMA, MediaDecodeStage, _encode_fake,
+        )
+
+        rows = pa.table({
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "media_type": pa.array(["video", "audio", "image"]),
+            "payload": pa.array([
+                _encode_fake(32, 16, 8, 3, 1),
+                encode_wav(_sine(n=1000), 16000),
+                encode_bmp(TestBmp._img(h=5, w=9)),
+            ], pa.binary()),
+            "source": pa.array(["a", "b", "c"]),
+        }, schema=MEDIA_SCHEMA)
+        out = (
+            rd.from_arrow(rows)
+            .map_batches(MediaDecodeStage, batch_format="pyarrow",
+                         fn_constructor_kwargs={"codec": "auto"},
+                         batch_size=8, concurrency=1)
+            .to_pandas().sort_values("media_id")
+        )
+        assert out["width"].tolist() == [32, 0, 9]
+        assert out["height"].tolist() == [16, 0, 5]
+        assert out["n_frames"].tolist() == [8, 1000, 1]
+        assert out["channels"].tolist() == [3, 2, 3]
+
+    def test_resize_stage_routes_bmp_to_real_resize(self):
+        from imagor_ray.stages.multimodal import MediaResizeStage
+
+        px = TestBmp._img(h=20, w=10)
+        stage = MediaResizeStage(width=5, height=10, codec="auto")
+        table = pa.table({"payload": pa.array([encode_bmp(px)], pa.binary())})
+        out = stage(table)
+        got = BmpCodec.decode_pixels(out["payload"][0].as_py())
+        assert got.shape == (10, 5, 3)
+
+    def test_remaining_stub_is_still_honest(self):
+        from imagor_ray.stages.multimodal import MediaDecodeStage
+
+        with pytest.raises(NotImplementedError):
+            MediaDecodeStage(codec="real")
