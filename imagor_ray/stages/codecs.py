@@ -31,6 +31,7 @@ __all__ = [
     "BmpCodec",
     "encode_wav",
     "encode_bmp",
+    "brightest_region",
 ]
 
 
@@ -180,3 +181,31 @@ class BmpCodec:
         ri = (np.arange(height) * h // max(1, height)).clip(0, h - 1)
         ci = (np.arange(width) * w // max(1, width)).clip(0, w - 1)
         return encode_bmp(px[ri][:, ci])
+
+
+def brightest_region(
+    pixels: np.ndarray, win: int = 8
+) -> tuple[int, int, int, int, float]:
+    """Real detection math over real pixels: the brightest ``win×win``
+    region via a 2-D integral image (one cumsum + four gathers — the
+    classic O(1)-per-window sliding sum), deterministic tie-break
+    (first in row-major order). Returns (x, y, w, h, mean_luma) with
+    mean luma in [0, 255].
+
+    This is the pixel analogue of the reference's detector slot
+    (detector.go:26-36 feeding focal crops, process.go:577-587): a
+    cheap deterministic "model" whose regions drive smart crops and
+    draw/redact kernels — swap a real vision model into the same
+    stage shape when libraries are available."""
+    luma = np.asarray(pixels, dtype=np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    win = min(win, h, w)
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = luma.cumsum(axis=0).cumsum(axis=1)
+    sums = (
+        integral[win:, win:] - integral[:-win, win:]
+        - integral[win:, :-win] + integral[:-win, :-win]
+    )
+    idx = int(np.argmax(sums))
+    y, x = divmod(idx, sums.shape[1])
+    return x, y, win, win, float(sums[y, x] / (win * win))

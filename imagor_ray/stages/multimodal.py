@@ -44,6 +44,7 @@ __all__ = [
     "MediaResizeStage",
     "gen_real_media",
     "media_real_decode",
+    "MediaDetectStage",
     "frame_sample",
     "media_features",
 ]
@@ -348,3 +349,37 @@ def media_real_decode(sf_dir: str) -> rd.Dataset:
         return out.append_column("rms_mean", pa.array(rms, pa.float64()))
 
     return ds.map_batches(decode, batch_format="pyarrow", batch_size=16)
+
+
+class MediaDetectStage:
+    """Actor-pool detection stage over REAL pixels: BMP payloads get the
+    integral-image brightest-region detector (``codecs.brightest_region``
+    — the vision-model slot, detector.go lifecycle: built once per actor,
+    per-batch work in ``__call__``); non-image payloads emit no regions.
+
+    Output columns: ``det_x, det_y, det_w, det_h, det_score`` (-1/-1/0/0/
+    0.0 when nothing detected) — the normalized-region analogue feeding
+    focal crops downstream."""
+
+    def __init__(self, win: int = 8):
+        self.win = win
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codecs import BmpCodec, brightest_region, sniff_media
+
+        xs, ys, ws, hs, scores = [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            if sniff_media(payload) == "bmp":
+                x, y, w, h, s = brightest_region(
+                    BmpCodec.decode_pixels(payload), self.win)
+                xs.append(x); ys.append(y); ws.append(w); hs.append(h)
+                scores.append(round(s, 4))
+            else:
+                xs.append(-1); ys.append(-1); ws.append(0); hs.append(0)
+                scores.append(0.0)
+        return batch.drop_columns(["payload"]).append_column(
+            "det_x", pa.array(xs, pa.int32())
+        ).append_column("det_y", pa.array(ys, pa.int32())
+        ).append_column("det_w", pa.array(ws, pa.int32())
+        ).append_column("det_h", pa.array(hs, pa.int32())
+        ).append_column("det_score", pa.array(scores, pa.float64()))

@@ -120,3 +120,47 @@ class TestAutoSniffStage:
 
         with pytest.raises(NotImplementedError):
             MediaDecodeStage(codec="real")
+
+
+class TestBrightRegionDetector:
+    def test_finds_planted_bright_patch(self):
+        from imagor_ray.stages.codecs import brightest_region
+
+        px = np.zeros((32, 40, 3), dtype=np.uint8)
+        px[10:18, 21:29] = 255  # 8x8 white patch at (x=21, y=10)
+        x, y, w, h, score = brightest_region(px, win=8)
+        assert (x, y, w, h) == (21, 10, 8, 8)
+        assert score == pytest.approx(255.0, abs=0.01)
+
+    def test_window_sums_match_bruteforce(self):
+        from imagor_ray.stages.codecs import brightest_region
+
+        rng = np.random.default_rng(4)
+        px = rng.integers(0, 256, (15, 11, 3), dtype=np.uint8)
+        x, y, w, h, score = brightest_region(px, win=4)
+        luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        best = -1.0
+        for yy in range(12):
+            for xx in range(8):
+                s = luma[yy:yy+4, xx:xx+4].mean()
+                best = max(best, s)
+        assert score == pytest.approx(best)
+        assert luma[y:y+4, x:x+4].mean() == pytest.approx(best)
+
+    def test_detect_stage_mixed(self, ray_session):
+        import ray.data as rd
+
+        from imagor_ray.stages.multimodal import (
+            MediaDetectStage, gen_real_media,
+        )
+
+        out = (
+            rd.from_arrow(gen_real_media(12))
+            .map_batches(MediaDetectStage, batch_format="pyarrow",
+                         batch_size=8, concurrency=1)
+            .to_pandas().sort_values("media_id")
+        )
+        imgs = out[out["media_type"] == "image"]
+        auds = out[out["media_type"] == "audio"]
+        assert (imgs["det_w"] > 0).all() and (imgs["det_score"] > 0).all()
+        assert (auds["det_w"] == 0).all() and (auds["det_x"] == -1).all()
