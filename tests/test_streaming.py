@@ -390,3 +390,54 @@ class TestDatasetNativeCycle:
             assert j3.processed_sha1() == want
         finally:
             StreamingSessionJob.RAY_CYCLE_THRESHOLD = old
+
+
+class TestCrashPointSweep:
+    """Exhaustive kill-point coverage: for EVERY cycle k, run the
+    flagship streaming job, crash it at cycle k's checkpoint commit,
+    restart, and require byte-identical sink output and identical
+    closed sessions vs the uninterrupted run — the kill/resume contract
+    at every boundary, not just one."""
+
+    def test_all_kill_points_converge(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.streaming import StreamingFlagshipJob
+
+        batches = [
+            [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00")],
+            [("a", "2024-01-01 02:00:00"), ("c", "2024-01-01 03:00:00")],
+            [("b", "2024-01-01 09:00:00"), ("d", "2024-01-01 10:00:00")],
+            [("e", "2024-01-02 00:00:00")],
+        ]
+        s = write_stream(tmp_path, batches)
+        ref = StreamingFlagshipJob(s, str(tmp_path / "ref"), gap_s=1800,
+                                   num_buckets=2)
+        ref.run_all()
+        ref.flush()
+        want_sha = ref.processed_sha1()
+        want_sessions = ref.closed_sessions().sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+
+        for kill_at in range(len(batches)):
+            state = str(tmp_path / f"kill{kill_at}")
+            job = StreamingFlagshipJob(s, state, gap_s=1800, num_buckets=2)
+            calls = {"n": 0}
+            orig_save = job.cp.save
+
+            def crashing_save(st, _k=kill_at, _c=calls, _o=orig_save):
+                if _c["n"] == _k:
+                    _c["n"] += 1
+                    raise RuntimeError(f"killed at cycle {_k}")
+                _c["n"] += 1
+                _o(st)
+
+            job.cp.save = crashing_save
+            with pytest.raises(RuntimeError):
+                job.run_all()
+            # fresh driver resumes from the last committed checkpoint
+            job2 = StreamingFlagshipJob(s, state, gap_s=1800, num_buckets=2)
+            job2.run_all()
+            job2.flush()
+            assert job2.processed_sha1() == want_sha, f"kill at {kill_at}"
+            got = job2.closed_sessions().sort_values(
+                ["conv_id", "session_start"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want_sessions)
