@@ -43,6 +43,8 @@ __all__ = [
     "simhash64_signatures",
     "simhash64_pairs",
     "simhash64_pairs_ds",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_ds",
     "NUM_HASHES",
     "BAND_SIZE",
 ]
@@ -508,3 +510,77 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
                             "doc_b": pd.Series([], dtype="int64"),
                             "hamming": pd.Series([], dtype="int64")})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+NGRAM_JACCARD_THRESHOLD = 0.35
+
+
+def ngram_jaccard_pairs_ds(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Standalone n-gram (3-shingle) Jaccard near-dup pairs — the
+    SURVEY-mandated n-gram variant as a first-class operator rather
+    than the verification arm of minhash_pairs: candidates come from
+    the same MinHash-LSH banding (recall machinery shared), but the
+    verified similarity is Jaccard over the DISTINCT word-3-gram sets
+    (order-sensitive — word-set Jaccard treats shuffled documents as
+    identical; shingle Jaccard does not). Same scale shape: signature
+    band shuffle, capped buckets, cross-band dedup, co-group verify
+    shipping only candidate shingle sets.
+
+    Output rows: doc_a < doc_b, ngram_jaccard (round 6) ≥ threshold.
+    """
+    from .pairs import dedup_pairs, pairs_from_buckets, verify_pairs
+
+    sigs = minhash_signatures(sf_dir)
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for band in range(NUM_BANDS):
+            sig = b[f"mh{2 * band}"] + "|" + b[f"mh{2 * band + 1}"]
+            frames.append(pd.DataFrame({
+                "band": np.full(len(b), band, dtype=np.int32),
+                "sig": sig,
+                "doc_id": b["doc_id"].to_numpy(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        sigs.map_batches(band_rows, batch_format="pandas")
+        .groupby(["band", "sig"])
+        .map_groups(lambda g: pairs_from_buckets(g, "doc_id"), batch_format="pandas")
+    )
+    cand = dedup_pairs(cand, num_buckets=num_buckets)
+
+    def shingle_payload(b: pd.DataFrame) -> pd.Series:
+        return b["text"].map(
+            lambda t: "\x00".join(sorted(set(_shingles(t)))).encode("utf-8")
+        )
+
+    def jaccard(pa_: bytes, pb_: bytes) -> float:
+        sa = set(pa_.decode("utf-8").split("\x00"))
+        sb = set(pb_.decode("utf-8").split("\x00"))
+        return round(len(sa & sb) / len(sa | sb), 6)
+
+    scored = verify_pairs(
+        cand, _read_docs(sf_dir), shingle_payload, jaccard,
+        id_col="doc_id", num_buckets=num_buckets,
+    )
+    return scored.map_batches(
+        lambda b: b[b["score"] >= NGRAM_JACCARD_THRESHOLD].rename(
+            columns={"score": "ngram_jaccard"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Catalog form of the n-gram Jaccard near-dup operator."""
+    out = ngram_jaccard_pairs_ds(sf_dir).to_pandas()
+    if "doc_a" not in out.columns:
+        out = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                            "doc_b": pd.Series([], dtype="int64"),
+                            "ngram_jaccard": pd.Series([], dtype="float64")})
+    return (
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        .astype({"doc_a": "int64", "doc_b": "int64",
+                 "ngram_jaccard": "float64"})
+    )

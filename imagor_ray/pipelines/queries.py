@@ -33,8 +33,8 @@ from .ann import (
     label_centroids, lsh_topk,
 )
 from .dedup import (
-    exact_dedup, minhash_pairs, minhash_signatures, simhash64_pairs,
-    simhash64_signatures, simhash_pairs, simhash_signatures,
+    exact_dedup, minhash_pairs, minhash_signatures, ngram_jaccard_pairs,
+    simhash64_pairs, simhash64_signatures, simhash_pairs, simhash_signatures,
 )
 from .flagship import processed_turns
 from .analytics import (
@@ -285,6 +285,30 @@ JOIN s sa ON sa.doc_id = cand.doc_a
 JOIN s sb ON sb.doc_id = cand.doc_b
 WHERE bit_count(xor(sa.simhash_hi, sb.simhash_hi))
       + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) <= 3
+"""
+
+# standalone n-gram (3-shingle) Jaccard pairs: same LSH candidate CTE
+# as minhash_pairs, verified on DISTINCT shingle sets
+_NGRAM_JACCARD_SQL = f"""
+WITH s AS ({_MINHASH_SQL}),
+b AS (
+  SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS sig FROM s
+  UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM s
+  UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM s
+  UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM s),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM b x JOIN b y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+sh AS (SELECT doc_id, list_distinct(shingles) AS sset FROM ({_SHINGLES_SQL})),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(a.sset, bb.sset)) AS DOUBLE)
+               / (len(a.sset) + len(bb.sset)
+                  - len(list_intersect(a.sset, bb.sset))), 6) AS ngram_jaccard
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh bb ON bb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, ngram_jaccard FROM j WHERE ngram_jaccard >= 0.35
 """
 
 # 64-bit blurhash sketch SQL mirror (round 2 — was rows-only): whitespace
@@ -1110,6 +1134,66 @@ def _q_media_meta(sf_dir: str):
     )
 
 
+def _q_conv_stats(sf_dir: str):
+    """Conversation-level reduce: per-conv turn count, distinct tools,
+    total text length, first/last ts — one bucketed merge over the
+    shared conv partition key (partial per-batch combine, then the
+    narrow groupby merge; the per-conversation rollup every transcript
+    pipeline needs)."""
+    ds = derive_transcripts(sf_dir, with_turn_idx=False)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("conv_id", sort=False).agg(
+            n_turns=("tool", "size"),
+            sum_len=("text", lambda s: s.str.len().sum()),
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+        ).reset_index()
+        tools = b.groupby("conv_id", sort=False)["tool"].agg(
+            lambda s: "|".join(sorted(set(s))))
+        g["tool_set"] = g["conv_id"].map(tools)
+        return g
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import crc32_bucket
+
+        b = b.copy()
+        b["_cb"] = crc32_bucket(b["conv_id"].to_numpy(), 32).astype("int32")
+        return b
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("conv_id", sort=False).agg(
+            n_turns=("n_turns", "sum"),
+            sum_len=("sum_len", "sum"),
+            first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max"),
+            tool_set=("tool_set", lambda s: "|".join(
+                sorted(set("|".join(s).split("|"))))),
+        ).reset_index()
+        out["n_tools"] = out["tool_set"].str.count(r"\|") + 1
+        out = out.drop(columns=["tool_set"])
+        return out.astype({"n_turns": "int64", "sum_len": "int64",
+                           "n_tools": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(lambda g: merge(g.drop(columns=["_cb"])),
+                    batch_format="pandas")
+    )
+
+
+_CONV_STATS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS sum_len,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_tools
+FROM t GROUP BY 1
+"""
+
+
 def _q_media_real_decode(sf_dir: str):
     from ..stages.multimodal import media_real_decode
 
@@ -1283,6 +1367,7 @@ QUERIES = {
        for name, spec in _FILTER_QUERY_SPECS.items()},
     "media_meta": _q_media_meta,  # rows-only: binary decode has no SQL surface
     "media_real_decode": _q_media_real_decode,  # rows-only: real WAV/BMP codecs
+    "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
     "minhash_signatures": minhash_signatures,
@@ -1291,6 +1376,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "simhash64_signatures": lambda sf: simhash64_signatures(sf),
     "simhash64_pairs": simhash64_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "text_stats": text_stats,
     "lang_id": lang_id,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -1345,6 +1431,8 @@ ORACLES = {
     "simhash_pairs": _SIMHASH_PAIRS_SQL_TPL.format(SIMHASH=_SIMHASH_SQL),
     "simhash64_signatures": _SIMHASH64_SQL,
     "simhash64_pairs": _SIMHASH64_PAIRS_SQL,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "conv_stats": _CONV_STATS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "lang_id": _LANG_ID_SQL,
     "doc_sketches": _SKETCHES_SQL,
