@@ -45,6 +45,7 @@ __all__ = [
     "simhash64_pairs_ds",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_ds",
+    "dedup_components",
     "NUM_HASHES",
     "BAND_SIZE",
 ]
@@ -583,4 +584,124 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         .astype({"doc_a": "int64", "doc_b": "int64",
                  "ngram_jaccard": "float64"})
+    )
+
+
+def dedup_components(
+    sf_dir: str, num_buckets: int = 32, max_iters: int = 25
+) -> pd.DataFrame:
+    """Cluster-based dedup — the operator exact/minhash dedup feed into:
+    connected components over the near-dup pair graph, so each GROUP of
+    mutually-similar documents keeps one canonical id (the component
+    minimum), not just pairwise links. Iterative min-label propagation,
+    Ray-native:
+
+    - labels start as each doc's own id (pure map over the corpus);
+    - per round, every edge offers its source's label to its target
+      (both directions) via a hash join, and labels take the bucketed
+      group-min — labels only ever decrease, so ``sum(labels)`` is a
+      monotone convergence witness: a round that leaves the sum
+      unchanged is the fixpoint (≤ graph-diameter rounds, and near-dup
+      clusters have tiny diameters);
+    - the shuffles carry (id, label) pairs and the (small, capped) edge
+      set — never documents.
+
+    SQL mirror: recursive transitive closure over the SAME pair CTE
+    with least(self, min reachable) — an iterative algorithm with a
+    FULL oracle. Output: doc_id, component (int64) for every document
+    (docs in no pair are their own component).
+    """
+    import ray.data as _rd
+
+    pairs = minhash_pairs_ds(sf_dir, num_buckets=num_buckets).materialize()
+    docs = _read_docs(sf_dir)
+
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        return pd.DataFrame({"doc_id": ids, "component": ids})
+
+    labels = docs.map_batches(init_labels, batch_format="pandas").materialize()
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        bb = b["doc_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "src": np.concatenate([a, bb]),
+            "dst": np.concatenate([bb, a]),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        out = labels.to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    # per round: ONE bucketed co-group on the source id attaches each
+    # edge's current source label (the engine's co-group pattern —
+    # Ray's native Dataset.join breaks on empty hash partitions at tiny
+    # edge counts), then a bucketed group-min folds offers into labels
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": ids,
+            "kind": np.zeros(len(b), dtype=np.int8),
+            "dst": np.full(len(b), -1, dtype=np.int64),
+            "component": b["component"].astype("int64"),
+            "_eb": (ids % num_buckets).astype("int32"),
+        })
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["src"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": src,
+            "kind": np.ones(len(b), dtype=np.int8),
+            "dst": b["dst"].astype("int64"),
+            "component": np.full(len(b), -1, dtype=np.int64),
+            "_eb": (src % num_buckets).astype("int32"),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 0]
+        lut = dict(zip(lab["key"], lab["component"]))
+        ed = g[g["kind"] == 1]
+        return pd.DataFrame({
+            "doc_id": ed["dst"].to_numpy(),
+            "component": ed["key"].map(lut).to_numpy().astype(np.int64),
+        })
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_lb"] = (b["doc_id"].to_numpy().astype(np.int64)
+                    % num_buckets).astype("int32")
+        return b
+
+    def group_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", sort=False).agg(
+            component=("component", "min")).reset_index()
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pandas")
+    prev_sum = None
+    for _ in range(max_iters):
+        offered = (
+            labels.map_batches(tag_labels, batch_format="pandas")
+            .union(tagged_edges)
+            .groupby("_eb")
+            .map_groups(lambda g: attach(g.drop(columns=["_eb"])),
+                        batch_format="pandas")
+        )
+        labels = (
+            labels.union(offered)
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("_lb")
+            .map_groups(lambda g: group_min(g.drop(columns=["_lb"])),
+                        batch_format="pandas")
+            .materialize()
+        )
+        s = labels.sum("component")
+        if s == prev_sum:
+            break  # monotone witness unchanged → fixpoint
+        prev_sum = s
+    out = labels.to_pandas()
+    return (
+        out.sort_values("doc_id").reset_index(drop=True)
+        .astype({"doc_id": "int64", "component": "int64"})
     )

