@@ -164,3 +164,37 @@ class TestBrightRegionDetector:
         auds = out[out["media_type"] == "audio"]
         assert (imgs["det_w"] > 0).all() and (imgs["det_score"] > 0).all()
         assert (auds["det_w"] == 0).all() and (auds["det_x"] == -1).all()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_property_bmp_roundtrip(h, w, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    got = BmpCodec.decode_pixels(encode_bmp(px))
+    np.testing.assert_array_equal(got, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    ch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_property_wav_roundtrip(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32767, (n, ch)).astype("<i2")
+    payload = encode_wav(pcm, rate)
+    got, got_rate = WavCodec.decode_pcm(payload)
+    assert got_rate == rate
+    np.testing.assert_array_equal(got, pcm)
+    m = WavCodec.decode_meta(payload)
+    assert (m["n_frames"], m["n_channels"]) == (n, ch)

@@ -441,3 +441,37 @@ class TestCrashPointSweep:
             got = job2.closed_sessions().sort_values(
                 ["conv_id", "session_start"]).reset_index(drop=True)
             pd.testing.assert_frame_equal(got, want_sessions)
+
+
+def test_cli_stream_end_to_end(tmp_path):
+    """`python -m imagor_ray stream` drives the full streaming job from
+    the command line (cmd/imagor analogue) incl. the config-bound
+    cycle-threshold flag."""
+    import json
+    import subprocess
+    import sys
+
+    s = write_stream(tmp_path, [
+        [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00")],
+        [("c", "2024-01-02 00:00:00")],
+    ])
+    r = subprocess.run(
+        [sys.executable, "-m", "imagor_ray", "stream",
+         "--input", s, "--state", str(tmp_path / "st"),
+         "--buckets", "2", "--cycle-threshold", "100000", "--flush"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["cycles"] == 2
+    assert out["closed"] == 3
+    # metrics subcommand reads the same state dir
+    r2 = subprocess.run(
+        [sys.executable, "-m", "imagor_ray", "metrics",
+         "--state", str(tmp_path / "st")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep["streaming"]["cycles"] == 2
