@@ -62,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sink", default=None, help="exactly-once sink directory")
     p.add_argument("--state", default=None, help="streaming state directory")
 
+    p = sub.add_parser(
+        "reshard",
+        help="rewrite a committed sink into a new bucket layout "
+             "(small-file compaction / bucket split)",
+    )
+    p.add_argument("--src", required=True, help="source sink directory/URI")
+    p.add_argument("--dst", required=True, help="destination sink directory/URI")
+    p.add_argument("--dst-buckets", type=int, required=True)
+
     p = sub.add_parser("stream", help="micro-batch streaming job (full DAG)")
     p.add_argument("--input", required=True, help="micro-batch parquet dir")
     p.add_argument("--state", required=True, help="checkpoint/state dir")
@@ -121,6 +130,14 @@ def main(argv: list[str] | None = None) -> int:
             salt_bucket_s=cfg.salt_bucket_s or None,
         ).count()
         print(json.dumps({"sessions": n}))
+    elif args.cmd == "reshard":
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        src_sink = ExactlyOnceSink(args.src)
+        dest = src_sink.reshard_to(args.dst, args.dst_buckets)
+        print(json.dumps({"src_partitions": len(src_sink.committed_buckets()),
+                          "dst_partitions": len(dest.committed_buckets()),
+                          "rows": dest.metrics()["rows"]}))
     elif args.cmd == "stream":
         from imagor_ray.pipelines.streaming import StreamingFlagshipJob
 

@@ -333,6 +333,20 @@ class ExactlyOnceSink:
             "write_ms_max": int(ms[-1]),
         }
 
+    def reshard_to(self, out_dir: str, num_buckets: int) -> "ExactlyOnceSink":
+        """Compaction / expansion of the committed layout: rewrite every
+        committed partition into a NEW sink with a different bucket
+        count — the small-file maintenance op a long-lived resumable
+        output needs (merge a too-fine layout, or split buckets that
+        outgrew a reducer). Goes through the standard exactly-once
+        write, so the destination inherits all commit/replay/lineage
+        semantics and the op is safely re-runnable (committed
+        destination buckets skip). Row content is preserved exactly;
+        only the partition layout (and hence file bytes) changes."""
+        dest = ExactlyOnceSink(out_dir, num_buckets=num_buckets)
+        dest.write(self.read())
+        return dest
+
     def content_sha1(self) -> str:
         """Digest over all committed part files — replay equality probe."""
         h = hashlib.sha1()
