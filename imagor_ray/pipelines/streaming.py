@@ -68,6 +68,8 @@ class StreamingSessionJob:
         if ray_cycle_threshold is not None:
             # instance override of the class default (config-bound knob)
             self.RAY_CYCLE_THRESHOLD = ray_cycle_threshold
+        #: (fname, thread, holder) of an in-flight next-cycle raw read
+        self._prefetch = None
         self.closed_dir = os.path.join(state_dir, "closed")
         self.late_dir = os.path.join(state_dir, "late")
         os.makedirs(self.closed_dir, exist_ok=True)
@@ -311,10 +313,12 @@ class StreamingSessionJob:
             t = t.append_column("_late", late)
             return t.append_column("_bucket", pa.array(bucket, type=pa.int32()))
 
-        read_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        raw = self._take_prefetched(fname)
+        if raw is None:
+            read_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+            raw = _rd.read_parquet(path, override_num_blocks=read_blocks)
         flagged = (
-            _rd.read_parquet(path, override_num_blocks=read_blocks)
-            .map_batches(flag_and_bucket, batch_format="pyarrow")
+            raw.map_batches(flag_and_bucket, batch_format="pyarrow")
             .materialize()
         )
         base_schema = flagged.schema().base_schema
@@ -517,9 +521,57 @@ class StreamingSessionJob:
             n_turns=("n_turns", "sum"),
         ).reset_index(drop=True)
 
+    # -- read prefetch (pipelined cycles) ----------------------------------
+
+    def _start_prefetch(self, fname: str) -> None:
+        """Pin the NEXT cycle's raw parquet blocks in a background
+        thread while the current cycle's shuffle runs — bounded
+        pipelining (one file in flight), read-only, so replay semantics
+        are untouched. Only worthwhile for dataset-path cycles."""
+        import threading
+
+        import pyarrow.dataset as pads
+
+        path = os.path.join(self.input_dir, fname)
+        try:
+            if pads.dataset(path).count_rows() <= self.RAY_CYCLE_THRESHOLD:
+                return
+        except Exception:
+            return
+        holder: dict = {}
+
+        def work():
+            try:
+                import ray
+                import ray.data as _rd
+
+                blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+                holder["ds"] = _rd.read_parquet(
+                    path, override_num_blocks=blocks
+                ).materialize()
+            except Exception as e:  # fall back to the inline read
+                holder["err"] = e
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._prefetch = (fname, t, holder)
+
+    def _take_prefetched(self, fname: str):
+        if self._prefetch is None or self._prefetch[0] != fname:
+            return None
+        _, t, holder = self._prefetch
+        t.join()
+        self._prefetch = None
+        return holder.get("ds")
+
     def run_all(self) -> list[dict]:
         out = []
         while True:
+            pending = self.pending_files()
+            if not pending:
+                break
+            if len(pending) > 1:
+                self._start_prefetch(pending[1])
             r = self.run_cycle()
             if r is None:
                 break
