@@ -132,12 +132,21 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     )
 
 
-def _context_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
+def _context_bucket(
+    g: pd.DataFrame, window_us: int, max_context: int = 256
+) -> pd.DataFrame:
     """Per-bucket interval join: for each anchor row, every same-user
     context row with ts in [anchor.ts − window, anchor.ts], excluding
     the anchor itself. Fully vectorized: one composite searchsorted per
     bound, pair expansion via the repeat/offset trick — output size is
-    the true pair count, never an n² intermediate."""
+    the true pair count, never an n² intermediate.
+
+    ``max_context`` caps each anchor at its K most-recent context rows
+    (ties broken by max event_id — the same ordering the SQL mirror's
+    QUALIFY window uses, so capped output still hash-matches): without
+    it a degenerate hot key (a bot user with dense events) makes the
+    pair set quadratic in its window density — the cap is the
+    documented scale trade, far above any organic window."""
     anchors = g[g["is_anchor"]]
     ctx = g  # every event is candidate context (incl. other anchors)
     empty = pd.DataFrame({
@@ -158,7 +167,10 @@ def _context_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
     cid = ctx["event_id"].to_numpy().astype(np.int64)
     ctype = ctx["event_type"].to_numpy()
 
-    order = np.lexsort((ct, cu))
+    # sort context by (user, ts, event_id): slice tails are then exactly
+    # the "most recent, max event_id on ties" rows the cap keeps — the
+    # ordering the SQL mirror's QUALIFY window ranks by
+    order = np.lexsort((cid, ct, cu))
     cu, ct, cid, ctype = cu[order], ct[order], cid[order], ctype[order]
 
     uniq_t = np.unique(np.concatenate([ct, at, at - window_us]))
@@ -169,15 +181,28 @@ def _context_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
     lo = np.searchsorted(comp_c, ra * m + np.searchsorted(uniq_t, at - window_us))
     hi = np.searchsorted(comp_c, ra * m + np.searchsorted(uniq_t, at), side="right")
 
-    counts = hi - lo
+    # take at most max_context + 1 of each window's TAIL (the +1 absorbs
+    # the anchor's own row before it is filtered out below)
+    counts = np.minimum(hi - lo, max_context + 1)
+    start = hi - counts
     total = int(counts.sum())
     if total == 0:
         return empty
     a_rep = np.repeat(np.arange(len(aid)), counts)
     offsets = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-    c_idx = np.repeat(lo, counts) + offsets
+    c_idx = np.repeat(start, counts) + offsets
     keep = cid[c_idx] != aid[a_rep]  # drop anchor-to-itself
     a_rep, c_idx = a_rep[keep], c_idx[keep]
+    if len(a_rep):
+        # anchors still holding max_context + 1 rows (their own row was
+        # below the tail) drop their OLDEST surviving row; rows are in
+        # ascending slice order per anchor, so rank-from-end is a
+        # vectorized size - cumcount
+        s = pd.Series(a_rep)
+        rank_from_end = s.groupby(s).transform("size").to_numpy() - 1 \
+            - s.groupby(s).cumcount().to_numpy()
+        within = rank_from_end < max_context
+        a_rep, c_idx = a_rep[within], c_idx[within]
     return pd.DataFrame({
         "anchor_id": aid[a_rep],
         "user_id": au[a_rep],
@@ -189,7 +214,8 @@ def _context_bucket(g: pd.DataFrame, window_us: int) -> pd.DataFrame:
 
 
 def error_context_window(
-    sf_dir: str, window_s: int = 3600, num_buckets: int = 32
+    sf_dir: str, window_s: int = 3600, num_buckets: int = 32,
+    max_context: int = 256,
 ) -> rd.Dataset:
     """Interval (range) join — context extraction around anchor events,
     the shape a training pipeline uses to pull the surrounding activity
@@ -219,7 +245,8 @@ def error_context_window(
         ev.map_batches(prep, batch_format="pandas")
         .groupby("_jb")
         .map_groups(
-            lambda g: _context_bucket(g.drop(columns=["_jb"]), window_us),
+            lambda g: _context_bucket(g.drop(columns=["_jb"]), window_us,
+                                      max_context),
             batch_format="pandas",
         )
     )

@@ -857,6 +857,8 @@ QUALIFY row_number() OVER (
   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
 """
 
+# the per-anchor cap (engine scale guard for degenerate hot keys) is
+# mirrored exactly: most-recent-first, event_id tie-break
 _ERROR_CONTEXT_SQL = """
 SELECT a.event_id AS anchor_id, a.user_id, a.ts AS anchor_ts,
        c.event_id AS ctx_event_id, c.ts AS ctx_ts, c.event_type AS ctx_type
@@ -865,6 +867,8 @@ FROM events a JOIN events c
  AND c.ts <= a.ts AND c.ts >= a.ts - INTERVAL 1 HOUR
  AND c.event_id <> a.event_id
 WHERE a.event_type = 'error'
+QUALIFY row_number() OVER (
+  PARTITION BY a.event_id ORDER BY c.ts DESC, c.event_id DESC) <= 256
 """
 
 _ROLLING_SQL = """

@@ -191,3 +191,56 @@ class TestApproxQuantiles:
             # quantile → within one bin width below it
             assert exact - wdt <= r.approx_value_m <= exact, (
                 r.event_type, r.q, r.approx_value_m, exact, wdt)
+
+
+class TestIntervalJoinCap:
+    def test_hot_user_capped_and_matches_capped_sql(self, ray_session, tmp_path):
+        """A degenerate hot user (dense events, window covers hundreds)
+        must be bounded by the per-anchor cap, and the capped engine
+        output must still hash-match the QUALIFY-mirrored SQL."""
+        import duckdb
+
+        n = 900
+        base = pd.Timestamp("2024-04-01").value // 1000
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            # one user, one event every ~20s → 1h window ≈ 180 rows,
+            # but a tighter cap exercises the trimming logic
+            "ts": pd.Series(base + np.arange(n) * 20_000_000
+                            ).astype("datetime64[us]"),
+            "user_id": np.zeros(n, dtype="int64"),
+            "event_type": rng.choice(["error", "click"], n, p=[0.3, 0.7]),
+            "value": 1.0,
+            "props": "{}",
+        })
+        d = tmp_path / "hot"
+        d.mkdir()
+        df.to_parquet(d / "events.parquet", index=False)
+
+        from imagor_ray.pipelines.joins import error_context_window
+
+        cap = 50
+        got = error_context_window(str(d), max_context=cap).to_pandas()
+        assert got.groupby("anchor_id").size().max() <= cap
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+        want = con.sql(f"""
+            SELECT a.event_id AS anchor_id, a.user_id, a.ts AS anchor_ts,
+                   c.event_id AS ctx_event_id, c.ts AS ctx_ts,
+                   c.event_type AS ctx_type
+            FROM events a JOIN events c
+              ON c.user_id = a.user_id
+             AND c.ts <= a.ts AND c.ts >= a.ts - INTERVAL 1 HOUR
+             AND c.event_id <> a.event_id
+            WHERE a.event_type = 'error'
+            QUALIFY row_number() OVER (PARTITION BY a.event_id
+                ORDER BY c.ts DESC, c.event_id DESC) <= {cap}
+        """).df()
+        key = ["anchor_id", "ctx_event_id"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        for c in ("anchor_ts", "ctx_ts"):
+            g[c] = g[c].astype("datetime64[us]")
+            w[c] = w[c].astype("datetime64[us]")
+        pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
