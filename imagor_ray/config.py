@@ -62,6 +62,11 @@ class EngineConfig:
     loader_max_allowed_size: int = 0
     loader_max_retries: int = 2
 
+    # dedup: 'md5' = DuckDB-oracle-parity signatures; 'fast' = vectorized
+    # crc32/splitmix production kernel (same LSH topology + exact-Jaccard
+    # verification; only candidate probing differs — see BENCH.md)
+    minhash_mode: str = "md5"
+
     # workload
     replicas: int = 1
 

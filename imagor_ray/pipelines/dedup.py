@@ -168,13 +168,141 @@ def _signature_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
-def minhash_signatures(sf_dir: str) -> rd.Dataset:
-    """Per-doc MinHash signature columns mh0..mh7 (md5-hex strings)."""
-    return _read_docs(sf_dir).map_batches(_signature_batch, batch_format="pandas")
+# -- fast production mode -----------------------------------------------
+# The md5 kernel above is the DuckDB-parity contract (oracle-verified) but
+# costs NUM_HASHES md5 calls per unique shingle — a per-byte price ~100×
+# a vectorized hash at 100 TB (round-3 verdict item 2). The fast mode
+# below replaces it with: crc32 per unique WORD (the measured-fastest
+# string hash here, functions/hashing.py), a vectorized 3-word mixer for
+# shingle bases, splitmix64 per hash family, and per-doc minima via
+# ``np.minimum.reduceat`` — no per-shingle Python calls at all. Candidate
+# recall is equivalent (property-tested on planted duplicates,
+# tests/test_minhash_fast.py); final pairs are still exact-Jaccard
+# verified, so fast mode only changes WHICH candidates are probed, never
+# the correctness of an emitted pair. Select with
+# EngineConfig.minhash_mode / IMAGOR_RAY_MINHASH_MODE=fast.
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+# one odd 64-bit seed per hash family k (golden-ratio multiples)
+_FAST_SEEDS = (np.uint64(0x9E3779B97F4A7C15) * np.arange(1, NUM_HASHES + 1, dtype=np.uint64))
+# distinct odd multipliers making the 3-word mix order-sensitive
+_MIX_A = np.uint64(0xFF51AFD7ED558CCD)
+_MIX_B = np.uint64(0xC4CEB9FE1A85EC53)
+_MIX_C = np.uint64(0x2545F4914F6CDD1D)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * _SPLITMIX_C1
+    z = (z ^ (z >> np.uint64(27))) * _SPLITMIX_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def _signature_batch_fast(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized MinHash: mh0..mh7 as uint64. Same shingle definition as
+    the md5 kernel (word 3-grams; whole text when <3 words) so LSH recall
+    characteristics match; only the hash family differs."""
+    from imagor_ray.functions.hashing import crc32_of_strings
+
+    texts = batch["text"].tolist()
+    n = len(texts)
+    if n == 0:
+        cols = {"doc_id": batch["doc_id"].to_numpy()}
+        for k in range(NUM_HASHES):
+            cols[f"mh{k}"] = np.empty(0, dtype=np.uint64)
+        return pd.DataFrame(cols)
+
+    word_lists = [t.split(" ") for t in texts]
+    widx: dict[str, int] = {}
+    big_docs: list[int] = []       # doc positions with >=3 words
+    big_word_idx: list[np.ndarray] = []
+    small_docs: list[int] = []     # <3 words: whole text is the shingle
+    for i, wl in enumerate(word_lists):
+        if len(wl) < 3:
+            small_docs.append(i)
+            continue
+        big_docs.append(i)
+        arr = np.empty(len(wl), dtype=np.int64)
+        for j, w in enumerate(wl):
+            k = widx.get(w)
+            if k is None:
+                k = len(widx)
+                widx[w] = k
+            arr[j] = k
+        big_word_idx.append(arr)
+
+    # each unique word hashed ONCE (C-call crc32), then spread to 64 bits
+    wh = _splitmix64(crc32_of_strings(list(widx)).astype(np.uint64)) if widx else (
+        np.empty(0, dtype=np.uint64))
+
+    # shingle base hashes, grouped by doc in order
+    shingle_counts = np.zeros(n, dtype=np.int64)
+    if big_docs:
+        word_counts = np.array([len(a) for a in big_word_idx], dtype=np.int64)
+        fw = wh[np.concatenate(big_word_idx)]
+        # order-sensitive 3-word mix across the flat stream; positions
+        # whose window crosses a doc boundary are masked out
+        tri = fw[:-2] * _MIX_A + fw[1:-1] * _MIX_B + fw[2:] * _MIX_C
+        docid = np.repeat(np.arange(len(big_docs), dtype=np.int64), word_counts)
+        valid = docid[:-2] == docid[2:]
+        big_bases = tri[valid]
+        shingle_counts[np.asarray(big_docs)] = word_counts - 2
+    else:
+        big_bases = np.empty(0, dtype=np.uint64)
+    if small_docs:
+        small_bases = _splitmix64(
+            crc32_of_strings([texts[i] for i in small_docs]).astype(np.uint64)
+        )
+        shingle_counts[np.asarray(small_docs)] = 1
+    # scatter into one flat array ordered by original doc position
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(shingle_counts[:-1], out=starts[1:])
+    flat = np.empty(int(shingle_counts.sum()), dtype=np.uint64)
+    if big_docs:
+        bd = np.asarray(big_docs)
+        bc = shingle_counts[bd]
+        tgt = np.repeat(starts[bd], bc) + (
+            np.arange(len(big_bases)) - np.repeat(np.cumsum(bc) - bc, bc)
+        )
+        flat[tgt] = big_bases
+    if small_docs:
+        flat[starts[np.asarray(small_docs)]] = small_bases
+
+    cols: dict = {"doc_id": batch["doc_id"].to_numpy()}
+    for k in range(NUM_HASHES):
+        cols[f"mh{k}"] = np.minimum.reduceat(flat ^ _FAST_SEEDS[k], starts)
+    return pd.DataFrame(cols)
+
+
+def _resolve_minhash_mode(mode: str | None) -> str:
+    if mode is None:
+        from imagor_ray.config import EngineConfig
+
+        mode = EngineConfig.from_env().minhash_mode
+    if mode not in ("md5", "fast"):
+        raise ValueError(f"minhash_mode must be 'md5' or 'fast', got {mode!r}")
+    return mode
+
+
+def minhash_signatures(sf_dir: str, mode: str | None = None) -> rd.Dataset:
+    """Per-doc MinHash signature columns mh0..mh7.
+
+    ``mode='md5'`` (default): md5-hex strings, exact DuckDB-oracle parity.
+    ``mode='fast'``: uint64 vectorized production kernel (≥5× throughput,
+    measured in BENCH.md); same LSH topology downstream.
+    """
+    kernel = _signature_batch if _resolve_minhash_mode(mode) == "md5" else (
+        _signature_batch_fast)
+    return _read_docs(sf_dir).map_batches(kernel, batch_format="pandas")
 
 
 def minhash_pairs_ds(
-    sf_dir: str, num_buckets: int = 32, bucket_cap: int | None = None
+    sf_dir: str,
+    num_buckets: int = 32,
+    bucket_cap: int | None = None,
+    mode: str | None = None,
 ) -> rd.Dataset:
     """LSH candidate pairs verified by word-set Jaccard ≥ 0.5 — Dataset
     end-to-end (the 100-TB shape, round-1 verdict item 1):
@@ -194,12 +322,22 @@ def minhash_pairs_ds(
     from .pairs import DEFAULT_BUCKET_CAP, dedup_pairs, pairs_from_buckets, verify_pairs
 
     cap = bucket_cap if bucket_cap is not None else DEFAULT_BUCKET_CAP
-    sigs = minhash_signatures(sf_dir)
+    mode = _resolve_minhash_mode(mode)
+    sigs = minhash_signatures(sf_dir, mode=mode)
 
     def band_rows(b: pd.DataFrame) -> pd.DataFrame:
         frames = []
         for band in range(NUM_BANDS):
-            sig = b[f"mh{2 * band}"] + "|" + b[f"mh{2 * band + 1}"]
+            lo, hi = b[f"mh{2 * band}"], b[f"mh{2 * band + 1}"]
+            if lo.dtype == np.uint64:
+                # fast mode: fold the two uint64s into one 64-bit band sig
+                # (splitmix over the order-sensitive combine) — keeps the
+                # shuffle key fixed-width instead of a 65-char string
+                sig = pd.Series(_splitmix64(
+                    lo.to_numpy() * _MIX_A + hi.to_numpy() * _MIX_B
+                ))
+            else:
+                sig = lo + "|" + hi
             frames.append(pd.DataFrame({
                 "band": band, "sig": sig, "doc_id": b["doc_id"].to_numpy(),
             }))
