@@ -894,6 +894,12 @@ def _q_media_hashes(sf_dir: str):
     return media_hashes(sf_dir)
 
 
+def _q_media_png_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_png_roundtrip
+
+    return media_png_roundtrip(sf_dir)
+
+
 _MEDIA_HASHES_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1392,7 +1398,8 @@ QUERIES = {
     **{name: _mk_filter_query(spec[0], spec[2] if len(spec) > 2 else None)
        for name, spec in _FILTER_QUERY_SPECS.items()},
     "media_meta": _q_media_meta,  # rows-only: binary decode has no SQL surface
-    "media_real_decode": _q_media_real_decode,  # rows-only: real WAV/BMP codecs
+    "media_real_decode": _q_media_real_decode,  # rows-only: real WAV/BMP/PNG codecs
+    "media_png_roundtrip": _q_media_png_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -1479,6 +1486,9 @@ ORACLES = {
     "approx_quantiles_by_type": _APPROX_QUANTILES_SQL,
     "dataset_split": _SPLIT_SQL,
     "media_hashes": _MEDIA_HASHES_SQL,
+    # PNG round trip recovers the exact utf-8 bytes, so the oracle is the
+    # same raw-text hash as media_hashes — equality certifies the codec
+    "media_png_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "events_by_type": _EVENTS_BY_TYPE_SQL,

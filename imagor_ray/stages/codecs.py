@@ -1,9 +1,10 @@
 """REAL media codecs implementable without external libraries — closing
 part of the "codecs honestly stubbed" gap (round-2 verdict, missing
-item 4): WAV audio via the stdlib ``wave`` module + numpy PCM, and BMP
-images via pure struct/numpy parsing. Formats that genuinely need
-libraries (JPEG/PNG/MP4) remain the documented ``NotImplementedError``
-plug points in ``stages/multimodal.py``.
+item 4): WAV audio via the stdlib ``wave`` module + numpy PCM, BMP
+images via pure struct/numpy parsing, and (round 4) PNG via stdlib
+``zlib`` + the five scanline filters of the PNG spec. Formats that
+genuinely need libraries (JPEG/MP4) remain the documented
+``NotImplementedError`` plug points in ``stages/multimodal.py``.
 
 Everything here is deterministic and allocation-light: PCM and pixel
 arrays are ``np.frombuffer`` views over the payload bytes (zero-copy
@@ -22,6 +23,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -29,19 +31,26 @@ __all__ = [
     "sniff_media",
     "WavCodec",
     "BmpCodec",
+    "PngCodec",
     "encode_wav",
     "encode_bmp",
+    "encode_png",
     "brightest_region",
 ]
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff_media(payload: bytes) -> str:
-    """Magic-byte container sniff (blob.go:354-521 dispatch): returns
-    'wav' | 'bmp' | 'imrf' (the deterministic fake) | 'unknown'."""
+    """Magic-byte container sniff (blob.go:354-521 dispatch; the PNG
+    signature row mirrors blob.go:163-211's magic table): returns
+    'wav' | 'bmp' | 'png' | 'imrf' (the deterministic fake) | 'unknown'."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if len(payload) >= 2 and payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     if payload[:4] == b"IMRF":
         return "imrf"
     return "unknown"
@@ -181,6 +190,202 @@ class BmpCodec:
         ri = (np.arange(height) * h // max(1, height)).clip(0, h - 1)
         ci = (np.arange(width) * w // max(1, width)).clip(0, w - 1)
         return encode_bmp(px[ri][:, ci])
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + struct/numpy — no external libraries)
+#
+# The reference treats PNG as a core blob type (blob.go:163-211 magic
+# tables; export map processor/vipsprocessor/process.go:16-30). Scope
+# here: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
+# (gray+alpha), 6 (RGBA), non-interlaced — decode handles ALL FIVE
+# scanline filters of the spec (None/Sub/Up/Average/Paeth); the encoder
+# emits filter 0 rows (deterministic, round-trip-exact). 16-bit depth
+# and Adam7 interlacing raise NotImplementedError with a clear message.
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """PNG bytes from a uint8 array: (h, w) → grayscale, (h, w, 2) →
+    gray+alpha, (h, w, 3) → RGB, (h, w, 4) → RGBA. Filter 0 scanlines +
+    one zlib IDAT — deterministic output for a given input."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {c}")
+    # filter byte 0 prepended to every scanline
+    raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * c)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, CRC-verified."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = 8
+    n = len(payload)
+    while off + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        off += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+class PngCodec:
+    """Real PNG decode: chunk walk with CRC verification, zlib inflate,
+    and full five-filter scanline reconstruction (PNG spec §9: None /
+    Sub / Up / Average / Paeth). Sub and Up are vectorized per row
+    (uint8 cumsum / add with mod-256 wrap); Average and Paeth are
+    inherently sequential in the left neighbour, decoded with a per-
+    pixel loop vectorized across channels — the spec's data dependency,
+    not an avoidable slowdown."""
+
+    @staticmethod
+    def decode_meta(payload: bytes) -> dict:
+        for ctype, data in _png_chunks(payload):
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data)
+                if color not in _PNG_CHANNELS:
+                    raise ValueError(f"unknown PNG color type {color}")
+                return {
+                    "width": int(w), "height": int(h), "bit_depth": int(depth),
+                    "color_type": int(color),
+                    "channels": _PNG_CHANNELS[color],
+                    "interlaced": bool(interlace),
+                }
+            break
+        raise ValueError("PNG missing IHDR")
+
+    @staticmethod
+    def decode_pixels(payload: bytes) -> np.ndarray:
+        """(h, w, channels) uint8; palette (color type 3) is expanded to
+        RGB via its PLTE chunk."""
+        meta = None
+        plte = None
+        idat = []
+        for ctype, data in _png_chunks(payload):
+            if ctype == b"IHDR":
+                w, h, depth, color, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data)
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"only 8-bit PNG decoded here (got {depth}-bit)")
+                if interlace:
+                    raise NotImplementedError(
+                        "Adam7-interlaced PNG not decoded here")
+                if comp != 0 or filt != 0:
+                    raise ValueError("invalid PNG compression/filter method")
+                if color not in _PNG_CHANNELS:
+                    raise ValueError(f"unknown PNG color type {color}")
+                meta = (w, h, color, _PNG_CHANNELS[color])
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+        if meta is None:
+            raise ValueError("PNG missing IHDR")
+        w, h, color, c = meta
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        rb = w * c
+        if len(raw) != h * (1 + rb):
+            raise ValueError("PNG pixel data length mismatch")
+        rows = raw.reshape(h, 1 + rb)
+        filters = rows[:, 0]
+        recon = np.zeros((h, rb), dtype=np.uint8)
+        prev = np.zeros(rb, dtype=np.uint8)
+        for r in range(h):
+            f = int(filters[r])
+            line = rows[r, 1:]
+            if f == 0:
+                out = line.copy()
+            elif f == 1:  # Sub: cumsum per channel with uint8 wrap
+                out = np.cumsum(
+                    line.reshape(w, c), axis=0, dtype=np.uint8).reshape(rb)
+            elif f == 2:  # Up
+                out = line + prev
+            elif f == 3:  # Average — sequential in left neighbour
+                out = np.empty(rb, dtype=np.uint8)
+                lraw = line.reshape(w, c).astype(np.int32)
+                up = prev.reshape(w, c).astype(np.int32)
+                left = np.zeros(c, dtype=np.int32)
+                o2 = out.reshape(w, c)
+                for x in range(w):
+                    cur = (lraw[x] + ((left + up[x]) >> 1)) & 0xFF
+                    o2[x] = cur
+                    left = cur
+            elif f == 4:  # Paeth — sequential in left neighbour
+                out = np.empty(rb, dtype=np.uint8)
+                lraw = line.reshape(w, c).astype(np.int32)
+                up = prev.reshape(w, c).astype(np.int32)
+                left = np.zeros(c, dtype=np.int32)
+                ul = np.zeros(c, dtype=np.int32)
+                o2 = out.reshape(w, c)
+                for x in range(w):
+                    p = left + up[x] - ul
+                    pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - up[x]),
+                                     np.abs(p - ul))
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_), left,
+                        np.where(pb_ <= pc_, up[x], ul))
+                    cur = (lraw[x] + pred) & 0xFF
+                    o2[x] = cur
+                    left, ul = cur, up[x]
+            else:
+                raise ValueError(f"unknown PNG filter type {f}")
+            recon[r] = out
+            prev = recon[r]
+        px = recon.reshape(h, w, c)
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            px = plte[px[:, :, 0]]
+        return px
+
+    @staticmethod
+    def decode_rgb(payload: bytes) -> np.ndarray:
+        """(h, w, 3) uint8 RGB whatever the source color type: gray is
+        replicated, alpha is dropped (the detector/feature consumers
+        want plain RGB, matching BmpCodec.decode_pixels)."""
+        px = PngCodec.decode_pixels(payload)
+        c = px.shape[2]
+        if c == 1:
+            return np.repeat(px, 3, axis=2)
+        if c == 2:
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return px[:, :, :3]
+
+    @staticmethod
+    def resize(payload: bytes, width: int, height: int) -> bytes:
+        """Real nearest-neighbour pixel resize, re-encoded as PNG (same
+        channel layout; palette sources re-encode as RGB)."""
+        px = PngCodec.decode_pixels(payload)
+        h, w, _ = px.shape
+        ri = (np.arange(height) * h // max(1, height)).clip(0, h - 1)
+        ci = (np.arange(width) * w // max(1, width)).clip(0, w - 1)
+        return encode_png(px[ri][:, ci])
 
 
 def brightest_region(
