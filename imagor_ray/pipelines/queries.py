@@ -418,6 +418,16 @@ ranked AS (
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
 """
 
+def _q_ann_lsh_fullprobe(sf_dir: str):
+    """Full-probe LSH: every Hamming ball covers all 2^bits buckets, so
+    the bucketed path degenerates to an exhaustive scan and must equal
+    brute-force ann_topk row for row (same oracle)."""
+    from ..pipelines.ann import lsh_topk
+
+    return lsh_topk(sf_dir, bits=4, probe_hamming=4).astype(
+        {"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+
+
 _CENTROIDS_SQL = """
 SELECT label, i AS dim_idx, round(avg(v), 5) AS centroid
 FROM (SELECT label, unnest(embedding) AS v,
@@ -1421,6 +1431,7 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_planted": embedding_neardup_planted,
     "ann_lsh_topk": lsh_topk,  # rows-only (approximate by design)
+    "ann_lsh_topk_fullprobe": _q_ann_lsh_fullprobe,
     "ann_ivf_topk": ivf_topk,  # rows-only (approximate by design)
     "label_centroids": label_centroids,
     # relational breadth
@@ -1472,6 +1483,11 @@ ORACLES = {
     "lang_id": _LANG_ID_SQL,
     "doc_sketches": _SKETCHES_SQL,
     "ann_topk": _ANN_SQL,
+    # full-probe LSH (probe_hamming = bits) scans every bucket, so the
+    # result is deterministically identical to brute force -- promoting
+    # the LSH machinery itself under the hash gate (round-4 verdict
+    # item 5); only ann_lsh_topk/ann_ivf_topk stay rows-only (approx)
+    "ann_lsh_topk_fullprobe": _ANN_SQL,
     "embedding_neardup": _NEARDUP_SQL,
     "embedding_neardup_planted": _NEARDUP_PLANTED_SQL,
     "label_centroids": _CENTROIDS_SQL,

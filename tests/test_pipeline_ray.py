@@ -373,6 +373,22 @@ class TestAnnRecall:
             recalls.append(len(truth & got) / len(truth))
         assert sum(recalls) / len(recalls) >= 0.5, recalls
 
+    def test_lsh_fullprobe_equals_bruteforce(self, ray_session):
+        """probe_hamming = bits covers every bucket, so full-probe LSH is
+        deterministically identical to brute force row for row — the
+        property backing the ann_lsh_topk_fullprobe oracle entry
+        (round-4 verdict item 5)."""
+        import pandas as pd
+
+        from imagor_ray.pipelines.ann import ann_topk, lsh_topk
+
+        bf = ann_topk(SF, n_queries=5, k=10)
+        fp = lsh_topk(SF, n_queries=5, k=10, bits=4, probe_hamming=4).astype(
+            {"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+        pd.testing.assert_frame_equal(
+            bf[["query_id", "vec_id", "cos", "rank"]],
+            fp[["query_id", "vec_id", "cos", "rank"]])
+
 
 class TestPerKeyFreshness:
     """loadResult's modified-time staleness semantics (imagor.go:605-652)
