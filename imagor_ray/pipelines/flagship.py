@@ -55,22 +55,37 @@ def processed_turns(
     chain_concurrency=None,
     batch_size: int = 8192,
     replicas: int = 1,
+    arrow_stages: bool = False,
 ) -> rd.Dataset:
     """Transcripts through parse→sign→filter-chain→enrich; per-turn rows.
 
     Output columns: conv_id, turn_idx, role, text (processed), tool, ts,
     path, signature, tool_kind, tool_cost.
 
+    ``arrow_stages=True`` runs parse/sign and enrich as zero-copy
+    ``pa.Table`` transforms (round-4 verdict item 7 — measured
+    comparison in BENCH.md / bench/bench_arrow_stages.py; the chain
+    stage stays pandas, where its per-template vectorized string kernels
+    live).
+
     The chain actor pool autoscales (1, cluster CPUs) — a fixed cap would
     serialize the chain at higher cluster sizes (the pool is the analogue
     of imagor's ProcessConcurrency semaphore, imagor.go:134-137, but
     sized to the cluster, not a constant).
     """
+    from ..stages.parse_sign import parse_sign_batch_arrow
+
     ds = derive_transcripts(sf_dir, replicas=replicas)
-    ds = ds.map_batches(
-        parse_sign_batch, fn_kwargs={"secret": secret},
-        batch_format="pandas", batch_size=batch_size,
-    )
+    if arrow_stages:
+        ds = ds.map_batches(
+            parse_sign_batch_arrow, fn_kwargs={"secret": secret},
+            batch_format="pyarrow", batch_size=batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            parse_sign_batch, fn_kwargs={"secret": secret},
+            batch_format="pandas", batch_size=batch_size,
+        )
     dim_ref = ray.put(snippet_dim())
     if chain_concurrency is not None:
         # explicit actor pool (heavy per-actor state path)
@@ -89,6 +104,17 @@ def processed_turns(
             batch_format="pandas", batch_size=batch_size,
         )
     kind_map, cost_map = tool_kind_cost_maps()
+
+    if arrow_stages:
+        from ..sources.transcripts import enrich_tool_columns_arrow
+
+        def enrich_a(t: pa.Table) -> pa.Table:
+            t = enrich_tool_columns_arrow(t, kind_map, cost_map)
+            drop = [c for c in ("chain_path", "sig_ok") if c in t.column_names]
+            return t.drop_columns(drop) if drop else t
+
+        return ds.map_batches(enrich_a, batch_format="pyarrow",
+                              batch_size=batch_size)
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
         b = enrich_tool_columns(b, kind_map, cost_map)

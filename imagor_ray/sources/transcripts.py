@@ -86,6 +86,23 @@ def enrich_tool_columns(
     return b
 
 
+def enrich_tool_columns_arrow(t, kind_map: dict[str, str], cost_map: dict[str, int]):
+    """Arrow-native mirror of :func:`enrich_tool_columns`: the dimension
+    lookup is ``pc.index_in`` + ``take`` over the (tiny) tool arrays, the
+    batch stays a zero-copy ``pa.Table`` (round-4 verdict item 7)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tools = list(kind_map)
+    idx = pc.index_in(t["tool"], value_set=pa.array(tools, pa.string()))
+    kinds = pc.fill_null(
+        pc.take(pa.array([kind_map[k] for k in tools], pa.string()), idx),
+        "unknown")
+    costs = pc.fill_null(
+        pc.take(pa.array([cost_map[k] for k in tools], pa.int64()), idx), 0)
+    return t.append_column("tool_kind", kinds).append_column("tool_cost", costs)
+
+
 def _doc_count(sf_dir: str) -> int:
     return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
 

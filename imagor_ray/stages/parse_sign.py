@@ -24,12 +24,14 @@ Only the HMAC itself is per-row (a ~1µs C call).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from ..functions import imagorpath as ip
 from ..stages.chain import prescan_utility_filters
 
-__all__ = ["PATH_TEMPLATES", "ParseSignStage", "DEFAULT_SECRET"]
+__all__ = ["PATH_TEMPLATES", "ParseSignStage", "DEFAULT_SECRET",
+           "parse_sign_batch_arrow"]
 
 DEFAULT_SECRET = "imagor-ray-secret"
 
@@ -150,6 +152,59 @@ class ParseSignStage:
 # per-worker-process singleton so parse/sign can run as stateless map
 # tasks (templates compile once per process, not per batch)
 _STAGE_CACHE: dict[tuple, ParseSignStage] = {}
+
+
+def parse_sign_batch_arrow(
+    batch, secret: str = DEFAULT_SECRET, verify: bool = True,
+    templates: dict[str, str] | None = None,
+):
+    """Arrow-native variant of :func:`parse_sign_batch` (round-4 verdict
+    item 7 measurement): the batch stays a ``pa.Table`` end-to-end —
+    string concat via ``pc.binary_join_element_wise`` and the per-tool
+    prefix lookup as ``pc.index_in`` + ``take`` against the compiled
+    template arrays; only the HMAC stays a per-row C call (as in the
+    pandas path). Batches carrying ``accept``/``hash`` columns take the
+    pandas path (auto-format negotiation is per-(tool, accept) cached
+    there); the hot flagship workload has neither.
+
+    Output rows are identical to the pandas kernel (pytest-pinned)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if "accept" in batch.column_names or "hash" in batch.column_names:
+        out = parse_sign_batch(
+            batch.to_pandas(), secret=secret, verify=verify, templates=templates)
+        return pa.Table.from_pandas(out, preserve_index=False)
+    key = (secret, verify,
+           tuple(sorted(templates.items())) if templates else None)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _STAGE_CACHE.setdefault(
+            key, ParseSignStage(secret, verify, templates=templates)
+        )
+    tools = list(stage._prefix)
+    tool_arr = pa.array(tools, pa.string())
+    default = stage._default_tool
+    # unknown tools -> default template (the .fillna(default) semantics)
+    idx = pc.fill_null(pc.index_in(batch["tool"], value_set=tool_arr),
+                       tools.index(default))
+    prefix = pc.take(pa.array([stage._prefix[t] for t in tools]), idx)
+    chain_path = pc.take(pa.array([stage._chain_path[t] for t in tools]), idx)
+    img = pc.binary_join_element_wise(
+        batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), "/")
+    path = pc.binary_join_element_wise(prefix, img, "")
+    sign = stage.signer.sign
+    signature = pa.array([sign(p) for p in path.to_pylist()], pa.string())
+    out = batch.append_column("path", path).append_column(
+        "chain_path", chain_path).append_column("signature", signature)
+    if stage._any_preview:
+        preview = pc.take(
+            pa.array([stage._preview[t] for t in tools], pa.bool_()), idx)
+        out = out.append_column("preview", preview)
+    if verify:
+        out = out.append_column(
+            "sig_ok", pa.array(np.ones(len(out), dtype=bool)))
+    return out
 
 
 def parse_sign_batch(

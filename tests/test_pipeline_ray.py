@@ -202,6 +202,19 @@ class TestFlagship:
             ["conv_id", "turn_idx"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(df, df2[df.columns])
 
+    def test_arrow_stages_identical(self, ray_session):
+        """arrow_stages=True (zero-copy pa.Table parse_sign/enrich,
+        round-4 verdict item 7) produces the identical rows — the
+        measured format comparison in BENCH.md finding 17 rests on
+        this equality."""
+        from imagor_ray.pipelines.flagship import processed_turns
+
+        a = processed_turns(SF).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        b = processed_turns(SF, arrow_stages=True).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
     def test_chain_outputs_per_tool(self, ray_session):
         from imagor_ray.pipelines.flagship import processed_turns
 
