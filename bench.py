@@ -296,8 +296,48 @@ def run_stream() -> dict:
     }
 
 
+def run_stream_scaling() -> dict:
+    """Two-parallelism-level efficiency for the STREAMING loop (round-4
+    verdict item 6): the same `--stream` job (staging excluded from the
+    measured window) in fresh processes at N and 4N CPUs, best-of-K
+    each, efficiency = (tput_hi / tput_lo) / (cpus_hi / cpus_lo)."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, GRAFT_STREAM_CPUS=str(ncpu),
+                   GRAFT_BENCH_OUT=f"/dev/shm/imagor_ray_stream_{ncpu}")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stream"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def best(ncpu: int) -> dict:
+        trials = [one(ncpu) for _ in range(
+            int(os.environ.get("GRAFT_BENCH_TRIALS", "3")))]
+        return min(trials, key=lambda d: d["value"])
+
+    n_lo = int(os.environ.get("GRAFT_BENCH_CPUS_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_BENCH_CPUS_HI", str(n_lo * 4)))
+    lo, hi = best(n_lo), best(n_hi)
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (n_hi / n_lo)
+    return {
+        "metric": "streaming_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
+        "turns_per_sec_lo": lo["turns_per_sec"],
+        "turns_per_sec_hi": hi["turns_per_sec"],
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "n_turns": lo["n_turns"],
+        "sf": lo["sf"],
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--stream-scaling" in sys.argv:
+        print(json.dumps(run_stream_scaling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--sortwall" in sys.argv:
         print(json.dumps(run_sortwall()))

@@ -44,7 +44,7 @@ from .analytics import (
 )
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample
-from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, lang_id, text_stats
+from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, lang_id, text_stats
 
 # ---------------------------------------------------------------------------
 # SQL building blocks
@@ -190,6 +190,26 @@ SELECT doc_id,
       list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
     (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
 FROM documents
+"""
+
+_DOC_QUALITY_SQL = f"""
+WITH s AS ({_TEXT_STATS_SQL}),
+p AS (
+  SELECT s.doc_id, s.n_chars, s.n_tokens, s.stop_count,
+         len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM s JOIN documents d USING (doc_id)),
+q AS (
+  SELECT doc_id, n_punct,
+         CAST(floor((0.5 * (least(n_chars, 500) / 500.0)
+                     + 0.3 * (stop_count / greatest(n_tokens, 1))
+                     + 0.2 * (1.0 - n_punct / greatest(n_chars, 1)))
+                    * 1000) AS BIGINT) AS quality_milli
+  FROM p)
+SELECT doc_id, n_punct, quality_milli,
+       CASE WHEN quality_milli >= 700 THEN 'high'
+            WHEN quality_milli >= 400 THEN 'medium'
+            ELSE 'low' END AS tier
+FROM q
 """
 
 _LANG_ID_SQL = f"""
@@ -1423,6 +1443,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "text_stats": text_stats,
     "lang_id": lang_id,
+    "doc_quality": doc_quality,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
         ["doc_id", "avg_char", "thumbhash"]),
     "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
@@ -1481,6 +1502,7 @@ ORACLES = {
     "conv_stats": _CONV_STATS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "lang_id": _LANG_ID_SQL,
+    "doc_quality": _DOC_QUALITY_SQL,
     "doc_sketches": _SKETCHES_SQL,
     "ann_topk": _ANN_SQL,
     # full-probe LSH (probe_hamming = bits) scans every bucket, so the

@@ -19,7 +19,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["text_stats", "lang_id", "doc_sketches", "STOPWORDS", "BPE_PATTERN"]
+__all__ = ["text_stats", "lang_id", "doc_quality", "doc_sketches",
+           "STOPWORDS", "BPE_PATTERN"]
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -69,6 +70,53 @@ def lang_id(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(classify, batch_format="pandas")
+
+
+_PUNCT_RE = re.compile(r"[^A-Za-z0-9 ]")
+
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    """Training-data quality scoring (length / stopword / punctuation
+    signals — the pre-training filter every corpus pipeline runs before
+    dedup): a weighted composite floored to integer milli-units so the
+    driver's value hash is immune to float formatting, plus a tier
+    classification on the integer. The float expression is the SAME
+    left-associated IEEE chain on both sides (CLAUDE.md float contract):
+
+        q = 0.5*(min(n_chars,500)/500.0)
+          + 0.3*(stop_count/max(n_tokens,1))
+          + 0.2*(1.0 - n_punct/max(n_chars,1))
+
+    Output: doc_id, n_punct, quality_milli, tier ('high'≥700 /
+    'medium'≥400 / 'low'). Pure map over a column-pruned read — zero
+    shuffle at any scale.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].tolist()
+        stop = set(STOPWORDS)
+        n_chars = np.array([len(t) for t in texts], dtype="int64")
+        n_tokens = np.array([len(t.split(" ")) for t in texts], dtype="int64")
+        stop_count = np.array(
+            [sum(1 for x in t.split(" ") if x in stop) for t in texts],
+            dtype="int64")
+        n_punct = np.array([len(_PUNCT_RE.findall(t)) for t in texts],
+                           dtype="int64")
+        q = (0.5 * (np.minimum(n_chars, 500) / 500.0)
+             + 0.3 * (stop_count / np.maximum(n_tokens, 1))
+             + 0.2 * (1.0 - n_punct / np.maximum(n_chars, 1)))
+        milli = np.floor(q * 1000).astype("int64")
+        tier = np.where(milli >= 700, "high",
+                        np.where(milli >= 400, "medium", "low"))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_punct": n_punct,
+            "quality_milli": milli,
+            "tier": tier,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
 
 
 def doc_sketches(sf_dir: str) -> rd.Dataset:
