@@ -261,13 +261,17 @@ class StreamingSessionJob:
     ) -> tuple[pd.DataFrame, int, int, int]:
         """Dataset-native cycle, fused to a single all-to-all:
 
-        - one Arrow read+flag+bucket pass pinned via ``materialize()``
-          (the cycle is a bounded micro-batch — its blocks fit the
-          cluster object store and spill if not);
-        - late split + count and the watermark advance over the pinned
-          blocks (zero-copy Arrow filters + a metadata-cheap max, no
-          re-read) — the watermark is known BEFORE the shuffle, so the
-          close/open split distributes too;
+        - the Arrow read is pinned ONCE via ``materialize()`` (by the
+          prefetcher during the previous cycle, normally); a single
+          partial-stats pass over the pinned blocks reduces per-batch
+          (rows, late, max_ts) triples on the driver — late count and
+          the watermark advance cost one execution, not three, and no
+          block is rewritten (round-4: the fixed per-cycle execution
+          count is what bounds streaming scaling efficiency,
+          BENCH.md finding 19);
+        - the watermark is known BEFORE the shuffle, so the close/open
+          split distributes too; flag + conv-bucket assignment fuse
+          into the shuffle's map side;
         - open-session summaries are injected as pseudo-turn rows
           (``ts = session_end``, carried ``_start``/``n_turns``,
           ``_prev`` marker) into the SAME conv-bucket shuffle;
@@ -298,7 +302,7 @@ class StreamingSessionJob:
         wm = watermark
         nb = self._cycle_bucket_count()
 
-        def flag_and_bucket(t: pa.Table) -> pa.Table:
+        def _ts_us(t: pa.Table) -> pa.Array:
             unit = t.schema.field("ts").type.unit
             ts_i = pc.cast(t["ts"], pa.int64())
             if unit == "ns":
@@ -307,30 +311,45 @@ class StreamingSessionJob:
                 ts_i = pc.multiply(ts_i, 1_000_000)
             elif unit == "ms":
                 ts_i = pc.multiply(ts_i, 1000)
-            late = pc.cast(pc.less(ts_i, pa.scalar(wm, pa.int64())), pa.int8())
-            conv = t["conv_id"].to_numpy(zero_copy_only=False)
-            bucket = crc32_bucket(conv, nb).astype(np.int32)
-            t = t.append_column("_late", late)
-            return t.append_column("_bucket", pa.array(bucket, type=pa.int32()))
+            return ts_i
 
         raw = self._take_prefetched(fname)
         if raw is None:
             read_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-            raw = _rd.read_parquet(path, override_num_blocks=read_blocks)
-        flagged = (
-            raw.map_batches(flag_and_bucket, batch_format="pyarrow")
-            .materialize()
-        )
-        base_schema = flagged.schema().base_schema
-        late_count = int(flagged.sum("_late") or 0)
-        # watermark advance before the shuffle (metadata-cheap pass over
-        # pinned blocks); max over all rows == max over on-time rows for
-        # watermark purposes (late ts < old watermark by definition)
-        max_ts = flagged.max("ts") if late_count < flagged.count() else None
+            # pin once: the stats pass, the (rare) late write and the
+            # shuffle all read the same blocks
+            raw = _rd.read_parquet(
+                path, override_num_blocks=read_blocks).materialize()
+
+        # ONE partial-stats pass replaces the old
+        # flag→materialize→sum("_late")→max("ts") sequence (three Ray
+        # executions + a full block rewrite): per-batch (rows, late,
+        # max_us) partials reduce on the driver; the flag/bucket work is
+        # fused into the shuffle map below instead. The fixed per-cycle
+        # cost is what bounds streaming scaling efficiency at high CPU
+        # counts (BENCH.md finding 19), so every saved execution counts.
+        def stats_partial(t: pa.Table) -> pa.Table:
+            ts_i = _ts_us(t)
+            late = pc.sum(pc.less(ts_i, pa.scalar(wm, pa.int64())))
+            return pa.table({
+                "n": pa.array([t.num_rows], pa.int64()),
+                "late": pa.array([late.as_py() or 0], pa.int64()),
+                "max_us": pa.array([pc.max(ts_i).as_py()], pa.int64()),
+            })
+
+        stats = raw.map_batches(
+            stats_partial, batch_format="pyarrow").to_pandas()
+        late_count = int(stats["late"].sum())
+        total_rows = int(stats["n"].sum())
+        # watermark advance before the shuffle; max over all rows == max
+        # over on-time rows for watermark purposes (late ts < old
+        # watermark by definition)
         new_watermark = (
-            max(wm, int(pd.Timestamp(max_ts).value // 1000) - self.lateness_us)
-            if max_ts is not None else wm
+            max(wm, int(stats["max_us"].max()) - self.lateness_us)
+            if late_count < total_rows else wm
         )
+        base_schema = raw.schema().base_schema.append(
+            pa.field("_bucket", pa.int32()))
         if late_count:
             late_path = os.path.join(self.late_dir, f"late-{fname}")
             # replay idempotency at directory granularity: a crashed
@@ -338,21 +357,23 @@ class StreamingSessionJob:
             import shutil
 
             shutil.rmtree(late_path, ignore_errors=True)
-            flagged.map_batches(
-                lambda t: t.filter(pc.equal(t["_late"], 1)).drop_columns(
-                    ["_late", "_bucket"]
-                ),
+            raw.map_batches(
+                lambda t: t.filter(pc.less(_ts_us(t), pa.scalar(wm, pa.int64()))),
                 batch_format="pyarrow",
             ).write_parquet(late_path)
 
         def ontime_prep(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t["_late"], 0)).drop_columns(["_late"])
+            t = t.filter(
+                pc.greater_equal(_ts_us(t), pa.scalar(wm, pa.int64())))
+            conv = t["conv_id"].to_numpy(zero_copy_only=False)
+            bucket = crc32_bucket(conv, nb).astype(np.int32)
+            t = t.append_column("_bucket", pa.array(bucket, type=pa.int32()))
             n = t.num_rows
             t = t.append_column("n_turns", pa.array(np.ones(n, np.int64)))
             t = t.append_column("_start", t["ts"])
             return t.append_column("_prev", pa.array(np.zeros(n, np.bool_)))
 
-        shuffled = flagged.map_batches(ontime_prep, batch_format="pyarrow")
+        shuffled = raw.map_batches(ontime_prep, batch_format="pyarrow")
 
         if open_prev is not None and len(open_prev):
             # pseudo-turn rows matching the on-time schema exactly:
