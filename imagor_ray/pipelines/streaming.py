@@ -256,6 +256,66 @@ class StreamingSessionJob:
         leg here, so sink and sessionize share ONE shuffle."""
         return None
 
+    @staticmethod
+    def _footer_late_stats(path, wm: int):
+        """Exact ``(late_count, total_rows, max_us)`` from parquet
+        row-group zone maps — no data pass in the common case. A group
+        with ``min_ts >= wm`` has zero late rows, one with
+        ``max_ts < wm`` is entirely late; only groups straddling the
+        watermark are scanned (ts column only, driver-side, bounded by
+        how localized the late data is). Returns ``(None, 0, None)``
+        when any group lacks ts statistics — the caller falls back to a
+        distributed partials pass. ``max_us`` is None for an empty file.
+        """
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        def stat_us(v) -> int:
+            if isinstance(v, (int, np.integer)):
+                return int(v)
+            return int(pd.Timestamp(v).value // 1000)
+
+        total = 0
+        late = 0
+        max_us = None
+        try:
+            suspects: list[tuple[str, int]] = []
+            for frag in pads.dataset(path).get_fragments():
+                md = frag.metadata
+                names = [md.schema.column(i).path
+                         for i in range(md.num_columns)]
+                ts_idx = names.index("ts")
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    stats = g.column(ts_idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        return None, 0, None
+                    lo, hi = stat_us(stats.min), stat_us(stats.max)
+                    total += g.num_rows
+                    max_us = hi if max_us is None else max(max_us, hi)
+                    if lo >= wm:
+                        continue
+                    if hi < wm:
+                        late += g.num_rows
+                    else:
+                        suspects.append((frag.path, rg))
+            for fpath, rg in suspects:
+                col = pq.ParquetFile(fpath).read_row_group(
+                    rg, columns=["ts"])["ts"]
+                unit = col.type.unit
+                ts_i = col.cast(pa.int64()).to_numpy()
+                if unit == "ns":
+                    ts_i = ts_i // 1000  # integer div — no float precision loss
+                elif unit == "ms":
+                    ts_i = ts_i * 1000
+                elif unit == "s":
+                    ts_i = ts_i * 1_000_000
+                late += int((ts_i < wm).sum())
+        except Exception:
+            return None, 0, None
+        return late, total, max_us
+
     def _cycle_dataset(
         self, path, fname, watermark, cycle, open_prev
     ) -> tuple[pd.DataFrame, int, int, int]:
@@ -321,32 +381,40 @@ class StreamingSessionJob:
             raw = _rd.read_parquet(
                 path, override_num_blocks=read_blocks).materialize()
 
-        # ONE partial-stats pass replaces the old
-        # flag→materialize→sum("_late")→max("ts") sequence (three Ray
-        # executions + a full block rewrite): per-batch (rows, late,
-        # max_us) partials reduce on the driver; the flag/bucket work is
-        # fused into the shuffle map below instead. The fixed per-cycle
-        # cost is what bounds streaming scaling efficiency at high CPU
-        # counts (BENCH.md finding 19), so every saved execution counts.
-        def stats_partial(t: pa.Table) -> pa.Table:
-            ts_i = _ts_us(t)
-            late = pc.sum(pc.less(ts_i, pa.scalar(wm, pa.int64())))
-            return pa.table({
-                "n": pa.array([t.num_rows], pa.int64()),
-                "late": pa.array([late.as_py() or 0], pa.int64()),
-                "max_us": pa.array([pc.max(ts_i).as_py()], pa.int64()),
-            })
+        # Late count + watermark advance WITHOUT a data pass (round-4:
+        # the fixed per-cycle execution count is what bounds streaming
+        # scaling efficiency, BENCH.md finding 19). Parquet row-group
+        # zone maps give exact (min_ts, max_ts, rows) per group from the
+        # footers alone; a group with min_ts >= watermark contributes
+        # zero late rows, so in the no-late common case the cycle runs
+        # ZERO pre-shuffle executions — footer metadata, then straight
+        # into the fused shuffle. Only row groups whose zone map
+        # straddles the watermark are scanned (ts column only,
+        # driver-side — bounded by how localized the late data is), and
+        # a stats-less file falls back to one distributed partials pass.
+        late_count, total_rows, max_us = self._footer_late_stats(path, wm)
+        if late_count is None:
+            def stats_partial(t: pa.Table) -> pa.Table:
+                ts_i = _ts_us(t)
+                late = pc.sum(pc.less(ts_i, pa.scalar(wm, pa.int64())))
+                return pa.table({
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "late": pa.array([late.as_py() or 0], pa.int64()),
+                    "max_us": pa.array([pc.max(ts_i).as_py()], pa.int64()),
+                })
 
-        stats = raw.map_batches(
-            stats_partial, batch_format="pyarrow").to_pandas()
-        late_count = int(stats["late"].sum())
-        total_rows = int(stats["n"].sum())
+            stats = raw.map_batches(
+                stats_partial, batch_format="pyarrow").to_pandas()
+            late_count = int(stats["late"].sum())
+            total_rows = int(stats["n"].sum())
+            max_us = (int(stats["max_us"].max())
+                      if late_count < total_rows else None)
         # watermark advance before the shuffle; max over all rows == max
         # over on-time rows for watermark purposes (late ts < old
         # watermark by definition)
         new_watermark = (
-            max(wm, int(stats["max_us"].max()) - self.lateness_us)
-            if late_count < total_rows else wm
+            max(wm, max_us - self.lateness_us)
+            if (max_us is not None and late_count < total_rows) else wm
         )
         base_schema = raw.schema().base_schema.append(
             pa.field("_bucket", pa.int32()))
