@@ -133,18 +133,42 @@ class ChainCtx:
         self.detector = None
 
 
+# Output-surface bounds, mirroring the reference processor defaults
+# (processor/vipsprocessor/processor.go:70-72: MaxWidth/MaxHeight 9999,
+# MaxResolution 81000000; clamped at process.go:289-293, errored at
+# process.go:286-288). Numeric filter args additionally clamp to int32
+# range — the reference parses them with Go ints, and unbounded values
+# only ever feed allocation sizes.
+MAX_DIM = 9999
+MAX_RESOLUTION = 81_000_000
+_ARG_CLAMP = 2**31 - 1
+
+
 def _int_arg(s: str, default: int = 0) -> int:
     try:
-        return int(float(s))
+        v = float(s)
     except (TypeError, ValueError):
         return default
+    if v != v:  # NaN
+        return default
+    return int(max(-_ARG_CLAMP, min(_ARG_CLAMP, v)))
 
 
 def _float_arg(s: str, default: float = 0.0) -> float:
     try:
-        return float(s)
+        v = float(s)
     except (TypeError, ValueError):
         return default
+    if v != v:  # NaN
+        return default
+    return max(-float(_ARG_CLAMP), min(float(_ARG_CLAMP), v))
+
+
+def _dim_arg(v: int) -> int:
+    """Clamp a size/pad-count arg to the output-surface bound
+    (process.go:289-293 clamps any requested dimension to
+    MaxWidth/MaxHeight)."""
+    return max(0, min(int(v), MAX_DIM))
 
 
 def _color_char(color: str) -> str:
@@ -312,6 +336,31 @@ def _smear_series(s: pd.Series, w: int, sharpen: bool = False) -> pd.Series:
     max_len = int(lens.max()) if len(lens) else 0
     if max_len == 0:
         return s
+    if w >= max_len:
+        # Window covers every row end-to-end at every position: the
+        # padded-matrix form would allocate O(w) columns, but the window
+        # sum has a closed form — sum(codes) + (w-i)·first + (i+w-L+1)·last
+        # (the pads visible at position i). Exact integer sums < 2^53 give
+        # bit-identical means to the matrix path wherever both are defined.
+        k = 2.0 * w + 1.0
+        out = []
+        for t in texts:
+            L = len(t)
+            if L == 0:
+                out.append(t)
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.float64)
+            i = np.arange(L, dtype=np.float64)
+            wsum = codes.sum() + (w - i) * codes[0] + (i + w - L + 1) * codes[-1]
+            means = wsum / k
+            if sharpen:
+                vals = np.clip(np.round(codes + (codes - means)), 32, 0x10FFFF)
+            else:
+                vals = np.clip(np.round(means), 32, 0x10FFFF)
+            out.append(
+                vals.astype("<u4").tobytes().decode("utf-32-le", errors="surrogatepass")
+            )
+        return pd.Series(out, index=s.index, dtype=object)
     n = len(texts)
     k = 2 * w + 1
     codes = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
@@ -375,7 +424,10 @@ def k_pixelate(s, ctx, args):
         if not t:
             return t
         codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-        out = np.repeat(codes[::b], b)[: len(codes)]
+        # a block larger than the row degenerates to "first char fills
+        # the row"; clamping keeps np.repeat's allocation row-bounded
+        bb = min(b, len(codes))
+        out = np.repeat(codes[::bb], bb)[: len(codes)]
         return out.astype("<u4").tobytes().decode("utf-32-le", errors="surrogatepass")
 
     return s.map(px)
@@ -490,10 +542,10 @@ def k_padding(s, ctx, args):
     the color char, lines top/bottom (filter.go:72-93)."""
     a = split_args(args)
     ch = _color_char(a[0] if len(a) > 0 else "")
-    left = _int_arg(a[1]) if len(a) > 1 else 0
-    top = _int_arg(a[2]) if len(a) > 2 else left
-    right = _int_arg(a[3]) if len(a) > 3 else left
-    bottom = _int_arg(a[4]) if len(a) > 4 else top
+    left = _dim_arg(_int_arg(a[1])) if len(a) > 1 else 0
+    top = _dim_arg(_int_arg(a[2])) if len(a) > 2 else left
+    right = _dim_arg(_int_arg(a[3])) if len(a) > 3 else left
+    bottom = _dim_arg(_int_arg(a[4])) if len(a) > 4 else top
     out = s
     if left or right:
         out = ch * left + out + ch * right if isinstance(out, str) else (
@@ -513,7 +565,7 @@ def apply_params_padding(s: pd.Series, ctx: "ChainCtx") -> pd.Series:
     """Apply the path-level padding ``GxH:IxJ`` with the current fill char
     (embed-with-padding after resize, parse ``imagorpath/parse.go:135-145``,
     apply via fill ``filteroverlay.go:129-211``)."""
-    pl, pt, pr, pb = ctx.padding
+    pl, pt, pr, pb = (_dim_arg(v) for v in ctx.padding)
     ctx.padding_applied = True
     ch = ctx.fill_char
     out = s.map(lambda t: ch * pl + t + ch * pr) if (pl or pr) else s
@@ -1212,10 +1264,10 @@ def parse_text_width(arg: str, canvas_width: int) -> int:
     if m:
         return canvas_width + (int(m.group(1)) if m.group(1) else 0)
     if arg.endswith("p"):
-        return _tz_div(_int_arg(arg[:-1]) * canvas_width, 100)
+        return min(_tz_div(_int_arg(arg[:-1]) * canvas_width, 100), MAX_DIM)
     if arg.lstrip("-").startswith("0."):
-        return int(_float_arg(arg) * canvas_width)
-    return _int_arg(arg)
+        return min(int(_float_arg(arg) * canvas_width), MAX_DIM)
+    return min(_int_arg(arg), MAX_DIM)
 
 
 def _wrap_text(txt: str, width: int, wrap: str) -> list[str]:

@@ -195,6 +195,10 @@ def _geometry_steps(p: ip.Params) -> list:
         h_flip, width = not h_flip, -width
     if height < 0:
         v_flip, height = not v_flip, -height
+    # requested dims clamp to the processor's output-surface bound
+    # (process.go:289-293, 410-413: w/h capped at MaxWidth/MaxHeight)
+    width = min(width, K.MAX_DIM)
+    height = min(height, K.MAX_DIM)
 
     if width > 0 or height > 0:
         fit_in, full_fit, adaptive = p.fit_in, p.full_fit_in, p.adaptive_fit_in

@@ -27,12 +27,14 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions import imagorpath as ip
+from ..functions import kernels as K
 
 __all__ = [
     "ERR_SIGNATURE_MISMATCH",
     "ERR_EXPIRED",
     "ERR_INVALID_PARAM",
     "ERR_UNSUPPORTED_FORMAT",
+    "ERR_MAX_RESOLUTION",
     "verify_batch",
     "route",
     "auto_format_path",
@@ -43,6 +45,7 @@ ERR_SIGNATURE_MISMATCH = "ERR_SIGNATURE_MISMATCH"   # errors.go / imagor.go:294-
 ERR_EXPIRED = "ERR_EXPIRED"                          # imagor.go:314-322
 ERR_INVALID_PARAM = "ERR_INVALID_PARAM"
 ERR_UNSUPPORTED_FORMAT = "ERR_UNSUPPORTED_FORMAT"
+ERR_MAX_RESOLUTION = "ERR_MAX_RESOLUTION"            # errors.go:34-35
 
 _KNOWN_FORMATS = {"", "utf8", "txt", "text", "hex", "b64", "base64", "upper", "lower"}
 
@@ -61,7 +64,10 @@ def verify_batch(
       reference's unsafe mode);
     - parse the path; unparseable → ERR_INVALID_PARAM;
     - ``expire(ts)`` filter with watermark_ms > ts → ERR_EXPIRED;
-    - ``format(f)`` with unknown f → ERR_UNSUPPORTED_FORMAT.
+    - ``format(f)`` with unknown f → ERR_UNSUPPORTED_FORMAT;
+    - requested W×H beyond the processor's resolution budget →
+      ERR_MAX_RESOLUTION (``ErrMaxResolutionExceeded`` errors.go:34-35,
+      checked before processing at process.go:286-288).
     """
     signer = ip.HMACSigner("sha256", 0, secret)
     codes = []
@@ -72,6 +78,8 @@ def verify_batch(
             code = ERR_INVALID_PARAM
         elif supplied != "unsafe" and signer.sign(path) != supplied:
             code = ERR_SIGNATURE_MISMATCH
+        elif abs(p.width) * abs(p.height) > K.MAX_RESOLUTION:
+            code = ERR_MAX_RESOLUTION
         else:
             for f in p.filters:
                 if f.name == "expire":

@@ -167,3 +167,76 @@ def test_auto_format_accept_column_changes_signature():
     plain = stage(base.drop(columns=["accept"]).copy())
     assert out["signature"].iloc[0] != plain["signature"].iloc[0]
     assert out["signature"].iloc[1] == plain["signature"].iloc[1]
+
+
+class TestMaxResolution:
+    """ErrMaxResolutionExceeded analogue (errors.go:34-35): requested
+    W×H beyond the processor budget (process.go:286-288) dead-letters
+    before any kernel runs; at-or-under passes; the chain clamps any
+    surviving dimension to MaxWidth/MaxHeight (process.go:289-293)."""
+
+    def test_over_budget_dead_letters(self):
+        from imagor_ray.stages.errors import ERR_MAX_RESOLUTION
+
+        df = pd.DataFrame([make_row("99999x99999/img")])
+        assert verify_batch(df, SECRET)["error_code"].iloc[0] == ERR_MAX_RESOLUTION
+
+    def test_under_budget_passes(self):
+        df = pd.DataFrame([make_row("8000x8000/img")])
+        assert verify_batch(df, SECRET)["error_code"].iloc[0] == ""
+
+    def test_chain_clamps_dims_to_max(self):
+        from imagor_ray.stages.chain import compile_chain
+
+        out = compile_chain("2000000000x0/img").run(
+            pd.Series(["abc"], dtype=object)
+        ).iloc[0]
+        # plain resize pads to the clamped width, not 2e9 chars
+        assert len(out) == 9999
+
+
+class TestGiantArgRegressions:
+    """Hypothesis-found allocation crashes: numeric filter args parse to
+    astronomically large values (scientific notation fits in 30 chars).
+    Every size-driven kernel must stay row-bounded (the reference clamps
+    all surfaces at MaxWidth/MaxHeight, processor.go:70-72)."""
+
+    CASES = [
+        ("blur", "1E0111"),          # the original falsifying example
+        ("sharpen", "9e18"),
+        ("pixelate", "1e300"),
+        ("padding", "red,2000000000,99999999999,1e18,nan"),
+        ("text", "hi,0,0,,,,,2000000000,center"),
+        ("blur", "nan"),
+        ("brightness", "1e999"),     # inf float arg
+        ("round_corner", "1e18,1e18"),
+    ]
+
+    def test_giant_args_never_allocate(self):
+        from imagor_ray.stages.chain import compile_chain
+
+        for name, args in self.CASES:
+            chain = compile_chain(f"filters:{name}({args})/img")
+            out = chain.run(
+                pd.Series(["hello world\nsecond line"], dtype=object),
+                lookup={"k": "SNIP"}.get,
+            ).iloc[0]
+            assert isinstance(out, str), (name, args)
+
+    def test_smear_closed_form_matches_scalar_reference(self):
+        import random
+
+        from imagor_ray.functions import kernels as K
+
+        rng = random.Random(7)
+        texts = [
+            "".join(chr(rng.randint(33, 1200)) for _ in range(rng.randint(0, 12)))
+            for _ in range(5)
+        ]
+        s = pd.Series(texts, dtype=object)
+        maxlen = max(len(t) for t in texts)
+        for w in (maxlen, maxlen + 1, maxlen + 100, 10**6):
+            for sharpen in (False, True):
+                got = K._smear_series(s, w, sharpen=sharpen).tolist()
+                exp = [K._smear(t, w, sharpen=sharpen) if t else t for t in texts]
+                assert got == exp, (w, sharpen)
