@@ -930,6 +930,18 @@ def _q_media_png_roundtrip(sf_dir: str):
     return media_png_roundtrip(sf_dir)
 
 
+def _q_media_jpeg_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_jpeg_roundtrip
+
+    return media_jpeg_roundtrip(sf_dir)
+
+
+_JPEG_ROUNDTRIP_SQL = """
+SELECT doc_id, sha256(text) AS recovered_sha
+FROM documents
+"""
+
+
 _MEDIA_HASHES_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1430,6 +1442,7 @@ QUERIES = {
     "media_meta": _q_media_meta,  # rows-only: binary decode has no SQL surface
     "media_real_decode": _q_media_real_decode,  # rows-only: real WAV/BMP/PNG codecs
     "media_png_roundtrip": _q_media_png_roundtrip,
+    "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -1527,6 +1540,10 @@ ORACLES = {
     # PNG round trip recovers the exact utf-8 bytes, so the oracle is the
     # same raw-text hash as media_hashes — equality certifies the codec
     "media_png_roundtrip": _MEDIA_HASHES_SQL,
+    # JPEG round trip paints sha256(text) hex as constant 8x8 tiles at
+    # q=100 (DC-only => bit-exact through the lossy pipeline) and reads
+    # it back — the oracle recomputes the digest directly
+    "media_jpeg_roundtrip": _JPEG_ROUNDTRIP_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "events_by_type": _EVENTS_BY_TYPE_SQL,

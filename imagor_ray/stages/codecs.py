@@ -32,25 +32,32 @@ __all__ = [
     "WavCodec",
     "BmpCodec",
     "PngCodec",
+    "JpegCodec",
     "encode_wav",
     "encode_bmp",
     "encode_png",
+    "encode_jpeg",
     "brightest_region",
 ]
+
+from .jpeg import JpegCodec, encode_jpeg  # noqa: E402  (round-4: real baseline JPEG)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_media(payload: bytes) -> str:
-    """Magic-byte container sniff (blob.go:354-521 dispatch; the PNG
-    signature row mirrors blob.go:163-211's magic table): returns
-    'wav' | 'bmp' | 'png' | 'imrf' (the deterministic fake) | 'unknown'."""
+    """Magic-byte container sniff (blob.go:354-521 dispatch; the JPEG and
+    PNG signature rows mirror blob.go:163-211's magic table): returns
+    'jpeg' | 'wav' | 'bmp' | 'png' | 'imrf' (the deterministic fake) |
+    'unknown'."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if len(payload) >= 2 and payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"IMRF":
         return "imrf"
     return "unknown"

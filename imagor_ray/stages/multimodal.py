@@ -45,6 +45,7 @@ __all__ = [
     "gen_real_media",
     "media_real_decode",
     "media_png_roundtrip",
+    "media_jpeg_roundtrip",
     "MediaDetectStage",
     "frame_sample",
     "media_features",
@@ -99,21 +100,22 @@ class MediaDecodeStage:
 
     - ``codec="fake"`` parses the deterministic IMRF header (tests);
     - ``codec="auto"`` sniffs the container magic per payload
-      (blob.go:354-521 dispatch) and REALLY decodes WAV (stdlib wave)
-      and 24-bit BMP (struct+numpy) — see ``stages/codecs.py``; IMRF
-      still parses;
+      (blob.go:354-521 dispatch) and REALLY decodes WAV (stdlib wave),
+      24-bit BMP (struct+numpy), PNG (zlib + scanline filters) and
+      baseline JPEG (numpy DCT + huffman) — see ``stages/codecs.py``
+      and ``stages/jpeg.py``; IMRF still parses;
     - ``codec="real"`` raises NotImplementedError — the remaining plug
-      point for formats that need external libraries (JPEG/PNG/MP4 via
-      PIL/pyav/libsndfile).
+      point is VIDEO (MP4/WebM need pyav); every still-image and audio
+      format the corpus carries decodes for real.
     """
 
     def __init__(self, codec: str = "fake"):
         if codec == "real":
             raise NotImplementedError(
-                "JPEG/MP4 codecs need external libraries not present "
-                "in this environment; WAV, BMP and PNG decode for real "
-                "via codec='auto' (stages/codecs.py) — plug PIL/pyav "
-                "here for the rest"
+                "video (MP4/WebM) decode needs pyav, absent in this "
+                "environment; WAV, BMP, PNG and baseline JPEG decode "
+                "for real via codec='auto' (stages/codecs.py) — plug "
+                "pyav here for video"
             )
         self._codec = codec
 
@@ -121,7 +123,9 @@ class MediaDecodeStage:
         """(width, height, n_frames, channels, body_len). For audio,
         width/height are 0 and n_frames is the PCM frame count."""
         if self._codec == "auto":
-            from .codecs import BmpCodec, PngCodec, WavCodec, sniff_media
+            from .codecs import (
+                BmpCodec, JpegCodec, PngCodec, WavCodec, sniff_media,
+            )
 
             kind = sniff_media(payload)
             if kind == "wav":
@@ -134,6 +138,10 @@ class MediaDecodeStage:
                         m["width"] * m["height"] * 3)
             if kind == "png":
                 m = PngCodec.decode_meta(payload)
+                return (m["width"], m["height"], 1, m["channels"],
+                        m["width"] * m["height"] * m["channels"])
+            if kind == "jpeg":
+                m = JpegCodec.decode_meta(payload)
                 return (m["width"], m["height"], 1, m["channels"],
                         m["width"] * m["height"] * m["channels"])
             if kind != "imrf":
@@ -202,10 +210,10 @@ class MediaResizeStage:
                  codec: str = "fake"):
         if codec == "real":
             raise NotImplementedError(
-                "JPEG resampling needs external libraries; BMP and PNG "
-                "payloads resize for REAL via codec='auto' "
+                "video (MP4/WebM) resampling needs pyav; BMP, PNG and "
+                "baseline JPEG payloads resize for REAL via codec='auto' "
                 "(nearest-neighbour pixel gather, stages/codecs.py) — "
-                "plug PIL/pyav here for the rest"
+                "plug pyav here for video"
             )
         self.codec = codec
         self.width = width
@@ -222,7 +230,7 @@ class MediaResizeStage:
 
     def _resize_one(self, payload: bytes) -> bytes:
         if self.codec == "auto":
-            from .codecs import BmpCodec, PngCodec, sniff_media
+            from .codecs import BmpCodec, JpegCodec, PngCodec, sniff_media
 
             kind = sniff_media(payload)
             if kind == "bmp":
@@ -234,6 +242,10 @@ class MediaResizeStage:
                 m = PngCodec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
                 return PngCodec.resize(payload, nw, nh)
+            if kind == "jpeg":
+                m = JpegCodec.decode_meta(payload)
+                nw, nh = self._fit_dims(m["width"], m["height"])
+                return JpegCodec.resize(payload, nw, nh)
             if kind == "wav":
                 return payload  # resize is an image op; audio passes through
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -355,18 +367,82 @@ def media_png_roundtrip(sf_dir: str) -> rd.Dataset:
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
 
 
+def media_jpeg_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED entry for the LOSSY codec: each document's
+    sha256 hex digest (64 ASCII bytes) is painted as 64 CONSTANT 8×8
+    tiles on a 128×32 grayscale grid and encoded as a REAL baseline
+    JPEG at quality=100 (stages/jpeg.py). Constant tiles are DC-only
+    with exact integer DCT values and all-ones quant tables, so the
+    full huffman→DCT→quant machinery round-trips them bit-for-bit —
+    a lossless witness through a lossy codec. A second map stage
+    decodes the payload and reads the tiles back; the recovered hex
+    string is emitted directly, so the DuckDB oracle is simply
+    ``sha256(text)`` — value equality certifies entropy coding, DCT,
+    quantization, marker framing and byte stuffing end to end.
+
+    Output: doc_id, recovered_sha.
+    """
+    import hashlib
+
+    from .codecs import JpegCodec, encode_jpeg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            digest = hashlib.sha256(t.encode("utf-8")).hexdigest()
+            vals = np.frombuffer(digest.encode("ascii"), dtype=np.uint8)
+            tiles = vals.reshape(4, 16)                       # 16 tiles/row
+            img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+            payloads.append(encode_jpeg(img, quality=100))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        shas = []
+        for p in batch["payload"].to_pylist():
+            px = JpegCodec.decode_pixels(p)[:, :, 0]
+            shas.append(px[::8, ::8].reshape(-1).tobytes().decode("ascii"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "recovered_sha": pa.array(shas, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine, varying rate/length/channels),
-    24-bit BMP (seeded pixels, varying dims), and PNG (seeded pixels,
-    cycling gray/RGB/RGBA color types) — the corpus the real-codec
-    decode path runs on."""
-    from .codecs import encode_bmp, encode_png, encode_wav
+    24-bit BMP (seeded pixels, varying dims), PNG (seeded pixels,
+    cycling gray/RGB/RGBA color types), and baseline JPEG (seeded
+    pixels, cycling gray / RGB 4:4:4 / RGB 4:2:0 / restart-marker
+    variants) — the corpus the real-codec decode path runs on."""
+    from .codecs import encode_bmp, encode_jpeg, encode_png, encode_wav
 
     rng = np.random.default_rng(seed)
     rows = {"media_id": [], "media_type": [], "payload": [], "source": []}
     for i in range(n):
-        if i % 3 == 0:
+        if i % 4 == 3:
+            h = int(rng.integers(4, 64))
+            w = int(rng.integers(4, 64))
+            variant = (i // 4) % 4
+            if variant == 0:
+                px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+                payload = encode_jpeg(px, quality=90)
+            else:
+                px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                payload = encode_jpeg(
+                    px, quality=90, subsample=(variant == 2),
+                    restart_interval=2 if variant == 3 else 0)
+            kind = "image"
+        elif i % 3 == 0:
             rate = int(rng.choice([8000, 16000, 44100]))
             frames = int(rng.integers(200, 3000))
             ch = int(rng.integers(1, 3))
@@ -400,8 +476,8 @@ def media_real_decode(sf_dir: str) -> rd.Dataset:
     """Real-codec decode pipeline (rows-only at the driver gate — binary
     container decoding has no SQL surface; strong verification is the
     round-trip pytest suite in tests/test_codecs.py): the mixed
-    WAV/BMP/PNG corpus through the sniffing decode stage, plus RMS energy
-    for the audio rows — actual decode math, not the IMRF stub.
+    WAV/BMP/PNG/JPEG corpus through the sniffing decode stage, plus RMS
+    energy for the audio rows — actual decode math, not the IMRF stub.
 
     Output: media_id, media_type, width, height, n_frames, channels,
     n_bytes, rms_mean (audio; 0.0 for images).
@@ -439,14 +515,17 @@ class MediaDetectStage:
         self.win = win
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .codecs import BmpCodec, PngCodec, brightest_region, sniff_media
+        from .codecs import (
+            BmpCodec, JpegCodec, PngCodec, brightest_region, sniff_media,
+        )
 
         xs, ys, ws, hs, scores = [], [], [], [], []
         for payload in batch["payload"].to_pylist():
             kind = sniff_media(payload)
-            if kind in ("bmp", "png"):
+            if kind in ("bmp", "png", "jpeg"):
                 px = (BmpCodec.decode_pixels(payload) if kind == "bmp"
-                      else PngCodec.decode_rgb(payload))
+                      else PngCodec.decode_rgb(payload) if kind == "png"
+                      else JpegCodec.decode_rgb(payload))
                 x, y, w, h, s = brightest_region(px, self.win)
                 xs.append(x); ys.append(y); ws.append(w); hs.append(h)
                 scores.append(round(s, 4))
