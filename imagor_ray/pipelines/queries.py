@@ -936,6 +936,12 @@ def _q_media_jpeg_roundtrip(sf_dir: str):
     return media_jpeg_roundtrip(sf_dir)
 
 
+def _q_media_gif_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_gif_roundtrip
+
+    return media_gif_roundtrip(sf_dir)
+
+
 _JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id, sha256(text) AS recovered_sha
 FROM documents
@@ -1443,6 +1449,7 @@ QUERIES = {
     "media_real_decode": _q_media_real_decode,  # rows-only: real WAV/BMP/PNG codecs
     "media_png_roundtrip": _q_media_png_roundtrip,
     "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+    "media_gif_roundtrip": _q_media_gif_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -1544,6 +1551,9 @@ ORACLES = {
     # q=100 (DC-only => bit-exact through the lossy pipeline) and reads
     # it back — the oracle recomputes the digest directly
     "media_jpeg_roundtrip": _JPEG_ROUNDTRIP_SQL,
+    # animated GIF round trip recovers the exact utf-8 bytes across
+    # LZW frames, same raw-text-hash oracle as PNG
+    "media_gif_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "events_by_type": _EVENTS_BY_TYPE_SQL,

@@ -33,14 +33,17 @@ __all__ = [
     "BmpCodec",
     "PngCodec",
     "JpegCodec",
+    "GifCodec",
     "encode_wav",
     "encode_bmp",
     "encode_png",
     "encode_jpeg",
+    "encode_gif",
     "brightest_region",
 ]
 
 from .jpeg import JpegCodec, encode_jpeg  # noqa: E402  (round-4: real baseline JPEG)
+from .gif import GifCodec, encode_gif    # noqa: E402  (round-4: real animated GIF)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -58,6 +61,8 @@ def sniff_media(payload: bytes) -> str:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"IMRF":
         return "imrf"
     return "unknown"

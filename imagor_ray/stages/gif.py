@@ -1,0 +1,349 @@
+"""GIF codec — pure stdlib/numpy LZW, no external libraries.
+
+Closes the reference's ANIMATED format: GIF is a first-class blob type
+(``blob.go:163-211`` magic table rows for ``GIF87a``/``GIF89a``) and
+the reference's animation-aware filters — ``page(n)`` frame selection
+(``process.go:380-382``), ``max_frames(n)`` (``process.go:366-368``)
+and the n-pages thumbnail path — exist precisely for it. With this
+codec the engine's frame-sampling and decode stages run on REAL frame
+data instead of the IMRF stand-in.
+
+Scope:
+
+- **Decoder**: GIF87a/GIF89a, global + local color tables, interlaced
+  images, LZW with dynamic code sizes and table resets, graphic
+  control extensions (transparency + disposal methods none/keep/
+  restore-background), multi-frame compositing to ``(n, h, w, 3)``
+  RGB, sub-block framing, NETSCAPE/comment extension skip.
+- **Encoder**: GIF89a, grayscale frames on a 256-entry gray global
+  palette, full LZW with clear-code table resets, optional per-frame
+  delay. Gray round trips are bit-exact (palette index == sample
+  value), the same lossless-witness pattern as the JPEG sha-tile
+  entry.
+
+LZW is the one inherently sequential loop (each code extends the
+dictionary the next code may reference); everything around it —
+palette gather, interlace reorder, frame compositing — is vectorized
+numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["GifCodec", "encode_gif"]
+
+
+# ---------------------------------------------------------------------------
+# LZW
+
+def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> np.ndarray:
+    """GIF-variant LZW → uint8 index stream of length n_expected."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # dictionary as (prefix_code, last_byte); roots have prefix -1
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    size = [0]
+
+    def reset():
+        size[0] = eoi + 1
+        return min_code_size + 1
+
+    code_bits = reset()
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev = -1
+    first_byte = 0
+
+    def expand(code: int) -> bytes:
+        chunk = bytearray()
+        c = code
+        while c >= 0:                      # roots have prefix -1
+            chunk.append(suffix[c])
+            c = prefix[c]
+        return bytes(reversed(chunk))
+
+    # roots: suffix[i] = i for i < clear
+    suffix[:clear] = np.arange(clear, dtype=np.uint8)
+
+    i = 0
+    n = len(data)
+    while i < n or nbits >= code_bits:
+        while nbits < code_bits and i < n:
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        if nbits < code_bits:
+            break
+        code = acc & ((1 << code_bits) - 1)
+        acc >>= code_bits
+        nbits -= code_bits
+
+        if code == clear:
+            code_bits = reset()
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("gif: first LZW code must be a root")
+            out.append(code)
+            first_byte = code
+            prev = code
+            continue
+        if code < size[0]:
+            chunk = expand(code)
+        elif code == size[0]:
+            chunk = expand(prev) + bytes([first_byte])
+        else:
+            raise ValueError("gif: LZW code out of range")
+        first_byte = chunk[0]
+        out += chunk
+        if size[0] < 4096:
+            prefix[size[0]] = prev
+            suffix[size[0]] = first_byte
+            size[0] += 1
+            # one entry EARLY: the decoder's table lags the encoder by
+            # one (entry k lands while processing code k+1), so the
+            # width must grow before reading the code the encoder
+            # emitted at the wider size
+            if size[0] + 1 == (1 << code_bits) and code_bits < 12:
+                code_bits += 1
+        prev = code
+        if len(out) >= n_expected:
+            break
+    if len(out) < n_expected:
+        raise ValueError("gif: truncated LZW stream")
+    return np.frombuffer(bytes(out[:n_expected]), dtype=np.uint8)
+
+
+def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
+    """GIF-variant LZW encoder with clear-code resets at table-full."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, bits: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += bits
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    code_bits = min_code_size + 1
+    emit(clear, code_bits)
+    data = indices.tolist()
+    prev = data[0]
+    for sym in data[1:]:
+        key = (prev, sym)
+        if key in table:
+            prev = table[key]
+            continue
+        emit(prev, code_bits)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            # width bump mirrors the decoder: it reads the NEXT code
+            # after growing its table to `next_code` entries
+            if next_code == (1 << code_bits) and code_bits < 12:
+                code_bits += 1
+        else:
+            emit(clear, code_bits)
+            table.clear()
+            next_code = eoi + 1
+            code_bits = min_code_size + 1
+        prev = sym
+    emit(prev, code_bits)
+    emit(eoi, code_bits)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap raw bytes in <=255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = []
+    for start, step in _INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    out = np.empty_like(rows)
+    out[np.array(order, dtype=np.int64)] = rows
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+def encode_gif(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+    """Encode ``(n, h, w)`` (or ``(h, w)``) uint8 GRAY frames as an
+    animated GIF89a over a 256-entry gray palette — palette index ==
+    sample value, so decode is bit-exact. ``delay_cs`` is the per-frame
+    delay in centiseconds (animation only)."""
+    fr = np.asarray(frames, dtype=np.uint8)
+    if fr.ndim == 2:
+        fr = fr[None, :, :]
+    n, h, w = fr.shape
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError("gif: empty input")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)     # GCT, 256 entries
+    gray = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += gray.tobytes()                               # (0,0,0)..(255,255,255)
+    if n > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for f in range(n):
+        if n > 1:
+            out += b"\x21\xf9" + bytes([4, 0x04]) + struct.pack(
+                "<H", delay_cs) + bytes([0, 0])         # GCE: disposal=keep
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)                                   # LZW min code size
+        out += _sub_blocks(_lzw_encode(8, fr[f].reshape(-1)))
+    out += b"\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+def _parse(payload: bytes, want_pixels: bool):
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, size * 3, i).reshape(size, 3)
+        i += size * 3
+    frames = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    prev_canvas = None
+    transparent = None
+    disposal = 0
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        i += 1
+        if b == 0x3B:                                    # trailer
+            break
+        if b == 0x21:                                    # extension
+            label = payload[i]
+            i += 1
+            if label == 0xF9:                            # GCE
+                blen = payload[i]
+                flags = payload[i + 1]
+                disposal = (flags >> 2) & 0x7
+                transparent = payload[i + 4] if flags & 1 else None
+                i += blen + 1
+            while payload[i] != 0:                       # skip sub-blocks
+                i += payload[i] + 1
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, i)
+        i += 9
+        table = gct
+        if fpacked & 0x80:
+            size = 2 << (fpacked & 0x07)
+            table = np.frombuffer(payload, np.uint8, size * 3, i).reshape(size, 3)
+            i += size * 3
+        if table is None:
+            raise ValueError("gif: no color table")
+        min_code = payload[i]
+        i += 1
+        lzw = bytearray()
+        while payload[i] != 0:
+            blen = payload[i]
+            lzw += payload[i + 1 : i + 1 + blen]
+            i += blen + 1
+        i += 1
+        if not want_pixels:
+            frames.append(None)
+            continue
+        idx = _lzw_decode(min_code, bytes(lzw), fw * fh).reshape(fh, fw)
+        if fpacked & 0x40:
+            idx = _deinterlace(idx)
+        if disposal == 3:
+            prev_canvas = canvas.copy()
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        rgb = table[np.minimum(idx, len(table) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[:, :, None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:                                # restore background
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif disposal == 3 and prev_canvas is not None:  # restore previous
+            canvas = prev_canvas
+        transparent = None
+        disposal = 0
+    return w, h, frames
+
+
+class GifCodec:
+    """GIF decode — same surface shape as Png/JpegCodec, plus frames."""
+
+    @staticmethod
+    def decode_meta(payload: bytes) -> dict:
+        w, h, frames = _parse(payload, want_pixels=False)
+        return {"width": w, "height": h, "n_frames": len(frames), "channels": 3}
+
+    @staticmethod
+    def decode_frames(payload: bytes) -> np.ndarray:
+        """(n_frames, h, w, 3) uint8 RGB, frames composited per the
+        disposal method."""
+        w, h, frames = _parse(payload, want_pixels=True)
+        if not frames:
+            raise ValueError("gif: no image data")
+        return np.stack(frames)
+
+    @staticmethod
+    def decode_pixels(payload: bytes) -> np.ndarray:
+        """First frame as (h, w, 3) — the still-image surface
+        (``page(1)`` semantics, process.go:380-382)."""
+        return GifCodec.decode_frames(payload)[0]
+
+    decode_rgb = decode_pixels
+
+    @staticmethod
+    def resize(payload: bytes, width: int, height: int) -> bytes:
+        """Nearest-neighbour resize of EVERY frame, re-encoded as a
+        gray animated GIF (luma of the composited frames) — the
+        n-pages thumbnail analogue (process.go:455-507)."""
+        fr = GifCodec.decode_frames(payload)
+        n, h, w, _ = fr.shape
+        ri = (np.arange(height) * h // max(1, height)).clip(0, h - 1)
+        ci = (np.arange(width) * w // max(1, width)).clip(0, w - 1)
+        small = fr[:, ri][:, :, ci]
+        luma = np.clip(np.round(
+            small.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        ), 0, 255).astype(np.uint8)
+        return encode_gif(luma)

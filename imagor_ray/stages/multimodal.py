@@ -46,6 +46,7 @@ __all__ = [
     "media_real_decode",
     "media_png_roundtrip",
     "media_jpeg_roundtrip",
+    "media_gif_roundtrip",
     "MediaDetectStage",
     "frame_sample",
     "media_features",
@@ -124,7 +125,8 @@ class MediaDecodeStage:
         width/height are 0 and n_frames is the PCM frame count."""
         if self._codec == "auto":
             from .codecs import (
-                BmpCodec, JpegCodec, PngCodec, WavCodec, sniff_media,
+                BmpCodec, GifCodec, JpegCodec, PngCodec, WavCodec,
+                sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -144,6 +146,10 @@ class MediaDecodeStage:
                 m = JpegCodec.decode_meta(payload)
                 return (m["width"], m["height"], 1, m["channels"],
                         m["width"] * m["height"] * m["channels"])
+            if kind == "gif":
+                m = GifCodec.decode_meta(payload)
+                return (m["width"], m["height"], m["n_frames"], 3,
+                        m["width"] * m["height"] * 3 * m["n_frames"])
             if kind != "imrf":
                 raise ValueError("unknown media container")
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -173,11 +179,13 @@ class MediaDecodeStage:
         )
 
 
-def frame_sample(batch: pa.Table, every: int = 8) -> pa.Table:
+def frame_sample(batch: pa.Table, every: int = 8, codec: str = "fake") -> pa.Table:
     """Frame-sampling plumbing: one output row per sampled frame index of
-    each video (flat_map-shaped expansion done vectorized per batch)."""
+    each video (flat_map-shaped expansion done vectorized per batch).
+    ``codec="auto"`` samples REAL frame counts (animated GIF payloads
+    report their actual frames via stages/gif.py)."""
     ids, kinds, frame_idx = [], [], []
-    decode = MediaDecodeStage()
+    decode = MediaDecodeStage(codec=codec)
     for mid, kind, payload in zip(
         batch["media_id"].to_pylist(),
         batch["media_type"].to_pylist(),
@@ -230,7 +238,9 @@ class MediaResizeStage:
 
     def _resize_one(self, payload: bytes) -> bytes:
         if self.codec == "auto":
-            from .codecs import BmpCodec, JpegCodec, PngCodec, sniff_media
+            from .codecs import (
+                BmpCodec, GifCodec, JpegCodec, PngCodec, sniff_media,
+            )
 
             kind = sniff_media(payload)
             if kind == "bmp":
@@ -246,6 +256,10 @@ class MediaResizeStage:
                 m = JpegCodec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
                 return JpegCodec.resize(payload, nw, nh)
+            if kind == "gif":
+                m = GifCodec.decode_meta(payload)
+                nw, nh = self._fit_dims(m["width"], m["height"])
+                return GifCodec.resize(payload, nw, nh)   # every frame
             if kind == "wav":
                 return payload  # resize is an image op; audio passes through
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -417,31 +431,98 @@ def media_jpeg_roundtrip(sf_dir: str) -> rd.Dataset:
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
 
 
+def media_gif_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED animated-format entry: each document's
+    length-prefixed utf-8 bytes are zero-padded onto a 64-wide gray
+    pixel grid, the grid is split into up to 8 FRAMES, and the frames
+    are encoded as one animated GIF89a (stages/gif.py: real LZW with
+    dynamic code widths and table resets, GCE framing). A second map
+    stage decodes all frames, reassembles the byte stream in frame
+    order, and re-hashes it — so equality against DuckDB's raw-text
+    sha256 certifies LZW round-tripping AND frame ordering/compositing
+    through the Arrow block boundary.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .codecs import GifCodec, encode_gif
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    width = 64
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            rows_total = -(-len(body) // width)
+            n_frames = min(8, rows_total)
+            frame_h = -(-rows_total // n_frames)
+            grid = np.zeros(n_frames * frame_h * width, dtype=np.uint8)
+            grid[: len(body)] = np.frombuffer(body, dtype=np.uint8)
+            payloads.append(encode_gif(grid.reshape(n_frames, frame_h, width)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            frames = GifCodec.decode_frames(p)
+            flat = frames[:, :, :, 0].reshape(-1).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4 : 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine, varying rate/length/channels),
     24-bit BMP (seeded pixels, varying dims), PNG (seeded pixels,
-    cycling gray/RGB/RGBA color types), and baseline JPEG (seeded
-    pixels, cycling gray / RGB 4:4:4 / RGB 4:2:0 / restart-marker
-    variants) — the corpus the real-codec decode path runs on."""
-    from .codecs import encode_bmp, encode_jpeg, encode_png, encode_wav
+    cycling gray/RGB/RGBA color types), baseline JPEG (seeded pixels,
+    cycling gray / RGB 4:4:4 / RGB 4:2:0 / restart-marker variants),
+    and animated GIF (seeded gray frames — the real VIDEO rows) — the
+    corpus the real-codec decode path runs on."""
+    from .codecs import (
+        encode_bmp, encode_gif, encode_jpeg, encode_png, encode_wav,
+    )
 
     rng = np.random.default_rng(seed)
     rows = {"media_id": [], "media_type": [], "payload": [], "source": []}
     for i in range(n):
         if i % 4 == 3:
-            h = int(rng.integers(4, 64))
-            w = int(rng.integers(4, 64))
-            variant = (i // 4) % 4
-            if variant == 0:
-                px = rng.integers(0, 256, (h, w), dtype=np.uint8)
-                payload = encode_jpeg(px, quality=90)
+            if (i // 4) % 2 == 1:                     # animated GIF "video"
+                h = int(rng.integers(4, 32))
+                w = int(rng.integers(4, 32))
+                nf = int(rng.integers(2, 9))
+                payload = encode_gif(
+                    rng.integers(0, 256, (nf, h, w), dtype=np.uint8))
+                kind = "video"
             else:
-                px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                payload = encode_jpeg(
-                    px, quality=90, subsample=(variant == 2),
-                    restart_interval=2 if variant == 3 else 0)
-            kind = "image"
+                h = int(rng.integers(4, 64))
+                w = int(rng.integers(4, 64))
+                variant = (i // 8) % 4
+                if variant == 0:
+                    px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+                    payload = encode_jpeg(px, quality=90)
+                else:
+                    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    payload = encode_jpeg(
+                        px, quality=90, subsample=(variant == 2),
+                        restart_interval=2 if variant == 3 else 0)
+                kind = "image"
         elif i % 3 == 0:
             rate = int(rng.choice([8000, 16000, 44100]))
             frames = int(rng.integers(200, 3000))
@@ -516,16 +597,18 @@ class MediaDetectStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .codecs import (
-            BmpCodec, JpegCodec, PngCodec, brightest_region, sniff_media,
+            BmpCodec, GifCodec, JpegCodec, PngCodec, brightest_region,
+            sniff_media,
         )
 
         xs, ys, ws, hs, scores = [], [], [], [], []
         for payload in batch["payload"].to_pylist():
             kind = sniff_media(payload)
-            if kind in ("bmp", "png", "jpeg"):
+            if kind in ("bmp", "png", "jpeg", "gif"):
                 px = (BmpCodec.decode_pixels(payload) if kind == "bmp"
                       else PngCodec.decode_rgb(payload) if kind == "png"
-                      else JpegCodec.decode_rgb(payload))
+                      else JpegCodec.decode_rgb(payload) if kind == "jpeg"
+                      else GifCodec.decode_rgb(payload))
                 x, y, w, h, s = brightest_region(px, self.win)
                 xs.append(x); ys.append(y); ws.append(w); hs.append(h)
                 scores.append(round(s, 4))
