@@ -44,7 +44,10 @@ from .analytics import (
 )
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample
-from .textstats import BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, lang_id, text_stats
+from .textstats import (
+    BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, lang_id, text_stats,
+    vocabulary,
+)
 
 # ---------------------------------------------------------------------------
 # SQL building blocks
@@ -948,6 +951,14 @@ FROM documents
 """
 
 
+# whitespace tokenization identical to text_stats (split(' '), empties
+# kept); the HAVING floor mirrors vocabulary()'s bucket-local min_count
+_VOCABULARY_SQL = """
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1 HAVING count(*) >= 100
+"""
+
 _MEDIA_HASHES_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1462,6 +1473,9 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_components": dedup_components,
     "text_stats": text_stats,
+    # min_count=100 exercises the vocab-pruning floor on this corpus
+    # (drops the rare 'dup' token, keeps the 840+ head)
+    "vocabulary": lambda sf: vocabulary(sf, min_count=100),
     "lang_id": lang_id,
     "doc_quality": doc_quality,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -1521,6 +1535,7 @@ ORACLES = {
     "dedup_components": _DEDUP_COMPONENTS_SQL,
     "conv_stats": _CONV_STATS_SQL,
     "text_stats": _TEXT_STATS_SQL,
+    "vocabulary": _VOCABULARY_SQL,
     "lang_id": _LANG_ID_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "doc_sketches": _SKETCHES_SQL,

@@ -136,3 +136,51 @@ def doc_sketches(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(sk, batch_format="pandas")
+
+
+def vocabulary(sf_dir: str, min_count: int = 5, num_buckets: int = 32) -> rd.Dataset:
+    """Corpus vocabulary builder — global token counts with MAP-SIDE
+    PARTIAL AGGREGATION, the canonical 100 TB word-count topology:
+
+    - each batch collapses its tokens to one (token, cnt) row per
+      UNIQUE token (a ``collections.Counter`` per batch), so what
+      enters the shuffle is bounded by per-batch vocabulary, not token
+      volume — Zipf head words (the hot keys) collapse hardest;
+    - partials shuffle once on ``crc32(token) % num_buckets`` (the
+      engine's shared bucketing, ``functions/hashing.py``) and each
+      bucket task does ONE vectorized pandas groupby-sum;
+    - the ``min_count`` floor (standard vocab-pruning semantics) is
+      applied bucket-locally — correct because a token lives in
+      exactly one bucket.
+
+    Tokenization matches ``text_stats``' whitespace tokens exactly
+    (``split(" ")``, empties kept) so DuckDB's ``string_split`` is a
+    bit-exact mirror. Output: token, cnt (cnt >= min_count).
+    """
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in b["text"].tolist():
+            c.update(t.split(" "))
+        toks = list(c.keys())
+        return pd.DataFrame({
+            "token": toks,
+            "cnt": np.fromiter(c.values(), dtype="int64", count=len(c)),
+            "_tb": crc32_bucket(toks, num_buckets),
+        })
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["cnt"].sum()
+        s = s[s >= min_count]
+        return pd.DataFrame({"token": s.index.to_numpy(), "cnt": s.to_numpy()})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
