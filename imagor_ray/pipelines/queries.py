@@ -43,7 +43,7 @@ from .analytics import (
     user_stats_by_type,
 )
 from .joins import asof_join_events_orders, error_context_window
-from .sampling import dataset_split, deterministic_sample
+from .sampling import dataset_split, deterministic_sample, stratified_sample
 from .textstats import (
     BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, lang_id, text_stats,
     vocabulary,
@@ -951,6 +951,17 @@ FROM documents
 """
 
 
+# per-class sixteenth-rates mirror sampling._DEFAULT_MIX; nibble < rate
+# == first-nibble set membership in the engine's gate
+_STRATIFIED_SQL = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE CASE event_type WHEN 'error' THEN 16 WHEN 'purchase' THEN 16
+      WHEN 'click' THEN 4 WHEN 'view' THEN 2 WHEN 'signup' THEN 8
+      ELSE 16 END
+      > CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) AS INT)
+"""
+
 # whitespace tokenization identical to text_stats (split(' '), empties
 # kept); the HAVING floor mirrors vocabulary()'s bucket-local min_count
 _VOCABULARY_SQL = """
@@ -1502,6 +1513,7 @@ QUERIES = {
     "dataset_split": dataset_split,
     "media_hashes": _q_media_hashes,
     "deterministic_sample": deterministic_sample,
+    "stratified_sample": stratified_sample,
     "top_customers": _q_top_customers,
     "events_by_type": _q_events_by_type,
 }
@@ -1570,6 +1582,7 @@ ORACLES = {
     # LZW frames, same raw-text-hash oracle as PNG
     "media_gif_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,
     "events_by_type": _EVENTS_BY_TYPE_SQL,
 }

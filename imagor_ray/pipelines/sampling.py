@@ -66,3 +66,49 @@ def deterministic_sample(
         return b[mask]
 
     return ev.map_batches(keep, batch_format="pandas")
+
+
+_DEFAULT_MIX = {                     # sixteenth-rates per event_type —
+    "error": 16,                     # keep all rare/valuable classes...
+    "purchase": 16,
+    "click": 4,                      # ...downsample the bulk classes
+    "view": 2,
+    "signup": 8,
+}
+
+
+def stratified_sample(
+    sf_dir: str, mix: dict[str, int] | None = None
+) -> rd.Dataset:
+    """Stratified (per-class) hash-gated sampling — the training-
+    mixture composition op: each event_type keeps
+    ``mix[type]/16`` of its rows via the same md5-first-nibble gate as
+    :func:`deterministic_sample`, so the DOWN-weighting of bulk
+    classes and KEEP-all of rare classes is a pure per-row function of
+    (event_id, event_type). No shuffle, no RNG state, no coordination
+    — any node, any rerun, and the DuckDB oracle agree row-for-row.
+    Types absent from ``mix`` default to keep-all (16/16).
+
+    Output: event_id, user_id, event_type.
+    """
+    rates = dict(_DEFAULT_MIX if mix is None else mix)
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    gates = {t: set("0123456789abcdef"[:r]) for t, r in rates.items()}
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].astype("int64").tolist()
+        types = b["event_type"].tolist()
+        mask = np.fromiter(
+            (
+                t not in gates
+                or hashlib.md5(str(i).encode()).hexdigest()[0] in gates[t]
+                for i, t in zip(ids, types)
+            ),
+            dtype=bool, count=len(ids),
+        )
+        return b.loc[mask, ["event_id", "user_id", "event_type"]]
+
+    return ev.map_batches(keep, batch_format="pandas")
