@@ -34,16 +34,19 @@ __all__ = [
     "PngCodec",
     "JpegCodec",
     "GifCodec",
+    "TiffCodec",
     "encode_wav",
     "encode_bmp",
     "encode_png",
     "encode_jpeg",
     "encode_gif",
+    "encode_tiff",
     "brightest_region",
 ]
 
 from .jpeg import JpegCodec, encode_jpeg  # noqa: E402  (round-4: real baseline JPEG)
 from .gif import GifCodec, encode_gif    # noqa: E402  (round-4: real animated GIF)
+from .tiff import TiffCodec, encode_tiff  # noqa: E402  (round-4: real baseline TIFF)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -63,6 +66,8 @@ def sniff_media(payload: bytes) -> str:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     if payload[:4] == b"IMRF":
         return "imrf"
     return "unknown"

@@ -125,8 +125,8 @@ class MediaDecodeStage:
         width/height are 0 and n_frames is the PCM frame count."""
         if self._codec == "auto":
             from .codecs import (
-                BmpCodec, GifCodec, JpegCodec, PngCodec, WavCodec,
-                sniff_media,
+                BmpCodec, GifCodec, JpegCodec, PngCodec, TiffCodec,
+                WavCodec, sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -150,6 +150,10 @@ class MediaDecodeStage:
                 m = GifCodec.decode_meta(payload)
                 return (m["width"], m["height"], m["n_frames"], 3,
                         m["width"] * m["height"] * 3 * m["n_frames"])
+            if kind == "tiff":
+                m = TiffCodec.decode_meta(payload)
+                return (m["width"], m["height"], 1, m["channels"],
+                        m["width"] * m["height"] * m["channels"])
             if kind != "imrf":
                 raise ValueError("unknown media container")
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -239,7 +243,8 @@ class MediaResizeStage:
     def _resize_one(self, payload: bytes) -> bytes:
         if self.codec == "auto":
             from .codecs import (
-                BmpCodec, GifCodec, JpegCodec, PngCodec, sniff_media,
+                BmpCodec, GifCodec, JpegCodec, PngCodec, TiffCodec,
+                sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -260,6 +265,10 @@ class MediaResizeStage:
                 m = GifCodec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
                 return GifCodec.resize(payload, nw, nh)   # every frame
+            if kind == "tiff":
+                m = TiffCodec.decode_meta(payload)
+                nw, nh = self._fit_dims(m["width"], m["height"])
+                return TiffCodec.resize(payload, nw, nh)
             if kind == "wav":
                 return payload  # resize is an image op; audio passes through
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -490,13 +499,15 @@ def media_gif_roundtrip(sf_dir: str) -> rd.Dataset:
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine, varying rate/length/channels),
-    24-bit BMP (seeded pixels, varying dims), PNG (seeded pixels,
-    cycling gray/RGB/RGBA color types), baseline JPEG (seeded pixels,
-    cycling gray / RGB 4:4:4 / RGB 4:2:0 / restart-marker variants),
-    and animated GIF (seeded gray frames — the real VIDEO rows) — the
-    corpus the real-codec decode path runs on."""
+    24-bit BMP alternating with uncompressed TIFF (seeded pixels,
+    varying dims), PNG (seeded pixels, cycling gray/RGB/RGBA color
+    types), baseline JPEG (seeded pixels, cycling gray / RGB 4:4:4 /
+    RGB 4:2:0 / restart-marker variants), and animated GIF (seeded
+    gray frames — the real VIDEO rows) — the corpus the real-codec
+    decode path runs on."""
     from .codecs import (
-        encode_bmp, encode_gif, encode_jpeg, encode_png, encode_wav,
+        encode_bmp, encode_gif, encode_jpeg, encode_png, encode_tiff,
+        encode_wav,
     )
 
     rng = np.random.default_rng(seed)
@@ -536,8 +547,11 @@ def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
         elif i % 3 == 1:
             h = int(rng.integers(4, 64))
             w = int(rng.integers(4, 64))
-            payload = encode_bmp(
-                rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            if (i // 3) % 2 == 1:                 # alternate BMP / TIFF
+                payload = encode_tiff(px)
+            else:
+                payload = encode_bmp(px)
             kind = "image"
         else:
             h = int(rng.integers(4, 64))
@@ -597,18 +611,19 @@ class MediaDetectStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .codecs import (
-            BmpCodec, GifCodec, JpegCodec, PngCodec, brightest_region,
-            sniff_media,
+            BmpCodec, GifCodec, JpegCodec, PngCodec, TiffCodec,
+            brightest_region, sniff_media,
         )
 
         xs, ys, ws, hs, scores = [], [], [], [], []
         for payload in batch["payload"].to_pylist():
             kind = sniff_media(payload)
-            if kind in ("bmp", "png", "jpeg", "gif"):
+            if kind in ("bmp", "png", "jpeg", "gif", "tiff"):
                 px = (BmpCodec.decode_pixels(payload) if kind == "bmp"
                       else PngCodec.decode_rgb(payload) if kind == "png"
                       else JpegCodec.decode_rgb(payload) if kind == "jpeg"
-                      else GifCodec.decode_rgb(payload))
+                      else GifCodec.decode_rgb(payload) if kind == "gif"
+                      else TiffCodec.decode_rgb(payload))
                 x, y, w, h, s = brightest_region(px, self.win)
                 xs.append(x); ys.append(y); ws.append(w); hs.append(h)
                 scores.append(round(s, 4))
