@@ -48,6 +48,7 @@ __all__ = [
     "media_jpeg_roundtrip",
     "media_gif_roundtrip",
     "MediaDetectStage",
+    "MediaConvertStage",
     "frame_sample",
     "media_features",
 ]
@@ -287,6 +288,76 @@ class MediaResizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = [self._resize_one(p) for p in batch["payload"].to_pylist()]
+        i = batch.schema.get_field_index("payload")
+        return batch.set_column(i, "payload", pa.array(out, pa.binary()))
+
+
+class MediaConvertStage:
+    """Actor-pool FORMAT CONVERSION stage — the media mirror of the
+    reference's export map (``processor/vipsprocessor/process.go:16-30``
+    name→ImageType table and the per-type export switch
+    ``process.go:869-935``, driven by the ``format(f)`` filter): decode
+    whatever the sniffer identifies, re-encode as the requested target.
+
+    All five real still-image codec pairs are available as targets
+    (``png``, ``jpeg``, ``gif``, ``tiff``, ``bmp``); animated GIF
+    sources convert frame-by-frame only to ``gif`` (the reference's
+    animation-support gate — exporting an animation to a still format
+    takes page 1, ``fallback_format`` semantics ``process.go:260-271``).
+    Audio payloads pass through untouched (format conversion is an
+    image op). Unknown targets raise ValueError at construction, like
+    the reference's 400 on a bad format arg.
+    """
+
+    _TARGETS = ("png", "jpeg", "gif", "tiff", "bmp")
+
+    def __init__(self, target: str, quality: int = 90):
+        if target not in self._TARGETS:
+            raise ValueError(f"unknown target format: {target!r}")
+        self.target = target
+        self.quality = quality
+
+    def _decode_rgb(self, payload: bytes, kind: str) -> np.ndarray:
+        from .codecs import BmpCodec, GifCodec, JpegCodec, PngCodec, TiffCodec
+
+        return {
+            "bmp": BmpCodec.decode_pixels,
+            "png": PngCodec.decode_rgb,
+            "jpeg": JpegCodec.decode_rgb,
+            "gif": GifCodec.decode_rgb,
+            "tiff": TiffCodec.decode_rgb,
+        }[kind](payload)
+
+    def _convert_one(self, payload: bytes) -> bytes:
+        from .codecs import (
+            GifCodec, encode_bmp, encode_gif, encode_jpeg, encode_png,
+            encode_tiff, sniff_media,
+        )
+
+        kind = sniff_media(payload)
+        if kind in ("wav", "imrf", "unknown"):
+            return payload                      # audio/opaque pass through
+        if kind == self.target:
+            return payload                      # already there (cache hit)
+        if kind == "gif" and self.target == "gif":
+            return payload
+        if self.target == "gif":
+            rgb = self._decode_rgb(payload, kind)
+            luma = np.clip(np.round(
+                rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            ), 0, 255).astype(np.uint8)
+            return encode_gif(luma)
+        rgb = self._decode_rgb(payload, kind)   # animated: frame 1
+        if self.target == "png":
+            return encode_png(rgb)
+        if self.target == "jpeg":
+            return encode_jpeg(rgb, self.quality)
+        if self.target == "tiff":
+            return encode_tiff(rgb)
+        return encode_bmp(rgb)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._convert_one(p) for p in batch["payload"].to_pylist()]
         i = batch.schema.get_field_index("payload")
         return batch.set_column(i, "payload", pa.array(out, pa.binary()))
 

@@ -139,3 +139,91 @@ class TestMediaResize:
         stage = MediaResizeStage(width=64)
         p = _encode_fake(300, 100, 1, 3, seed=9)
         assert stage._resize_one(p) == stage._resize_one(p)
+
+
+class TestMediaConvert:
+    """Format-conversion stage — the export-map analogue
+    (process.go:16-30 name→type table, per-type export switch
+    process.go:869-935)."""
+
+    def _payloads(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import (
+            encode_bmp, encode_gif, encode_jpeg, encode_png, encode_tiff,
+        )
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+        return px, {
+            "bmp": encode_bmp(px),
+            "png": encode_png(px),
+            "tiff": encode_tiff(px),
+            "jpeg": encode_jpeg(px, 95),
+            "gif": encode_gif(px[:, :, 0]),
+        }
+
+    def test_full_conversion_matrix(self):
+        from imagor_ray.stages.codecs import sniff_media
+        from imagor_ray.stages.multimodal import MediaConvertStage
+
+        _, payloads = self._payloads()
+        for target in MediaConvertStage._TARGETS:
+            stage = MediaConvertStage(target)
+            for src, payload in payloads.items():
+                out = stage._convert_one(payload)
+                assert sniff_media(out) == target, (src, target)
+
+    def test_lossless_triangle_preserves_pixels(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import PngCodec, TiffCodec
+        from imagor_ray.stages.multimodal import MediaConvertStage
+
+        px, payloads = self._payloads()
+        # bmp -> tiff -> png keeps every pixel
+        t = MediaConvertStage("tiff")._convert_one(payloads["bmp"])
+        np.testing.assert_array_equal(TiffCodec.decode_pixels(t), px)
+        p = MediaConvertStage("png")._convert_one(t)
+        np.testing.assert_array_equal(PngCodec.decode_rgb(p), px)
+
+    def test_audio_passes_through(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import encode_wav
+        from imagor_ray.stages.multimodal import MediaConvertStage
+
+        wav = encode_wav(np.zeros((100, 1), dtype="<i2"), 8000)
+        assert MediaConvertStage("png")._convert_one(wav) == wav
+
+    def test_same_format_is_identity(self):
+        from imagor_ray.stages.multimodal import MediaConvertStage
+
+        _, payloads = self._payloads()
+        assert MediaConvertStage("png")._convert_one(payloads["png"]) == payloads["png"]
+
+    def test_unknown_target_rejected(self):
+        import pytest as _pytest
+
+        from imagor_ray.stages.multimodal import MediaConvertStage
+
+        with _pytest.raises(ValueError):
+            MediaConvertStage("webp")
+
+    def test_stage_over_real_corpus(self, ray_session):
+        import ray.data as rd
+
+        from imagor_ray.stages.codecs import sniff_media
+        from imagor_ray.stages.multimodal import (
+            MediaConvertStage, gen_real_media,
+        )
+
+        out = (
+            rd.from_arrow(gen_real_media(24))
+            .map_batches(MediaConvertStage("png"),
+                         batch_format="pyarrow", batch_size=8)
+            .to_pandas()
+        )
+        kinds = {sniff_media(p) for p in out["payload"]}
+        assert kinds <= {"png", "wav"}          # every image now png
+        assert "png" in kinds and "wav" in kinds
