@@ -945,6 +945,12 @@ def _q_media_gif_roundtrip(sf_dir: str):
     return media_gif_roundtrip(sf_dir)
 
 
+def _q_media_mp4_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_mp4_roundtrip
+
+    return media_mp4_roundtrip(sf_dir)
+
+
 _JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id, sha256(text) AS recovered_sha
 FROM documents
@@ -1472,6 +1478,7 @@ QUERIES = {
     "media_png_roundtrip": _q_media_png_roundtrip,
     "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
     "media_gif_roundtrip": _q_media_gif_roundtrip,
+    "media_mp4_roundtrip": _q_media_mp4_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -1581,6 +1588,9 @@ ORACLES = {
     # animated GIF round trip recovers the exact utf-8 bytes across
     # LZW frames, same raw-text-hash oracle as PNG
     "media_gif_roundtrip": _MEDIA_HASHES_SQL,
+    # MP4 round trip demuxes the exact utf-8 bytes out of mdat via the
+    # stts/stsc/stsz/stco sample table, same raw-text-hash oracle
+    "media_mp4_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

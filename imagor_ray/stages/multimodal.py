@@ -47,6 +47,7 @@ __all__ = [
     "media_png_roundtrip",
     "media_jpeg_roundtrip",
     "media_gif_roundtrip",
+    "media_mp4_roundtrip",
     "MediaDetectStage",
     "MediaConvertStage",
     "frame_sample",
@@ -103,21 +104,25 @@ class MediaDecodeStage:
     - ``codec="fake"`` parses the deterministic IMRF header (tests);
     - ``codec="auto"`` sniffs the container magic per payload
       (blob.go:354-521 dispatch) and REALLY decodes WAV (stdlib wave),
-      24-bit BMP (struct+numpy), PNG (zlib + scanline filters) and
-      baseline JPEG (numpy DCT + huffman) — see ``stages/codecs.py``
-      and ``stages/jpeg.py``; IMRF still parses;
+      24-bit BMP (struct+numpy), PNG (zlib + scanline filters),
+      baseline JPEG (numpy DCT + huffman), animated GIF/TIFF, and MP4
+      containers (full ISO BMFF sample-table demux, ``stages/mp4.py``)
+      — see ``stages/codecs.py``; IMRF still parses;
     - ``codec="real"`` raises NotImplementedError — the remaining plug
-      point is VIDEO (MP4/WebM need pyav); every still-image and audio
-      format the corpus carries decodes for real.
+      point is compressed video BITSTREAMS (H.264/VP9 sample payloads
+      need a decoder library); the MP4 container itself demuxes for
+      real, and uncompressed-gray tracks decode to pixels.
     """
 
     def __init__(self, codec: str = "fake"):
         if codec == "real":
             raise NotImplementedError(
-                "video (MP4/WebM) decode needs pyav, absent in this "
-                "environment; WAV, BMP, PNG and baseline JPEG decode "
-                "for real via codec='auto' (stages/codecs.py) — plug "
-                "pyav here for video"
+                "compressed video bitstreams (H.264/VP9) need a decoder "
+                "library, absent in this environment; the MP4 container "
+                "demuxes for real (stages/mp4.py) and WAV, BMP, PNG, "
+                "baseline JPEG, GIF and TIFF decode fully via "
+                "codec='auto' — plug the bitstream decoder over "
+                "Mp4Codec.extract_samples()"
             )
         self._codec = codec
 
@@ -126,8 +131,8 @@ class MediaDecodeStage:
         width/height are 0 and n_frames is the PCM frame count."""
         if self._codec == "auto":
             from .codecs import (
-                BmpCodec, GifCodec, JpegCodec, PngCodec, TiffCodec,
-                WavCodec, sniff_media,
+                BmpCodec, GifCodec, JpegCodec, Mp4Codec, PngCodec,
+                TiffCodec, WavCodec, sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -155,6 +160,11 @@ class MediaDecodeStage:
                 m = TiffCodec.decode_meta(payload)
                 return (m["width"], m["height"], 1, m["channels"],
                         m["width"] * m["height"] * m["channels"])
+            if kind == "mp4":
+                m = Mp4Codec.decode_meta(payload)
+                ch = max(1, m["channels"])
+                return (m["width"], m["height"], m["n_frames"], ch,
+                        m["width"] * m["height"] * ch * m["n_frames"])
             if kind != "imrf":
                 raise ValueError("unknown media container")
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -187,8 +197,9 @@ class MediaDecodeStage:
 def frame_sample(batch: pa.Table, every: int = 8, codec: str = "fake") -> pa.Table:
     """Frame-sampling plumbing: one output row per sampled frame index of
     each video (flat_map-shaped expansion done vectorized per batch).
-    ``codec="auto"`` samples REAL frame counts (animated GIF payloads
-    report their actual frames via stages/gif.py)."""
+    ``codec="auto"`` samples REAL frame counts (animated GIF and MP4
+    payloads report their actual frames via stages/gif.py and the
+    ISO BMFF sample table, stages/mp4.py)."""
     ids, kinds, frame_idx = [], [], []
     decode = MediaDecodeStage(codec=codec)
     for mid, kind, payload in zip(
@@ -223,10 +234,11 @@ class MediaResizeStage:
                  codec: str = "fake"):
         if codec == "real":
             raise NotImplementedError(
-                "video (MP4/WebM) resampling needs pyav; BMP, PNG and "
-                "baseline JPEG payloads resize for REAL via codec='auto' "
-                "(nearest-neighbour pixel gather, stages/codecs.py) — "
-                "plug pyav here for video"
+                "compressed-bitstream video resampling needs a decoder "
+                "library; BMP, PNG, JPEG, GIF, TIFF and uncompressed-"
+                "gray MP4 payloads resize for REAL via codec='auto' "
+                "(nearest-neighbour pixel gather, stages/codecs.py + "
+                "stages/mp4.py remux)"
             )
         self.codec = codec
         self.width = width
@@ -244,8 +256,8 @@ class MediaResizeStage:
     def _resize_one(self, payload: bytes) -> bytes:
         if self.codec == "auto":
             from .codecs import (
-                BmpCodec, GifCodec, JpegCodec, PngCodec, TiffCodec,
-                sniff_media,
+                BmpCodec, GifCodec, JpegCodec, Mp4Codec, PngCodec,
+                TiffCodec, sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -270,6 +282,10 @@ class MediaResizeStage:
                 m = TiffCodec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
                 return TiffCodec.resize(payload, nw, nh)
+            if kind == "mp4":
+                m = Mp4Codec.decode_meta(payload)
+                nw, nh = self._fit_dims(m["width"], m["height"])
+                return Mp4Codec.resize(payload, nw, nh)  # every frame, remuxed
             if kind == "wav":
                 return payload  # resize is an image op; audio passes through
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -299,17 +315,18 @@ class MediaConvertStage:
     ``process.go:869-935``, driven by the ``format(f)`` filter): decode
     whatever the sniffer identifies, re-encode as the requested target.
 
-    All five real still-image codec pairs are available as targets
-    (``png``, ``jpeg``, ``gif``, ``tiff``, ``bmp``); animated GIF
-    sources convert frame-by-frame only to ``gif`` (the reference's
-    animation-support gate — exporting an animation to a still format
-    takes page 1, ``fallback_format`` semantics ``process.go:260-271``).
-    Audio payloads pass through untouched (format conversion is an
-    image op). Unknown targets raise ValueError at construction, like
-    the reference's 400 on a bad format arg.
+    All real codec pairs are available as targets (``png``, ``jpeg``,
+    ``gif``, ``tiff``, ``bmp``, ``mp4``); the two ANIMATED formats
+    (GIF, MP4) convert frame-by-frame to each other, while exporting an
+    animation to a still format takes page 1 (``fallback_format``
+    semantics ``process.go:260-271`` — the reference's
+    animation-support gate). Audio payloads pass through untouched
+    (format conversion is an image op). Unknown targets raise
+    ValueError at construction, like the reference's 400 on a bad
+    format arg.
     """
 
-    _TARGETS = ("png", "jpeg", "gif", "tiff", "bmp")
+    _TARGETS = ("png", "jpeg", "gif", "tiff", "bmp", "mp4")
 
     def __init__(self, target: str, quality: int = 90):
         if target not in self._TARGETS:
@@ -318,7 +335,9 @@ class MediaConvertStage:
         self.quality = quality
 
     def _decode_rgb(self, payload: bytes, kind: str) -> np.ndarray:
-        from .codecs import BmpCodec, GifCodec, JpegCodec, PngCodec, TiffCodec
+        from .codecs import (
+            BmpCodec, GifCodec, JpegCodec, Mp4Codec, PngCodec, TiffCodec,
+        )
 
         return {
             "bmp": BmpCodec.decode_pixels,
@@ -326,11 +345,29 @@ class MediaConvertStage:
             "jpeg": JpegCodec.decode_rgb,
             "gif": GifCodec.decode_rgb,
             "tiff": TiffCodec.decode_rgb,
+            "mp4": Mp4Codec.decode_rgb,
         }[kind](payload)
+
+    def _gray_frames(self, payload: bytes, kind: str) -> np.ndarray:
+        """(n, h, w) uint8 luma frames — every frame of an animated
+        source, one frame of a still."""
+        from .codecs import GifCodec, Mp4Codec
+
+        if kind == "gif":
+            fr = GifCodec.decode_frames(payload).astype(np.float64)
+            return np.clip(np.round(
+                fr @ np.array([0.299, 0.587, 0.114])), 0, 255
+            ).astype(np.uint8)
+        if kind == "mp4":
+            return Mp4Codec.decode_frames(payload)
+        rgb = self._decode_rgb(payload, kind).astype(np.float64)
+        luma = np.clip(np.round(
+            rgb @ np.array([0.299, 0.587, 0.114])), 0, 255).astype(np.uint8)
+        return luma[None]
 
     def _convert_one(self, payload: bytes) -> bytes:
         from .codecs import (
-            GifCodec, encode_bmp, encode_gif, encode_jpeg, encode_png,
+            encode_bmp, encode_gif, encode_jpeg, encode_mp4, encode_png,
             encode_tiff, sniff_media,
         )
 
@@ -339,14 +376,10 @@ class MediaConvertStage:
             return payload                      # audio/opaque pass through
         if kind == self.target:
             return payload                      # already there (cache hit)
-        if kind == "gif" and self.target == "gif":
-            return payload
         if self.target == "gif":
-            rgb = self._decode_rgb(payload, kind)
-            luma = np.clip(np.round(
-                rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-            ), 0, 255).astype(np.uint8)
-            return encode_gif(luma)
+            return encode_gif(self._gray_frames(payload, kind))
+        if self.target == "mp4":
+            return encode_mp4(self._gray_frames(payload, kind))
         rgb = self._decode_rgb(payload, kind)   # animated: frame 1
         if self.target == "png":
             return encode_png(rgb)
@@ -567,30 +600,92 @@ def media_gif_roundtrip(sf_dir: str) -> rd.Dataset:
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
 
 
+def media_mp4_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED container-demux entry: each document's
+    length-prefixed utf-8 bytes are zero-padded onto a 64-wide gray
+    pixel grid, split into up to 8 FRAMES, and muxed as one REAL MP4
+    (stages/mp4.py: ftyp + mdat + moov with full stts/stsc/stsz/stco
+    sample table, 3 samples per chunk so the stsc chunk-run expansion
+    is on the verified path). A second map stage demuxes the samples
+    out of mdat via the sample table, reassembles the byte stream in
+    decode order, and re-hashes it — equality against DuckDB's
+    raw-text sha256 certifies box framing, the sample-table math and
+    frame ordering through the Arrow block boundary.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .codecs import Mp4Codec, encode_mp4
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    width = 64
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            rows_total = -(-len(body) // width)
+            n_frames = min(8, rows_total)
+            frame_h = -(-rows_total // n_frames)
+            grid = np.zeros(n_frames * frame_h * width, dtype=np.uint8)
+            grid[: len(body)] = np.frombuffer(body, dtype=np.uint8)
+            payloads.append(encode_mp4(
+                grid.reshape(n_frames, frame_h, width), fps=10,
+                samples_per_chunk=3))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            flat = Mp4Codec.decode_frames(p).reshape(-1).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine, varying rate/length/channels),
     24-bit BMP alternating with uncompressed TIFF (seeded pixels,
     varying dims), PNG (seeded pixels, cycling gray/RGB/RGBA color
     types), baseline JPEG (seeded pixels, cycling gray / RGB 4:4:4 /
-    RGB 4:2:0 / restart-marker variants), and animated GIF (seeded
-    gray frames — the real VIDEO rows) — the corpus the real-codec
-    decode path runs on."""
+    RGB 4:2:0 / restart-marker variants), and real VIDEO rows
+    alternating animated GIF with multi-chunk MP4 (seeded gray
+    frames) — the corpus the real-codec decode path runs on."""
     from .codecs import (
-        encode_bmp, encode_gif, encode_jpeg, encode_png, encode_tiff,
-        encode_wav,
+        encode_bmp, encode_gif, encode_jpeg, encode_mp4, encode_png,
+        encode_tiff, encode_wav,
     )
 
     rng = np.random.default_rng(seed)
     rows = {"media_id": [], "media_type": [], "payload": [], "source": []}
     for i in range(n):
         if i % 4 == 3:
-            if (i // 4) % 2 == 1:                     # animated GIF "video"
+            if (i // 4) % 2 == 1:                     # real "video" rows
                 h = int(rng.integers(4, 32))
                 w = int(rng.integers(4, 32))
                 nf = int(rng.integers(2, 9))
-                payload = encode_gif(
-                    rng.integers(0, 256, (nf, h, w), dtype=np.uint8))
+                frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
+                if (i // 8) % 2 == 1:                 # alternate GIF / MP4
+                    payload = encode_mp4(frames, fps=10,
+                                         samples_per_chunk=3)
+                else:
+                    payload = encode_gif(frames)
                 kind = "video"
             else:
                 h = int(rng.integers(4, 64))
@@ -682,18 +777,19 @@ class MediaDetectStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .codecs import (
-            BmpCodec, GifCodec, JpegCodec, PngCodec, TiffCodec,
+            BmpCodec, GifCodec, JpegCodec, Mp4Codec, PngCodec, TiffCodec,
             brightest_region, sniff_media,
         )
 
         xs, ys, ws, hs, scores = [], [], [], [], []
         for payload in batch["payload"].to_pylist():
             kind = sniff_media(payload)
-            if kind in ("bmp", "png", "jpeg", "gif", "tiff"):
+            if kind in ("bmp", "png", "jpeg", "gif", "tiff", "mp4"):
                 px = (BmpCodec.decode_pixels(payload) if kind == "bmp"
                       else PngCodec.decode_rgb(payload) if kind == "png"
                       else JpegCodec.decode_rgb(payload) if kind == "jpeg"
                       else GifCodec.decode_rgb(payload) if kind == "gif"
+                      else Mp4Codec.decode_rgb(payload) if kind == "mp4"
                       else TiffCodec.decode_rgb(payload))
                 x, y, w, h, s = brightest_region(px, self.win)
                 xs.append(x); ys.append(y); ws.append(w); hs.append(h)
