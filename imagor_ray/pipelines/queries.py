@@ -45,8 +45,8 @@ from .analytics import (
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample, stratified_sample
 from .textstats import (
-    BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, lang_id, text_stats,
-    vocabulary,
+    BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, lang_id,
+    sequence_pack, text_stats, vocabulary,
 )
 
 # ---------------------------------------------------------------------------
@@ -983,6 +983,27 @@ SELECT doc_id,
 FROM documents
 """
 
+# concat-and-chunk sequence packing: the window cumulative sum is the
+# SQL mirror of the engine's two-pass distributed scan (same whitespace
+# tokens as text_stats; seq_len = 512)
+_SEQUENCE_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // 512 AS seq_first,
+       (tok_start + n_tokens - 1) // 512 AS seq_last
+FROM c
+"""
+
 _USER_STATS_SQL = """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -1494,6 +1515,9 @@ QUERIES = {
     # min_count=100 exercises the vocab-pruning floor on this corpus
     # (drops the rare 'dup' token, keeps the 840+ head)
     "vocabulary": lambda sf: vocabulary(sf, min_count=100),
+    # part_rows=64 forces multiple range partitions at sf0.01 so the
+    # cross-partition base offsets of the distributed scan are exercised
+    "sequence_pack": lambda sf: sequence_pack(sf, part_rows=64),
     "lang_id": lang_id,
     "doc_quality": doc_quality,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -1555,6 +1579,7 @@ ORACLES = {
     "conv_stats": _CONV_STATS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "vocabulary": _VOCABULARY_SQL,
+    "sequence_pack": _SEQUENCE_PACK_SQL,
     "lang_id": _LANG_ID_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "doc_sketches": _SKETCHES_SQL,

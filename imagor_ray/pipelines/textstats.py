@@ -20,7 +20,7 @@ import pandas as pd
 import ray.data as rd
 
 __all__ = ["text_stats", "lang_id", "doc_quality", "doc_sketches",
-           "STOPWORDS", "BPE_PATTERN"]
+           "sequence_pack", "STOPWORDS", "BPE_PATTERN"]
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -136,6 +136,75 @@ def doc_sketches(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(sk, batch_format="pandas")
+
+
+def sequence_pack(sf_dir: str, seq_len: int = 512,
+                  part_rows: int = 100_000) -> rd.Dataset:
+    """GPT-style SEQUENCE PACKING (concat-and-chunk): concatenate every
+    document's whitespace tokens in ``doc_id`` order and cut the stream
+    into fixed ``seq_len`` training sequences; emit each document's
+    placement — its global token offset and the first/last sequence it
+    lands in. This is the composition step between dedup/quality
+    filtering and the tokenizer shard writer in a pre-training pipeline.
+
+    The global ordered prefix-sum runs as the classic two-pass
+    DISTRIBUTED SCAN (no driver-side row loop, no global sort):
+
+    1. one column-pruned map computes per-doc ``n_tokens`` and a range
+       partition ``_part = doc_id // part_rows`` (doc_id is the dense
+       orderable key of ``documents``);
+    2. per-batch partials collapse to one (part, subtotal) row each —
+       only O(#parts) rows reach the driver, which prefix-sums them
+       into per-partition base offsets (at 100 TB that is #docs /
+       part_rows integers — KBs, shipped back inside the task closure);
+    3. one bucketed ``groupby(_part).map_groups`` sorts each partition
+       by doc_id (partition-local sort, never all-to-all) and adds the
+       vectorized within-partition cumsum to the partition base.
+
+    Tokenization matches ``text_stats`` (``split(" ")``, empties kept),
+    so ``n_tokens >= 1`` and the DuckDB window-function mirror is
+    bit-exact. Output: doc_id, n_tokens, tok_start, seq_first,
+    seq_last.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        doc_id = b["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": doc_id,
+            "n_tokens": np.array([len(t.split(" ")) for t in b["text"]],
+                                 dtype="int64"),
+            "_part": doc_id // part_rows,
+        })
+
+    counted = ds.map_batches(count_tokens, batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("_part", sort=False)["n_tokens"].sum()
+        return pd.DataFrame({"_part": s.index.to_numpy(),
+                             "subtotal": s.to_numpy()})
+
+    parts = (counted.map_batches(partial, batch_format="pandas")
+             .to_pandas().groupby("_part", sort=True)["subtotal"].sum())
+    base = dict(zip(parts.index.tolist(),
+                    np.concatenate(([0], np.cumsum(parts.to_numpy())[:-1]))
+                    .tolist()))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        tok_start = (base[int(g["_part"].iloc[0])]
+                     + np.concatenate(([0], np.cumsum(n)[:-1])))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "tok_start": tok_start,
+            "seq_first": tok_start // seq_len,
+            "seq_last": (tok_start + n - 1) // seq_len,
+        })
+
+    return counted.groupby("_part").map_groups(assign, batch_format="pandas")
 
 
 def vocabulary(sf_dir: str, min_count: int = 5, num_buckets: int = 32) -> rd.Dataset:
