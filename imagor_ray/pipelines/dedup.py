@@ -46,6 +46,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_ds",
     "dedup_components",
+    "contamination",
     "NUM_HASHES",
     "BAND_SIZE",
 ]
@@ -842,4 +843,96 @@ def dedup_components(
     return (
         out.sort_values("doc_id").reset_index(drop=True)
         .astype({"doc_id": "int64", "component": "int64"})
+    )
+
+
+def contamination(sf_dir: str, n: int = 8, num_buckets: int = 64,
+                  doc_buckets: int = 32) -> rd.Dataset:
+    """Train/test CONTAMINATION check — the eval-integrity gate every
+    pre-training pipeline runs before publishing a corpus: which TEST
+    documents share at least one word n-gram with any TRAIN document,
+    and how many distinct n-grams leak. Splits reuse the engine's
+    deterministic md5-nibble assignment (``sampling.dataset_split``:
+    nibble 0..b = train, e..f = test; val ignored), so the check is a
+    pure function of (doc_id, text) and the DuckDB oracle mirrors it
+    exactly.
+
+    Scale topology (the n-gram semi-join):
+
+    - one map emits each document's DISTINCT n-grams (per-doc set, so
+      bucket-local counts are already distinct counts), tagged
+      ``doc_id=-1`` for train rows (train grams also batch-deduped);
+    - grams shuffle ONCE on ``crc32(gram) % num_buckets`` — a gram
+      lives in exactly one bucket, so per-bucket set-membership hits
+      sum to the global distinct-hit count with no second dedup;
+    - per-bucket hits (tiny: contaminated (doc, bucket) partials)
+      re-bucket by doc_id and sum vectorized — never a per-key group.
+
+    Output: doc_id, n_hits — test docs only, n_hits >= 1.
+    """
+    from ..functions.hashing import crc32_bucket
+
+    docs = _read_docs(sf_dir)
+    train_nibbles = frozenset("0123456789ab")
+    test_nibbles = frozenset("ef")
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        out_g: list[str] = []
+        out_id: list[int] = []
+        train_seen: set[str] = set()
+        for doc_id, text in zip(b["doc_id"].astype("int64"), b["text"]):
+            nib = hashlib.md5(str(int(doc_id)).encode()).hexdigest()[0]
+            is_train = nib in train_nibbles
+            if not is_train and nib not in test_nibbles:
+                continue                      # val split plays no role
+            w = text.split(" ")
+            gset = {" ".join(w[i: i + n]) for i in range(len(w) - n + 1)}
+            if is_train:
+                gset -= train_seen            # batch-local partial dedup
+                train_seen |= gset
+                out_g.extend(gset)
+                out_id.extend([-1] * len(gset))
+            else:
+                out_g.extend(gset)
+                out_id.extend([int(doc_id)] * len(gset))
+        return pd.DataFrame({
+            "g": out_g,
+            "doc_id": np.array(out_id, dtype="int64"),
+            "_gb": crc32_bucket(out_g, num_buckets),
+        })
+
+    def bucket_hits(g: pd.DataFrame) -> pd.DataFrame:
+        train = set(g.loc[g["doc_id"] == -1, "g"])
+        te = g[g["doc_id"] != -1]
+        hit = te[te["g"].isin(train)]
+        s = hit.groupby("doc_id", sort=False).size()
+        return pd.DataFrame({
+            "doc_id": s.index.to_numpy(dtype="int64"),
+            "n_hits": s.to_numpy(dtype="int64"),
+        })
+
+    def sum_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", sort=False)["n_hits"].sum()
+        return pd.DataFrame({
+            "doc_id": s.index.to_numpy(dtype="int64"),
+            "n_hits": s.to_numpy(dtype="int64"),
+        })
+
+    def add_doc_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_db"] = (b["doc_id"].to_numpy(dtype="int64")
+                    % np.int64(doc_buckets))
+        return b
+
+    return (
+        docs.map_batches(grams, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(lambda g: bucket_hits(g.drop(columns=["_gb"])),
+                    batch_format="pandas")
+        .map_batches(add_doc_bucket, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(lambda g: sum_per_doc(g.drop(columns=["_db"])),
+                    batch_format="pandas")
     )

@@ -33,7 +33,8 @@ from .ann import (
     label_centroids, lsh_topk,
 )
 from .dedup import (
-    dedup_components, exact_dedup, minhash_pairs, minhash_signatures,
+    contamination, dedup_components, exact_dedup, minhash_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs, simhash64_pairs, simhash64_signatures,
     simhash_pairs, simhash_signatures,
 )
@@ -983,6 +984,28 @@ SELECT doc_id,
 FROM documents
 """
 
+# train/test contamination: distinct word 8-grams of each md5-nibble
+# TEST doc (e..f) that appear in any TRAIN doc (0..b) — the engine's
+# gram-bucket semi-join mirrored as unnest + IN
+_CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS nib,
+         string_split(text, ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, nib, array_to_string(w[i.i:i.i + 7], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) i
+), tr AS (
+  SELECT DISTINCT g FROM grams
+  WHERE nib IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+), te AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE nib IN ('e','f')
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM te WHERE g IN (SELECT g FROM tr)
+GROUP BY doc_id
+"""
+
 # concat-and-chunk sequence packing: the window cumulative sum is the
 # SQL mirror of the engine's two-pass distributed scan (same whitespace
 # tokens as text_stats; seq_len = 512)
@@ -1511,6 +1534,7 @@ QUERIES = {
     "simhash64_pairs": simhash64_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_components": dedup_components,
+    "contamination": contamination,
     "text_stats": text_stats,
     # min_count=100 exercises the vocab-pruning floor on this corpus
     # (drops the rare 'dup' token, keeps the 840+ head)
@@ -1576,6 +1600,7 @@ ORACLES = {
     "simhash64_pairs": _SIMHASH64_PAIRS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "dedup_components": _DEDUP_COMPONENTS_SQL,
+    "contamination": _CONTAMINATION_SQL,
     "conv_stats": _CONV_STATS_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "vocabulary": _VOCABULARY_SQL,
