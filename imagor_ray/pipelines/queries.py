@@ -952,6 +952,12 @@ def _q_media_mp4_roundtrip(sf_dir: str):
     return media_mp4_roundtrip(sf_dir)
 
 
+def _q_media_mkv_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_mkv_roundtrip
+
+    return media_mkv_roundtrip(sf_dir)
+
+
 _JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id, sha256(text) AS recovered_sha
 FROM documents
@@ -1523,6 +1529,7 @@ QUERIES = {
     "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
     "media_gif_roundtrip": _q_media_gif_roundtrip,
     "media_mp4_roundtrip": _q_media_mp4_roundtrip,
+    "media_mkv_roundtrip": _q_media_mkv_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -1641,6 +1648,9 @@ ORACLES = {
     # MP4 round trip demuxes the exact utf-8 bytes out of mdat via the
     # stts/stsc/stsz/stco sample table, same raw-text-hash oracle
     "media_mp4_roundtrip": _MEDIA_HASHES_SQL,
+    # Matroska round trip recovers the bytes from multi-cluster EBML
+    # SimpleBlocks in timestamp order, same raw-text-hash oracle
+    "media_mkv_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

@@ -39,6 +39,7 @@ __all__ = [
     "GifCodec",
     "TiffCodec",
     "Mp4Codec",
+    "MkvCodec",
     "encode_wav",
     "encode_bmp",
     "encode_png",
@@ -46,6 +47,7 @@ __all__ = [
     "encode_gif",
     "encode_tiff",
     "encode_mp4",
+    "encode_mkv",
     "brightest_region",
 ]
 
@@ -53,6 +55,7 @@ from .jpeg import JpegCodec, encode_jpeg  # noqa: E402  (round-4: real baseline 
 from .gif import GifCodec, encode_gif    # noqa: E402  (round-4: real animated GIF)
 from .tiff import TiffCodec, encode_tiff  # noqa: E402  (round-4: real baseline TIFF)
 from .mp4 import Mp4Codec, encode_mp4    # noqa: E402  (round-4: real ISO BMFF demux/mux)
+from .mkv import MkvCodec, encode_mkv    # noqa: E402  (round-4: real Matroska/WebM demux/mux)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -78,6 +81,8 @@ def sniff_media(payload: bytes) -> str:
         # ISO BMFF brand dispatch, blob.go:170-195 + 425-439 (the
         # reference routes avif/heif/cr3 brands off the same ftyp probe)
         return "mp4"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":    # EBML → Matroska/WebM
+        return "mkv"
     if payload[:4] == b"IMRF":
         return "imrf"
     return "unknown"

@@ -48,6 +48,7 @@ __all__ = [
     "media_jpeg_roundtrip",
     "media_gif_roundtrip",
     "media_mp4_roundtrip",
+    "media_mkv_roundtrip",
     "MediaDetectStage",
     "MediaConvertStage",
     "frame_sample",
@@ -131,8 +132,8 @@ class MediaDecodeStage:
         width/height are 0 and n_frames is the PCM frame count."""
         if self._codec == "auto":
             from .codecs import (
-                BmpCodec, GifCodec, JpegCodec, Mp4Codec, PngCodec,
-                TiffCodec, WavCodec, sniff_media,
+                BmpCodec, GifCodec, JpegCodec, MkvCodec, Mp4Codec,
+                PngCodec, TiffCodec, WavCodec, sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -165,6 +166,10 @@ class MediaDecodeStage:
                 ch = max(1, m["channels"])
                 return (m["width"], m["height"], m["n_frames"], ch,
                         m["width"] * m["height"] * ch * m["n_frames"])
+            if kind == "mkv":
+                m = MkvCodec.decode_meta(payload)
+                return (m["width"], m["height"], m["n_frames"], 1,
+                        m["width"] * m["height"] * m["n_frames"])
             if kind != "imrf":
                 raise ValueError("unknown media container")
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -256,8 +261,8 @@ class MediaResizeStage:
     def _resize_one(self, payload: bytes) -> bytes:
         if self.codec == "auto":
             from .codecs import (
-                BmpCodec, GifCodec, JpegCodec, Mp4Codec, PngCodec,
-                TiffCodec, sniff_media,
+                BmpCodec, GifCodec, JpegCodec, MkvCodec, Mp4Codec,
+                PngCodec, TiffCodec, sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -286,6 +291,10 @@ class MediaResizeStage:
                 m = Mp4Codec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
                 return Mp4Codec.resize(payload, nw, nh)  # every frame, remuxed
+            if kind == "mkv":
+                m = MkvCodec.decode_meta(payload)
+                nw, nh = self._fit_dims(m["width"], m["height"])
+                return MkvCodec.resize(payload, nw, nh)
             if kind == "wav":
                 return payload  # resize is an image op; audio passes through
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
@@ -326,7 +335,7 @@ class MediaConvertStage:
     format arg.
     """
 
-    _TARGETS = ("png", "jpeg", "gif", "tiff", "bmp", "mp4")
+    _TARGETS = ("png", "jpeg", "gif", "tiff", "bmp", "mp4", "mkv")
 
     def __init__(self, target: str, quality: int = 90):
         if target not in self._TARGETS:
@@ -336,7 +345,8 @@ class MediaConvertStage:
 
     def _decode_rgb(self, payload: bytes, kind: str) -> np.ndarray:
         from .codecs import (
-            BmpCodec, GifCodec, JpegCodec, Mp4Codec, PngCodec, TiffCodec,
+            BmpCodec, GifCodec, JpegCodec, MkvCodec, Mp4Codec, PngCodec,
+            TiffCodec,
         )
 
         return {
@@ -346,12 +356,13 @@ class MediaConvertStage:
             "gif": GifCodec.decode_rgb,
             "tiff": TiffCodec.decode_rgb,
             "mp4": Mp4Codec.decode_rgb,
+            "mkv": MkvCodec.decode_rgb,
         }[kind](payload)
 
     def _gray_frames(self, payload: bytes, kind: str) -> np.ndarray:
         """(n, h, w) uint8 luma frames — every frame of an animated
         source, one frame of a still."""
-        from .codecs import GifCodec, Mp4Codec
+        from .codecs import GifCodec, MkvCodec, Mp4Codec
 
         if kind == "gif":
             fr = GifCodec.decode_frames(payload).astype(np.float64)
@@ -360,6 +371,8 @@ class MediaConvertStage:
             ).astype(np.uint8)
         if kind == "mp4":
             return Mp4Codec.decode_frames(payload)
+        if kind == "mkv":
+            return MkvCodec.decode_frames(payload)
         rgb = self._decode_rgb(payload, kind).astype(np.float64)
         luma = np.clip(np.round(
             rgb @ np.array([0.299, 0.587, 0.114])), 0, 255).astype(np.uint8)
@@ -367,8 +380,8 @@ class MediaConvertStage:
 
     def _convert_one(self, payload: bytes) -> bytes:
         from .codecs import (
-            encode_bmp, encode_gif, encode_jpeg, encode_mp4, encode_png,
-            encode_tiff, sniff_media,
+            encode_bmp, encode_gif, encode_jpeg, encode_mkv, encode_mp4,
+            encode_png, encode_tiff, sniff_media,
         )
 
         kind = sniff_media(payload)
@@ -380,6 +393,8 @@ class MediaConvertStage:
             return encode_gif(self._gray_frames(payload, kind))
         if self.target == "mp4":
             return encode_mp4(self._gray_frames(payload, kind))
+        if self.target == "mkv":
+            return encode_mkv(self._gray_frames(payload, kind))
         rgb = self._decode_rgb(payload, kind)   # animated: frame 1
         if self.target == "png":
             return encode_png(rgb)
@@ -658,18 +673,74 @@ def media_mp4_roundtrip(sf_dir: str) -> rd.Dataset:
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
 
 
+def media_mkv_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED EBML-demux entry (the Matroska/WebM counterpart
+    of ``media_mp4_roundtrip``): each document's length-prefixed utf-8
+    bytes become up to 8 gray frames muxed as one REAL Matroska file
+    (stages/mkv.py: EBML vints, Info/Tracks, multi-cluster SimpleBlocks
+    with relative timestamps — 3 blocks per cluster so cross-cluster
+    timestamp resolution is on the verified path). A second map stage
+    walks the EBML tree, pulls the blocks back in timestamp order and
+    re-hashes the recovered bytes against DuckDB's raw-text sha256.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .codecs import MkvCodec, encode_mkv
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    width = 64
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            rows_total = -(-len(body) // width)
+            n_frames = min(8, rows_total)
+            frame_h = -(-rows_total // n_frames)
+            grid = np.zeros(n_frames * frame_h * width, dtype=np.uint8)
+            grid[: len(body)] = np.frombuffer(body, dtype=np.uint8)
+            payloads.append(encode_mkv(
+                grid.reshape(n_frames, frame_h, width), fps=10,
+                blocks_per_cluster=3))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            flat = MkvCodec.decode_frames(p).reshape(-1).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine, varying rate/length/channels),
     24-bit BMP alternating with uncompressed TIFF (seeded pixels,
     varying dims), PNG (seeded pixels, cycling gray/RGB/RGBA color
     types), baseline JPEG (seeded pixels, cycling gray / RGB 4:4:4 /
-    RGB 4:2:0 / restart-marker variants), and real VIDEO rows
-    alternating animated GIF with multi-chunk MP4 (seeded gray
-    frames) — the corpus the real-codec decode path runs on."""
+    RGB 4:2:0 / restart-marker variants), and real VIDEO rows cycling
+    animated GIF / multi-chunk MP4 / multi-cluster Matroska (seeded
+    gray frames) — the corpus the real-codec decode path runs on."""
     from .codecs import (
-        encode_bmp, encode_gif, encode_jpeg, encode_mp4, encode_png,
-        encode_tiff, encode_wav,
+        encode_bmp, encode_gif, encode_jpeg, encode_mkv, encode_mp4,
+        encode_png, encode_tiff, encode_wav,
     )
 
     rng = np.random.default_rng(seed)
@@ -681,9 +752,13 @@ def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
                 w = int(rng.integers(4, 32))
                 nf = int(rng.integers(2, 9))
                 frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
-                if (i // 8) % 2 == 1:                 # alternate GIF / MP4
+                variant = (i // 8) % 3               # cycle GIF / MP4 / MKV
+                if variant == 1:
                     payload = encode_mp4(frames, fps=10,
                                          samples_per_chunk=3)
+                elif variant == 2:
+                    payload = encode_mkv(frames, fps=10,
+                                         blocks_per_cluster=3)
                 else:
                     payload = encode_gif(frames)
                 kind = "video"
@@ -777,19 +852,20 @@ class MediaDetectStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .codecs import (
-            BmpCodec, GifCodec, JpegCodec, Mp4Codec, PngCodec, TiffCodec,
-            brightest_region, sniff_media,
+            BmpCodec, GifCodec, JpegCodec, MkvCodec, Mp4Codec, PngCodec,
+            TiffCodec, brightest_region, sniff_media,
         )
 
         xs, ys, ws, hs, scores = [], [], [], [], []
         for payload in batch["payload"].to_pylist():
             kind = sniff_media(payload)
-            if kind in ("bmp", "png", "jpeg", "gif", "tiff", "mp4"):
+            if kind in ("bmp", "png", "jpeg", "gif", "tiff", "mp4", "mkv"):
                 px = (BmpCodec.decode_pixels(payload) if kind == "bmp"
                       else PngCodec.decode_rgb(payload) if kind == "png"
                       else JpegCodec.decode_rgb(payload) if kind == "jpeg"
                       else GifCodec.decode_rgb(payload) if kind == "gif"
                       else Mp4Codec.decode_rgb(payload) if kind == "mp4"
+                      else MkvCodec.decode_rgb(payload) if kind == "mkv"
                       else TiffCodec.decode_rgb(payload))
                 x, y, w, h, s = brightest_region(px, self.win)
                 xs.append(x); ys.append(y); ws.append(w); hs.append(h)
