@@ -43,7 +43,11 @@ def _headline(sf_dir: str, out_root: str, replicas: int = 1,
     sink_dir = os.path.join(out_root, "sink")
     shutil.rmtree(sink_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    flagship_write(sf_dir, sink_dir, num_buckets=int(os.environ.get("GRAFT_BENCH_BUCKETS", "64")), replicas=replicas)
+    flagship_write(
+        sf_dir, sink_dir,
+        num_buckets=int(os.environ.get("GRAFT_BENCH_BUCKETS", "64")),
+        replicas=replicas,
+        engine=os.environ.get("IMAGOR_RAY_FLAGSHIP_ENGINE", "dataset"))
     times["flagship_sink"] = time.perf_counter() - t0
 
     if flagship_only:
@@ -274,8 +278,13 @@ def run_stream() -> dict:
         ds.write_parquet(os.path.join(input_dir, f"batch-{c:05d}.parquet"),
                          min_rows_per_file=65536)
 
-    job = StreamingFlagshipJob(input_dir, os.path.join(root, "state"),
-                               gap_s=1800, num_buckets=64)
+    # tasks is the measured-faster cycle engine for sub-second cycles
+    # (BENCH.md finding 20; byte-identical, kill/resume-tested) — the
+    # bench reports which engine produced the number
+    cycle_engine = os.environ.get("IMAGOR_RAY_CYCLE_ENGINE", "tasks")
+    job = StreamingFlagshipJob(
+        input_dir, os.path.join(root, "state"), gap_s=1800, num_buckets=64,
+        cycle_engine=cycle_engine)
     t0 = time.perf_counter()
     results = job.run_all()
     job.flush()
@@ -288,6 +297,7 @@ def run_stream() -> dict:
         "unit": "sec",
         "n_turns": int(n_turns),
         "cycles": len(results),
+        "cycle_engine": cycle_engine,
         "num_cpus": num_cpus,
         "turns_per_sec": round(n_turns / wall, 1),
         "late_rows": int(sum(r["late"] for r in results)),

@@ -150,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
             allowed_lateness_s=args.lateness_s,
             num_buckets=cfg.num_buckets,
             ray_cycle_threshold=cfg.stream_cycle_threshold,
+            cycle_engine=cfg.cycle_engine,
         )
         results = job.run_all()
         if args.flush:

@@ -49,6 +49,10 @@ class EngineConfig:
     # rows per cycle above which the streaming driver runs the fused
     # dataset-native cycle (0 = always dataset-native)
     stream_cycle_threshold: int = 150_000
+    # large-cycle execution engine: 'dataset' (fused groupby shuffle) or
+    # 'tasks' (raw two-stage hash exchange — same outputs, no per-cycle
+    # sort machinery; measured faster for sub-second cycles)
+    cycle_engine: str = "dataset"
 
     # filter chain (vipsconfig: disabled filters, MaxFilterOps, caches)
     max_filter_ops: int = 64

@@ -134,6 +134,7 @@ def flagship_write(
     disabled_filters: tuple = (),
     max_filter_ops: int | None = None,
     detector: str | None = None,
+    engine: str = "dataset",
 ) -> dict:
     """Fused flagship → exactly-once sink with ONE shuffle end-to-end.
 
@@ -235,10 +236,18 @@ def flagship_write(
             },
         )
 
-    result = ds.groupby("_bucket").map_groups(
-        process_and_write, batch_format="pandas"
-    )
-    stats = result.to_pandas()
+    if engine == "tasks":
+        # raw two-stage hash exchange: same grouped work, no per-
+        # execution sort machinery (BENCH.md finding 20); byte-identical
+        # sink output asserted in tests
+        from .exchange import hash_exchange
+
+        stats = hash_exchange(ds, num_buckets, process_and_write)
+    else:
+        result = ds.groupby("_bucket").map_groups(
+            process_and_write, batch_format="pandas"
+        )
+        stats = result.to_pandas()
     return {
         "buckets_written": int((~stats["skipped"]).sum()) if len(stats) else 0,
         "buckets_skipped": len(done) + (int(stats["skipped"].sum()) if len(stats) else 0),

@@ -44,6 +44,114 @@ from ..state.checkpoint import Checkpoint
 __all__ = ["StreamingSessionJob", "StreamingFlagshipJob"]
 
 
+def _arrow_ts_us(t) -> "object":
+    """ts column of an Arrow table as int64 microseconds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    unit = t.schema.field("ts").type.unit
+    ts_i = pc.cast(t["ts"], pa.int64())
+    if unit == "ns":
+        ts_i = pc.divide(ts_i, 1000)
+    elif unit == "s":
+        ts_i = pc.multiply(ts_i, 1_000_000)
+    elif unit == "ms":
+        ts_i = pc.multiply(ts_i, 1000)
+    return ts_i
+
+
+def _empty_summaries() -> pd.DataFrame:
+    return pd.DataFrame({
+        "conv_id": pd.Series([], dtype=object),
+        "session_start": pd.Series([], dtype="datetime64[us]"),
+        "session_end": pd.Series([], dtype="datetime64[us]"),
+        "n_turns": pd.Series([], dtype="int64"),
+    })
+
+
+_EXCHANGE_FNS = None
+
+
+def _exchange_fns():
+    """Remote functions of the ``tasks`` cycle engine (decorated lazily
+    so importing this module never touches ray eagerly).
+
+    The two-stage hash exchange is the hand-rolled counterpart of the
+    fused dataset cycle's ``groupby(_bucket).map_groups``: map tasks
+    split each pinned raw block into per-bucket sub-tables
+    (``num_returns=nb`` object refs — only O(blocks × buckets) refs
+    cross the driver, never rows), reduce tasks concat their bucket's
+    shards and run the SAME fused per-bucket work (chain→sink partition
+    write + sessionize + close split). Skipping Ray Data's sort-based
+    shuffle removes the per-execution fixed cost (quantile sampling +
+    boundary exchange + executor planning) that dominates sub-second
+    streaming cycles — the measured bound on small-cycle scaling
+    efficiency (BENCH.md finding 19). Partitioning assumption:
+    conversations are hash-bucket-complete by ``crc32(conv_id) % nb``,
+    identical to the dataset engine."""
+    global _EXCHANGE_FNS
+    if _EXCHANGE_FNS is not None:
+        return _EXCHANGE_FNS
+    import ray
+
+    @ray.remote
+    def split_by_bucket(tbl, wm: int, nb: int):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import crc32_bucket
+
+        t = tbl.filter(
+            pc.greater_equal(_arrow_ts_us(tbl), pa.scalar(wm, pa.int64())))
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        b = crc32_bucket(conv, nb)
+        order = np.argsort(b, kind="stable")
+        t = t.take(pa.array(order))
+        bounds = np.searchsorted(b[order], np.arange(nb + 1))
+        return [t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                for i in range(nb)]
+
+    @ray.remote
+    def reduce_bucket(bucket: int, final_wm: int, gap_s: int,
+                      closed_dir: str, work, pseudo, *parts):
+        import pyarrow as pa
+
+        parts = [p for p in parts if p.num_rows]
+        sess_frames = []
+        if parts:
+            turns = pa.concat_tables(parts).to_pandas()
+            if work is not None:
+                tw = turns.copy()
+                tw["_bucket"] = np.int32(bucket)
+                work(tw)
+            sess_frames.append(pd.DataFrame({
+                "conv_id": turns["conv_id"],
+                "ts": turns["ts"],
+                "n_turns": np.ones(len(turns), np.int64),
+                "_start": turns["ts"],
+            }))
+        if pseudo is not None and len(pseudo):
+            sess_frames.append(pseudo)
+        if not sess_frames:
+            return _empty_summaries()
+        sessions = StreamingSessionJob._sessionize_with_start(
+            pd.concat(sess_frames, ignore_index=True), gap_s)
+        end_us = np.asarray(ts_us(sessions["session_end"]))
+        closed_mask = (end_us + gap_s * 1_000_000) < final_wm
+        closed = sessions[closed_mask].sort_values(
+            ["conv_id", "session_start"]).reset_index(drop=True)
+        if len(closed):
+            # deterministic per-bucket file + atomic rename, exactly the
+            # dataset engine's commit shape
+            part = os.path.join(closed_dir, f"part-{bucket:05d}.parquet")
+            closed.to_parquet(part + ".tmp", index=False)
+            os.replace(part + ".tmp", part)
+        return sessions[~closed_mask]
+
+    _EXCHANGE_FNS = (split_by_bucket, reduce_bucket)
+    return _EXCHANGE_FNS
+
+
 class StreamingSessionJob:
     """Sessionization over a micro-batch file stream with watermarks.
 
@@ -60,11 +168,18 @@ class StreamingSessionJob:
         gap_s: int = 1800,
         allowed_lateness_s: int = 0,
         ray_cycle_threshold: int | None = None,
+        cycle_engine: str = "dataset",
     ):
         self.input_dir = input_dir
         self.cp = Checkpoint(state_dir)
         self.gap_s = gap_s
         self.lateness_us = allowed_lateness_s * 1_000_000
+        if cycle_engine not in ("dataset", "tasks"):
+            raise ValueError(f"unknown cycle_engine: {cycle_engine!r}")
+        #: large-cycle execution engine: 'dataset' = fused
+        #: groupby.map_groups shuffle; 'tasks' = raw two-stage hash
+        #: exchange (same outputs, no per-cycle sort machinery)
+        self.cycle_engine = cycle_engine
         if ray_cycle_threshold is not None:
             # instance override of the class default (config-bound knob)
             self.RAY_CYCLE_THRESHOLD = ray_cycle_threshold
@@ -139,8 +254,10 @@ class StreamingSessionJob:
         # without reading any data
         nrows = pads.dataset(path).count_rows()
         if nrows > self.RAY_CYCLE_THRESHOLD:
+            runner = (self._cycle_tasks if self.cycle_engine == "tasks"
+                      else self._cycle_dataset)
             still_open, closed_count, late_count, new_watermark = (
-                self._cycle_dataset(path, fname, watermark, cycle, open_prev)
+                runner(path, fname, watermark, cycle, open_prev)
             )
         else:
             still_open, closed_count, late_count, new_watermark = (
@@ -316,6 +433,152 @@ class StreamingSessionJob:
             return None, 0, None
         return late, total, max_us
 
+    def _cycle_prelude(self, path, fname, wm):
+        """Shared pre-shuffle work of the dataset and tasks cycle
+        engines: pin the raw Arrow blocks (prefetched during the
+        previous cycle, normally), resolve the late count + watermark
+        advance WITHOUT a data pass (parquet row-group zone maps — a
+        group with ``min_ts >= watermark`` has zero late rows, so the
+        no-late common case runs ZERO pre-shuffle executions; only
+        groups straddling the watermark are scanned, and a stats-less
+        file falls back to ONE distributed partials pass — BENCH.md
+        finding 19: the fixed per-cycle execution count is what bounds
+        streaming scaling efficiency), and write the late rows out
+        (rare). Returns ``(raw, late_count, new_watermark)``."""
+        import ray
+        import ray.data as _rd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        raw = self._take_prefetched(fname)
+        if raw is None:
+            read_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+            # pin once: the stats pass, the (rare) late write and the
+            # shuffle all read the same blocks
+            raw = _rd.read_parquet(
+                path, override_num_blocks=read_blocks).materialize()
+
+        late_count, total_rows, max_us = self._footer_late_stats(path, wm)
+        if late_count is None:
+            def stats_partial(t: pa.Table) -> pa.Table:
+                ts_i = _arrow_ts_us(t)
+                late = pc.sum(pc.less(ts_i, pa.scalar(wm, pa.int64())))
+                return pa.table({
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "late": pa.array([late.as_py() or 0], pa.int64()),
+                    "max_us": pa.array([pc.max(ts_i).as_py()], pa.int64()),
+                })
+
+            stats = raw.map_batches(
+                stats_partial, batch_format="pyarrow").to_pandas()
+            late_count = int(stats["late"].sum())
+            total_rows = int(stats["n"].sum())
+            max_us = (int(stats["max_us"].max())
+                      if late_count < total_rows else None)
+        # watermark advance before the shuffle; max over all rows == max
+        # over on-time rows for watermark purposes (late ts < old
+        # watermark by definition)
+        new_watermark = (
+            max(wm, max_us - self.lateness_us)
+            if (max_us is not None and late_count < total_rows) else wm
+        )
+        if late_count:
+            late_path = os.path.join(self.late_dir, f"late-{fname}")
+            # replay idempotency at directory granularity: a crashed
+            # cycle's partial late output is replaced wholesale
+            import shutil
+
+            shutil.rmtree(late_path, ignore_errors=True)
+            raw.map_batches(
+                lambda t: t.filter(
+                    pc.less(_arrow_ts_us(t), pa.scalar(wm, pa.int64()))),
+                batch_format="pyarrow",
+            ).write_parquet(late_path)
+        return raw, late_count, new_watermark
+
+    def _prepare_closed_dir(self, cycle: int) -> str:
+        closed_dir = os.path.join(
+            self.closed_dir, f"closed-{cycle:05d}.parquet")
+        if os.path.isfile(closed_dir):
+            # leftover single file from a crashed pandas-path run of this
+            # cycle (threshold changed between runs); replaced wholesale
+            os.remove(closed_dir)
+        os.makedirs(closed_dir, exist_ok=True)
+        return closed_dir
+
+    @staticmethod
+    def _finish_open_closed(still_open: pd.DataFrame, closed_dir: str):
+        """Shared epilogue of the distributed cycle engines: stable-sort
+        the still-open summaries and count the distributedly-written
+        closed rows from footers."""
+        import pyarrow.dataset as pads
+
+        if len(still_open):
+            still_open = still_open.sort_values(
+                ["conv_id", "session_start"]).reset_index(drop=True)
+        else:
+            still_open = _empty_summaries()
+        closed_count = (
+            pads.dataset(closed_dir).count_rows()
+            if os.listdir(closed_dir) else 0
+        )
+        if not os.listdir(closed_dir):
+            os.rmdir(closed_dir)  # keep closed_sessions() listings clean
+        return still_open, int(closed_count)
+
+    def _cycle_tasks(
+        self, path, fname, watermark, cycle, open_prev
+    ) -> tuple[pd.DataFrame, int, int, int]:
+        """Raw two-stage hash-exchange cycle (``cycle_engine='tasks'``):
+        byte-identical outputs to the dataset engine (asserted in
+        tests), but the conv-bucket all-to-all runs as plain Ray tasks —
+        map tasks split each pinned block into ``nb`` bucket shards
+        (refs, not rows, return to the driver), reduce tasks concat
+        their shards and run the same fused per-bucket work. No sort
+        sampling, no boundary exchange, no per-cycle streaming-executor
+        plan: the fixed cost a sub-second cycle pays under the dataset
+        engine (BENCH.md finding 19/20). The prelude (pinned read,
+        zone-map late stats, watermark, late write) is shared."""
+        import ray
+
+        from ..functions.hashing import crc32_bucket
+
+        wm = watermark
+        nb = self._cycle_bucket_count()
+        raw, late_count, new_watermark = self._cycle_prelude(path, fname, wm)
+        split_fn, reduce_fn = _exchange_fns()
+
+        refs = raw.to_arrow_refs()
+        shards = [split_fn.options(num_returns=nb).remote(r, wm, nb)
+                  for r in refs]
+
+        # per-bucket pseudo-turn frames from the carried open sessions
+        # (tiny — bounded by conversations alive at the cycle boundary);
+        # shipped directly into the owning reducer, no null-padding
+        pseudo: dict[int, pd.DataFrame | None] = {b: None for b in range(nb)}
+        if open_prev is not None and len(open_prev):
+            pb = crc32_bucket(open_prev["conv_id"].to_numpy(), nb)
+            for b in np.unique(pb):
+                sub = open_prev[pb == b]
+                pseudo[int(b)] = pd.DataFrame({
+                    "conv_id": sub["conv_id"].to_numpy(),
+                    "ts": sub["session_end"].astype("datetime64[us]").to_numpy(),
+                    "n_turns": sub["n_turns"].astype("int64").to_numpy(),
+                    "_start": sub["session_start"].astype("datetime64[us]").to_numpy(),
+                })
+        work = self._make_grouped_cycle_work(cycle)
+        closed_dir = self._prepare_closed_dir(cycle)
+        opens = ray.get([
+            reduce_fn.remote(b, new_watermark, self.gap_s, closed_dir,
+                             work, pseudo[b], *[s[b] for s in shards])
+            for b in range(nb)
+        ])
+        still_open = (pd.concat(opens, ignore_index=True)
+                      if opens else _empty_summaries())
+        still_open, closed_count = self._finish_open_closed(
+            still_open, closed_dir)
+        return still_open, closed_count, late_count, new_watermark
+
     def _cycle_dataset(
         self, path, fname, watermark, cycle, open_prev
     ) -> tuple[pd.DataFrame, int, int, int]:
@@ -352,7 +615,6 @@ class StreamingSessionJob:
         tests). The watermark uses max over ALL event ts in the file:
         late rows can't raise it (their ts is below the old watermark by
         definition) so this equals the pandas path's on-time max."""
-        import ray
         import ray.data as _rd
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -361,74 +623,10 @@ class StreamingSessionJob:
 
         wm = watermark
         nb = self._cycle_bucket_count()
-
-        def _ts_us(t: pa.Table) -> pa.Array:
-            unit = t.schema.field("ts").type.unit
-            ts_i = pc.cast(t["ts"], pa.int64())
-            if unit == "ns":
-                ts_i = pc.divide(ts_i, 1000)
-            elif unit == "s":
-                ts_i = pc.multiply(ts_i, 1_000_000)
-            elif unit == "ms":
-                ts_i = pc.multiply(ts_i, 1000)
-            return ts_i
-
-        raw = self._take_prefetched(fname)
-        if raw is None:
-            read_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-            # pin once: the stats pass, the (rare) late write and the
-            # shuffle all read the same blocks
-            raw = _rd.read_parquet(
-                path, override_num_blocks=read_blocks).materialize()
-
-        # Late count + watermark advance WITHOUT a data pass (round-4:
-        # the fixed per-cycle execution count is what bounds streaming
-        # scaling efficiency, BENCH.md finding 19). Parquet row-group
-        # zone maps give exact (min_ts, max_ts, rows) per group from the
-        # footers alone; a group with min_ts >= watermark contributes
-        # zero late rows, so in the no-late common case the cycle runs
-        # ZERO pre-shuffle executions — footer metadata, then straight
-        # into the fused shuffle. Only row groups whose zone map
-        # straddles the watermark are scanned (ts column only,
-        # driver-side — bounded by how localized the late data is), and
-        # a stats-less file falls back to one distributed partials pass.
-        late_count, total_rows, max_us = self._footer_late_stats(path, wm)
-        if late_count is None:
-            def stats_partial(t: pa.Table) -> pa.Table:
-                ts_i = _ts_us(t)
-                late = pc.sum(pc.less(ts_i, pa.scalar(wm, pa.int64())))
-                return pa.table({
-                    "n": pa.array([t.num_rows], pa.int64()),
-                    "late": pa.array([late.as_py() or 0], pa.int64()),
-                    "max_us": pa.array([pc.max(ts_i).as_py()], pa.int64()),
-                })
-
-            stats = raw.map_batches(
-                stats_partial, batch_format="pyarrow").to_pandas()
-            late_count = int(stats["late"].sum())
-            total_rows = int(stats["n"].sum())
-            max_us = (int(stats["max_us"].max())
-                      if late_count < total_rows else None)
-        # watermark advance before the shuffle; max over all rows == max
-        # over on-time rows for watermark purposes (late ts < old
-        # watermark by definition)
-        new_watermark = (
-            max(wm, max_us - self.lateness_us)
-            if (max_us is not None and late_count < total_rows) else wm
-        )
+        _ts_us = _arrow_ts_us
+        raw, late_count, new_watermark = self._cycle_prelude(path, fname, wm)
         base_schema = raw.schema().base_schema.append(
             pa.field("_bucket", pa.int32()))
-        if late_count:
-            late_path = os.path.join(self.late_dir, f"late-{fname}")
-            # replay idempotency at directory granularity: a crashed
-            # cycle's partial late output is replaced wholesale
-            import shutil
-
-            shutil.rmtree(late_path, ignore_errors=True)
-            raw.map_batches(
-                lambda t: t.filter(pc.less(_ts_us(t), pa.scalar(wm, pa.int64()))),
-                batch_format="pyarrow",
-            ).write_parquet(late_path)
 
         def ontime_prep(t: pa.Table) -> pa.Table:
             t = t.filter(
@@ -491,14 +689,7 @@ class StreamingSessionJob:
         work = self._make_grouped_cycle_work(cycle)
         gap_s = self.gap_s
         sess_fn = self._sessionize_with_start
-        closed_dir = os.path.join(
-            self.closed_dir, f"closed-{cycle:05d}.parquet"
-        )
-        if os.path.isfile(closed_dir):
-            # leftover single file from a crashed pandas-path run of this
-            # cycle (threshold changed between runs); replaced wholesale
-            os.remove(closed_dir)
-        os.makedirs(closed_dir, exist_ok=True)
+        closed_dir = self._prepare_closed_dir(cycle)
         final_wm = new_watermark
 
         def fused(g: pd.DataFrame) -> pd.DataFrame:
@@ -530,25 +721,9 @@ class StreamingSessionJob:
             .map_groups(fused, batch_format="pandas")
             .to_pandas()
         )
-        if len(still_open):
-            still_open = still_open.sort_values(
-                ["conv_id", "session_start"]).reset_index(drop=True)
-        else:
-            still_open = pd.DataFrame({
-                "conv_id": pd.Series([], dtype=object),
-                "session_start": pd.Series([], dtype="datetime64[us]"),
-                "session_end": pd.Series([], dtype="datetime64[us]"),
-                "n_turns": pd.Series([], dtype="int64"),
-            })
-        import pyarrow.dataset as pads
-
-        closed_count = (
-            pads.dataset(closed_dir).count_rows()
-            if os.listdir(closed_dir) else 0
-        )
-        if not os.listdir(closed_dir):
-            os.rmdir(closed_dir)  # keep closed_sessions() listings clean
-        return still_open, int(closed_count), late_count, new_watermark
+        still_open, closed_count = self._finish_open_closed(
+            still_open, closed_dir)
+        return still_open, closed_count, late_count, new_watermark
 
     #: above this cycle size the session merge runs as a bucketed Ray
     #: groupby instead of one driver-side pandas sort (conversations are
@@ -724,9 +899,11 @@ class StreamingFlagshipJob(StreamingSessionJob):
         secret: str | None = None,
         num_buckets: int = 8,
         ray_cycle_threshold: int | None = None,
+        cycle_engine: str = "dataset",
     ):
         super().__init__(input_dir, state_dir, gap_s, allowed_lateness_s,
-                         ray_cycle_threshold=ray_cycle_threshold)
+                         ray_cycle_threshold=ray_cycle_threshold,
+                         cycle_engine=cycle_engine)
         from ..stages.parse_sign import DEFAULT_SECRET
 
         self.secret = secret or DEFAULT_SECRET

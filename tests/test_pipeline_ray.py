@@ -372,6 +372,32 @@ class TestFusedFlagship:
         assert summary["buckets_written"] == 1
         assert sink.content_sha1() == sha
 
+    def test_tasks_engine_byte_identical_and_resumes(self, ray_session, tmp_path):
+        """engine='tasks' (raw hash exchange, BENCH finding 20) must
+        write the same bytes as the groupby engine and honor the
+        committed-bucket skip on replay/resume — including a
+        cross-engine resume of a tasks-engine run."""
+        from imagor_ray.pipelines.flagship import flagship_write
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d1 = str(tmp_path / "ds")
+        flagship_write(SF, d1, num_buckets=4)
+        d2 = str(tmp_path / "tk")
+        summary = flagship_write(SF, d2, num_buckets=4, engine="tasks")
+        assert summary["rows_written"] == 1000
+        sha = ExactlyOnceSink(d1, num_buckets=4).content_sha1()
+        sink2 = ExactlyOnceSink(d2, num_buckets=4)
+        assert sink2.content_sha1() == sha
+        # replay: all buckets skip
+        r = flagship_write(SF, d2, num_buckets=4, engine="tasks")
+        assert r["buckets_written"] == 0 and r["buckets_skipped"] == 4
+        # cross-engine resume after losing one partition
+        os.remove(os.path.join(d2, "part-00002.parquet"))
+        os.remove(os.path.join(d2, "_manifest", "bucket-00002.json"))
+        r = flagship_write(SF, d2, num_buckets=4)   # dataset engine
+        assert r["buckets_written"] == 1
+        assert sink2.content_sha1() == sha
+
 
 class TestAnnRecall:
     def test_lsh_multiprobe_recall(self, ray_session):

@@ -475,3 +475,90 @@ def test_cli_stream_end_to_end(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     rep = json.loads(r2.stdout.strip().splitlines()[-1])
     assert rep["streaming"]["cycles"] == 2
+
+
+class TestTasksEngineCycle:
+    """cycle_engine='tasks' (raw two-stage hash exchange) must be
+    byte-identical to the pandas and dataset engines, and resume from a
+    mid-stream kill the same way."""
+
+    BATCHES = [
+        [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00"),
+         ("e", "2024-01-01 00:06:00"), ("f", "2024-01-01 00:07:00")],
+        [("a", "2024-01-01 02:00:00"), ("c", "2024-01-01 03:00:00"),
+         ("zz", "2023-12-31 00:00:00")],  # late row in cycle 1
+        [("d", "2024-01-02 00:00:00")],
+    ]
+
+    def test_three_engines_byte_identical(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.streaming import (
+            StreamingFlagshipJob, StreamingSessionJob,
+        )
+
+        s = write_stream(tmp_path, self.BATCHES)
+        jp = StreamingFlagshipJob(s, str(tmp_path / "pd"), gap_s=1800,
+                                  num_buckets=2)
+        rp = jp.run_all()
+        jp.flush()
+
+        old = StreamingSessionJob.RAY_CYCLE_THRESHOLD
+        try:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = 0
+            jobs = {}
+            for eng in ("dataset", "tasks"):
+                j = StreamingFlagshipJob(s, str(tmp_path / eng), gap_s=1800,
+                                         num_buckets=2, cycle_engine=eng)
+                r = j.run_all()
+                j.flush()
+                jobs[eng] = (j, r)
+        finally:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = old
+
+        key = ["conv_id", "session_start"]
+        for eng, (j, r) in jobs.items():
+            assert r == rp, eng
+            assert j.processed_sha1() == jp.processed_sha1(), eng
+            pd.testing.assert_frame_equal(
+                j.closed_sessions().sort_values(key).reset_index(drop=True),
+                jp.closed_sessions().sort_values(key).reset_index(drop=True),
+            )
+            late_files = os.listdir(j.late_dir)
+            assert len(late_files) == 1, eng
+            late = pd.read_parquet(os.path.join(j.late_dir, late_files[0]))
+            assert late["conv_id"].tolist() == ["zz"], eng
+
+    def test_tasks_engine_kill_resume(self, ray_session, tmp_path):
+        from imagor_ray.pipelines.streaming import (
+            StreamingFlagshipJob, StreamingSessionJob,
+        )
+
+        s = write_stream(tmp_path, self.BATCHES)
+        old = StreamingSessionJob.RAY_CYCLE_THRESHOLD
+        try:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = 0
+            j1 = StreamingFlagshipJob(s, str(tmp_path / "w1"), gap_s=1800,
+                                      num_buckets=2, cycle_engine="tasks")
+            j1.run_all()
+            j1.flush()
+            want = j1.processed_sha1()
+
+            j2 = StreamingFlagshipJob(s, str(tmp_path / "w2"), gap_s=1800,
+                                      num_buckets=2, cycle_engine="tasks")
+            j2.run_cycle()
+            del j2
+            # a DATASET-engine restart of a tasks-engine run must also
+            # converge: both engines share checkpoint + sink layout
+            j3 = StreamingFlagshipJob(s, str(tmp_path / "w2"), gap_s=1800,
+                                      num_buckets=2, cycle_engine="dataset")
+            j3.run_all()
+            j3.flush()
+            assert j3.processed_sha1() == want
+        finally:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = old
+
+    def test_unknown_engine_rejected(self, tmp_path):
+        from imagor_ray.pipelines.streaming import StreamingSessionJob
+
+        with pytest.raises(ValueError):
+            StreamingSessionJob(str(tmp_path), str(tmp_path / "st"),
+                                cycle_engine="spark")
