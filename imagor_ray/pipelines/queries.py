@@ -46,8 +46,8 @@ from .analytics import (
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample, stratified_sample
 from .textstats import (
-    BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, lang_id,
-    sequence_pack, text_stats, vocabulary,
+    BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, inverted_index,
+    lang_id, sequence_pack, text_stats, tfidf_top_terms, vocabulary,
 )
 
 # ---------------------------------------------------------------------------
@@ -990,6 +990,48 @@ SELECT doc_id,
 FROM documents
 """
 
+# inverted index: token -> df + capped doc_id-sorted posting list; the
+# rn<=cap window mirrors the engine's bucket-local truncation
+_INVERTED_INDEX_SQL = """
+WITH td AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM td
+)
+SELECT token, CAST(max(df) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM ranked WHERE rn <= 32
+GROUP BY token HAVING max(df) >= 10
+"""
+
+# per-doc top-3 tf-idf terms in exact integer micro-units
+# (tf * 1e6 // df), ties on token ascending — both sides integer-exact
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf * 1000000 // df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * 1000000 // df.df DESC, tf.token
+         ) AS rank
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, CAST(rank AS BIGINT) AS rank,
+       CAST(score AS BIGINT) AS score
+FROM scored WHERE rank <= 3
+"""
+
 # train/test contamination: distinct word 8-grams of each md5-nibble
 # TEST doc (e..f) that appear in any TRAIN doc (0..b) — the engine's
 # gram-bucket semi-join mirrored as unnest + IN
@@ -1549,6 +1591,8 @@ QUERIES = {
     # part_rows=64 forces multiple range partitions at sf0.01 so the
     # cross-partition base offsets of the distributed scan are exercised
     "sequence_pack": lambda sf: sequence_pack(sf, part_rows=64),
+    "inverted_index": inverted_index,
+    "tfidf_top_terms": tfidf_top_terms,
     "lang_id": lang_id,
     "doc_quality": doc_quality,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -1612,6 +1656,8 @@ ORACLES = {
     "text_stats": _TEXT_STATS_SQL,
     "vocabulary": _VOCABULARY_SQL,
     "sequence_pack": _SEQUENCE_PACK_SQL,
+    "inverted_index": _INVERTED_INDEX_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
     "lang_id": _LANG_ID_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
     "doc_sketches": _SKETCHES_SQL,

@@ -20,7 +20,8 @@ import pandas as pd
 import ray.data as rd
 
 __all__ = ["text_stats", "lang_id", "doc_quality", "doc_sketches",
-           "sequence_pack", "STOPWORDS", "BPE_PATTERN"]
+           "sequence_pack", "inverted_index", "tfidf_top_terms",
+           "STOPWORDS", "BPE_PATTERN"]
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -253,3 +254,130 @@ def vocabulary(sf_dir: str, min_count: int = 5, num_buckets: int = 32) -> rd.Dat
         .groupby("_tb")
         .map_groups(reduce_bucket, batch_format="pandas")
     )
+
+
+def inverted_index(sf_dir: str, min_df: int = 10, max_postings: int = 32,
+                   num_buckets: int = 32) -> rd.Dataset:
+    """Inverted-index builder — the retrieval-side sibling of
+    :func:`vocabulary`: token → document frequency + a capped,
+    doc_id-sorted posting list. Same 100 TB topology: per-batch
+    partial dedup (a token lists a doc once, so what shuffles is
+    (token, doc_id) pairs bounded by per-doc vocabulary), ONE shuffle
+    on ``crc32(token) % num_buckets``, and a vectorized bucket-local
+    reduce — the ``min_df`` floor and the ``max_postings`` cap (both
+    standard index-pruning knobs; the cap is what keeps Zipf-head
+    posting lists from becoming the hot payload) apply bucket-locally
+    because a token lives in exactly one bucket.
+
+    Output: token, df, postings (comma-joined first ``max_postings``
+    doc_ids ascending) — df counts ALL docs, the cap only truncates
+    the stored list, exactly like the SQL mirror.
+    """
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        ids: list[int] = []
+        for doc_id, t in zip(b["doc_id"].astype("int64"), b["text"]):
+            uniq = set(t.split(" "))
+            toks.extend(uniq)
+            ids.extend([int(doc_id)] * len(uniq))
+        return pd.DataFrame({
+            "token": toks,
+            "doc_id": np.array(ids, dtype="int64"),
+            "_tb": crc32_bucket(toks, num_buckets),
+        })
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        grp = g.groupby("token", sort=False)["doc_id"]
+        df = grp.size()
+        keep = df[df >= min_df]
+        postings = grp.apply(
+            lambda s: ",".join(map(str, s.iloc[:max_postings])))
+        return pd.DataFrame({
+            "token": keep.index.to_numpy(),
+            "df": keep.to_numpy(dtype="int64"),
+            "postings": postings[keep.index].to_numpy(),
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(lambda g: reduce_bucket(g.drop(columns=["_tb"])),
+                    batch_format="pandas")
+    )
+
+
+def tfidf_top_terms(sf_dir: str, top_k: int = 3,
+                    num_buckets: int = 32) -> rd.Dataset:
+    """Per-document top-k TF-IDF terms — the relevance-scoring op of a
+    text corpus pipeline. The score is kept in exact integer
+    micro-units (``tf * 1_000_000 // df``) so the DuckDB mirror hashes
+    bit-identically (CLAUDE.md float contract); ties break on token
+    ascending.
+
+    Topology: document frequencies come from the same bucketed
+    (token, doc_id)-dedup reduce as :func:`inverted_index`, collapse
+    to a token→df map on the driver (vocabulary ≪ corpus by Heaps'
+    law; at extreme scale the bucketed-join variant of
+    ``inverted_index`` replaces the broadcast), and ship back into a
+    pure scoring map via the task closure — per-doc tf, score and
+    top-k are then embarrassingly parallel, zero further shuffle.
+
+    Output: doc_id, token, rank (1-based), score.
+    """
+    from collections import Counter
+
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in b["text"]:
+            toks.extend(set(t.split(" ")))
+        return pd.DataFrame({
+            "token": toks,
+            "_tb": crc32_bucket(toks, num_buckets),
+        })
+
+    def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False).size()
+        return pd.DataFrame({"token": s.index.to_numpy(),
+                             "df": s.to_numpy(dtype="int64")})
+
+    df_pdf = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(lambda g: df_bucket(g.drop(columns=["_tb"])),
+                    batch_format="pandas")
+        .to_pandas()                      # vocabulary-sized, driver-safe
+    )
+    df_map = dict(zip(df_pdf["token"], df_pdf["df"].astype("int64")))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_tok, out_rank, out_score = [], [], [], []
+        for doc_id, t in zip(b["doc_id"].astype("int64"), b["text"]):
+            tf = Counter(t.split(" "))
+            scored = sorted(
+                ((-(cnt * 1_000_000 // df_map[tok]), tok)
+                 for tok, cnt in tf.items()),
+            )[:top_k]
+            for rank, (neg, tok) in enumerate(scored, start=1):
+                out_id.append(int(doc_id))
+                out_tok.append(tok)
+                out_rank.append(rank)
+                out_score.append(-neg)
+        return pd.DataFrame({
+            "doc_id": np.array(out_id, dtype="int64"),
+            "token": out_tok,
+            "rank": np.array(out_rank, dtype="int64"),
+            "score": np.array(out_score, dtype="int64"),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
