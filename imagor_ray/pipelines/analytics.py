@@ -17,7 +17,7 @@ import ray.data as rd
 
 __all__ = [
     "rolling_user_stats", "top_orders_per_customer", "user_stats_by_type",
-    "approx_quantiles_by_type",
+    "approx_quantiles_by_type", "latest_event_per_user",
 ]
 
 _7D_US = 7 * 86400 * 1_000_000
@@ -127,6 +127,48 @@ def top_orders_per_customer(
         .map_groups(
             lambda g: topk(g.drop(columns=["_wb"])), batch_format="pandas"
         )
+    )
+
+
+def latest_event_per_user(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """CDC-style LATEST-PER-KEY compaction (the upsert/changelog merge
+    every incremental pipeline runs before serving a snapshot): keep
+    each user's most recent event, ties on ts broken by max event_id —
+    deterministic on both engines. One hash-bucket shuffle of the
+    pruned columns, then a vectorized stable-sort + drop_duplicates per
+    bucket; at 100 TB the map side would pre-compact per batch (keep
+    one row per user per batch) before the shuffle — the same shape as
+    user_stats_by_type's partial distinct.
+
+    Output: user_id, event_id, event_type, ts.
+    """
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # map-side pre-compaction: one candidate row per user per batch
+        b = b.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False], kind="mergesort")
+        b = b.drop_duplicates("user_id", keep="first").copy()
+        b["_cb"] = (b["user_id"].to_numpy().astype(np.int64) % num_buckets
+                    ).astype(np.int32)
+        return b
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ascending=[True, False, False], kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="first")
+        return g[["user_id", "event_id", "event_type", "ts"]].astype(
+            {"user_id": "int64", "event_id": "int64"}
+        )
+
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(lambda g: latest(g.drop(columns=["_cb"])),
+                    batch_format="pandas")
     )
 
 

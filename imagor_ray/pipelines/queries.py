@@ -40,8 +40,8 @@ from .dedup import (
 )
 from .flagship import processed_turns
 from .analytics import (
-    approx_quantiles_by_type, rolling_user_stats, top_orders_per_customer,
-    user_stats_by_type,
+    approx_quantiles_by_type, latest_event_per_user, rolling_user_stats,
+    top_orders_per_customer, user_stats_by_type,
 )
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample, stratified_sample
@@ -1075,6 +1075,18 @@ SELECT doc_id, n_tokens, tok_start,
 FROM c
 """
 
+# CDC latest-per-key compaction: newest event per user, ts ties broken
+# by max event_id — the row_number()=1 window mirror
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
 _USER_STATS_SQL = """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -1615,6 +1627,7 @@ QUERIES = {
     "error_context": error_context_window,
     "topk_orders_per_customer": top_orders_per_customer,
     "user_stats_by_type": user_stats_by_type,
+    "latest_event_per_user": latest_event_per_user,
     "approx_quantiles_by_type": approx_quantiles_by_type,
     "dataset_split": dataset_split,
     "media_hashes": _q_media_hashes,
@@ -1678,6 +1691,7 @@ ORACLES = {
     "error_context": _ERROR_CONTEXT_SQL,
     "topk_orders_per_customer": _TOPK_PER_CUST_SQL,
     "user_stats_by_type": _USER_STATS_SQL,
+    "latest_event_per_user": _LATEST_EVENT_SQL,
     "approx_quantiles_by_type": _APPROX_QUANTILES_SQL,
     "dataset_split": _SPLIT_SQL,
     "media_hashes": _MEDIA_HASHES_SQL,
