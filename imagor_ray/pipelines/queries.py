@@ -46,8 +46,9 @@ from .analytics import (
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample, stratified_sample
 from .textstats import (
-    BPE_PATTERN, STOPWORDS, doc_sketches, doc_quality, inverted_index,
-    lang_id, sequence_pack, text_stats, tfidf_top_terms, vocabulary,
+    BPE_PATTERN, STOPWORDS, doc_dup_fraction, doc_repetition, doc_sketches,
+    doc_quality, inverted_index, lang_id, sequence_pack, text_stats,
+    tfidf_top_terms, vocabulary,
 )
 
 # ---------------------------------------------------------------------------
@@ -1054,6 +1055,53 @@ FROM te WHERE g IN (SELECT g FROM tr)
 GROUP BY doc_id
 """
 
+# within-document repetition (the Gopher repeated-n-gram signal):
+# duplicate word 3-grams of the doc itself, in exact integer
+# milli-units; docs shorter than 3 tokens have no grams and score 0
+_DOC_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i.i:i.i + 2], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) i
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams
+  FROM grams GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.n_ngrams, CAST(0 AS BIGINT)) AS n_ngrams,
+       COALESCE(a.distinct_ngrams, CAST(0 AS BIGINT)) AS distinct_ngrams,
+       CAST(CASE WHEN a.n_ngrams > 0
+            THEN (a.n_ngrams - a.distinct_ngrams) * 1000 // a.n_ngrams
+            ELSE 0 END AS BIGINT) AS rep_milli
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+# cross-document duplication fraction: share of each doc's distinct
+# word 8-grams that appear in ANY other document (the doc-level dedup
+# score); docs with no 8-grams are excluded on both sides
+_DOC_DUP_FRACTION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i + 7], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) i
+), d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+), shared AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), s AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+  FROM grams WHERE g IN (SELECT g FROM shared) GROUP BY 1
+)
+SELECT d.doc_id, d.n_grams,
+       COALESCE(s.shared_grams, CAST(0 AS BIGINT)) AS shared_grams,
+       CAST(COALESCE(s.shared_grams, 0) * 1000 // d.n_grams AS BIGINT)
+         AS dup_milli
+FROM d LEFT JOIN s USING (doc_id)
+"""
+
 # concat-and-chunk sequence packing: the window cumulative sum is the
 # SQL mirror of the engine's two-pass distributed scan (same whitespace
 # tokens as text_stats; seq_len = 512)
@@ -1607,6 +1655,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "lang_id": lang_id,
     "doc_quality": doc_quality,
+    "doc_repetition": doc_repetition,
+    "doc_dup_fraction": doc_dup_fraction,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
         ["doc_id", "avg_char", "thumbhash"]),
     "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
@@ -1673,6 +1723,8 @@ ORACLES = {
     "tfidf_top_terms": _TFIDF_SQL,
     "lang_id": _LANG_ID_SQL,
     "doc_quality": _DOC_QUALITY_SQL,
+    "doc_repetition": _DOC_REPETITION_SQL,
+    "doc_dup_fraction": _DOC_DUP_FRACTION_SQL,
     "doc_sketches": _SKETCHES_SQL,
     "ann_topk": _ANN_SQL,
     # full-probe LSH (probe_hamming = bits) scans every bucket, so the

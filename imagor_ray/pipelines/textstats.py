@@ -381,3 +381,120 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3,
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def doc_repetition(sf_dir: str, n: int = 3) -> rd.Dataset:
+    """WITHIN-document repetition signal (the Gopher-rules family of
+    repetition filters): how much of a document is repeated word
+    n-grams of itself. Pure map over a column-pruned read — zero
+    shuffle at any scale. ``rep_milli = (total - distinct) * 1000 //
+    total`` in exact integer milli-units (0 for docs shorter than n
+    tokens, which have no n-grams).
+
+    Output: doc_id, n_ngrams, distinct_ngrams, rep_milli.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def rep(b: pd.DataFrame) -> pd.DataFrame:
+        total, distinct = [], []
+        for t in b["text"]:
+            w = t.split(" ")
+            grams = [tuple(w[i: i + n]) for i in range(len(w) - n + 1)]
+            total.append(len(grams))
+            distinct.append(len(set(grams)))
+        total = np.array(total, dtype="int64")
+        distinct = np.array(distinct, dtype="int64")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "n_ngrams": total,
+            "distinct_ngrams": distinct,
+            "rep_milli": np.where(
+                total > 0, (total - distinct) * 1000 // np.maximum(total, 1),
+                0).astype("int64"),
+        })
+
+    return ds.map_batches(rep, batch_format="pandas")
+
+
+def doc_dup_fraction(sf_dir: str, n: int = 8,
+                     num_buckets: int = 64) -> rd.Dataset:
+    """CROSS-document duplication signal: for each document, the
+    fraction of its distinct word n-grams that also appear in ANY
+    other document — the doc-level dedup score a corpus pipeline
+    thresholds before training. Same single gram-bucket shuffle as
+    :func:`contamination` (a gram lives in exactly one bucket, so
+    per-bucket shared-gram counts sum to the global count); the
+    denominator rides the rows as a per-doc constant so no second
+    join is needed. ``dup_milli = shared * 1000 // n_grams`` in exact
+    integer milli-units. Docs with no n-grams (< n tokens) are
+    excluded, like the SQL mirror.
+
+    Output: doc_id, n_grams, shared_grams, dup_milli.
+    """
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def grams(b: pd.DataFrame) -> pd.DataFrame:
+        out_g: list[str] = []
+        out_id: list[int] = []
+        out_n: list[int] = []
+        for doc_id, t in zip(b["doc_id"].astype("int64"), b["text"]):
+            w = t.split(" ")
+            gset = {" ".join(w[i: i + n]) for i in range(len(w) - n + 1)}
+            if not gset:
+                continue
+            out_g.extend(gset)
+            out_id.extend([int(doc_id)] * len(gset))
+            out_n.extend([len(gset)] * len(gset))
+        return pd.DataFrame({
+            "g": out_g,
+            "doc_id": np.array(out_id, dtype="int64"),
+            "n_grams": np.array(out_n, dtype="int64"),
+            "_gb": crc32_bucket(out_g, num_buckets),
+        })
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # grams seen by >= 2 distinct docs are shared; count per doc
+        counts = g.groupby("g", sort=False)["doc_id"].transform("nunique")
+        shared = g[counts >= 2]
+        s = shared.groupby("doc_id", sort=False).agg(
+            shared_grams=("g", "size"), n_grams=("n_grams", "first"))
+        # every doc's denominator must survive even with zero shared
+        denom = g.groupby("doc_id", sort=False)["n_grams"].first()
+        out = pd.DataFrame({"doc_id": denom.index.to_numpy(dtype="int64"),
+                            "n_grams": denom.to_numpy(dtype="int64")})
+        out["shared_grams"] = s["shared_grams"].reindex(
+            denom.index, fill_value=0).to_numpy(dtype="int64")
+        return out
+
+    def sum_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", sort=False).agg(
+            n_grams=("n_grams", "first"), shared_grams=("shared_grams", "sum"))
+        # n_grams is the per-doc TOTAL (constant on every row); shared
+        # sums across gram buckets (disjoint gram sets)
+        return pd.DataFrame({
+            "doc_id": s.index.to_numpy(dtype="int64"),
+            "n_grams": s["n_grams"].to_numpy(dtype="int64"),
+            "shared_grams": s["shared_grams"].to_numpy(dtype="int64"),
+            "dup_milli": (s["shared_grams"].to_numpy(dtype="int64") * 1000
+                          // s["n_grams"].to_numpy(dtype="int64")),
+        })
+
+    def add_doc_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_db"] = (b["doc_id"].to_numpy(dtype="int64") % np.int64(32))
+        return b
+
+    return (
+        ds.map_batches(grams, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(lambda g: bucket_partials(g.drop(columns=["_gb"])),
+                    batch_format="pandas")
+        .map_batches(add_doc_bucket, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(lambda g: sum_per_doc(g.drop(columns=["_db"])),
+                    batch_format="pandas")
+    )
