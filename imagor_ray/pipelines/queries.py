@@ -46,9 +46,9 @@ from .analytics import (
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample, stratified_sample
 from .textstats import (
-    BPE_PATTERN, STOPWORDS, doc_dup_fraction, doc_repetition, doc_sketches,
-    doc_quality, inverted_index, lang_id, sequence_pack, text_stats,
-    tfidf_top_terms, vocabulary,
+    BPE_PATTERN, STOPWORDS, doc_dup_fraction, doc_oov, doc_repetition,
+    doc_sketches, doc_quality, inverted_index, lang_id, sequence_pack,
+    text_stats, tfidf_top_terms, vocabulary,
 )
 
 # ---------------------------------------------------------------------------
@@ -1102,6 +1102,24 @@ SELECT d.doc_id, d.n_grams,
 FROM d LEFT JOIN s USING (doc_id)
 """
 
+# OOV fraction against the min_count>=100 pruned vocabulary — the
+# broadcast-semi-join mirror (vocab CTE + left anti membership)
+_DOC_OOV_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token FROM tok GROUP BY token HAVING count(*) >= 100
+), per AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (token) GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov * 1000 // n_tokens AS BIGINT) AS oov_milli
+FROM per
+"""
+
 # concat-and-chunk sequence packing: the window cumulative sum is the
 # SQL mirror of the engine's two-pass distributed scan (same whitespace
 # tokens as text_stats; seq_len = 512)
@@ -1657,6 +1675,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_repetition": doc_repetition,
     "doc_dup_fraction": doc_dup_fraction,
+    "doc_oov": doc_oov,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
         ["doc_id", "avg_char", "thumbhash"]),
     "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
@@ -1725,6 +1744,7 @@ ORACLES = {
     "doc_quality": _DOC_QUALITY_SQL,
     "doc_repetition": _DOC_REPETITION_SQL,
     "doc_dup_fraction": _DOC_DUP_FRACTION_SQL,
+    "doc_oov": _DOC_OOV_SQL,
     "doc_sketches": _SKETCHES_SQL,
     "ann_topk": _ANN_SQL,
     # full-probe LSH (probe_hamming = bits) scans every bucket, so the

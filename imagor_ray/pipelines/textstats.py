@@ -498,3 +498,50 @@ def doc_dup_fraction(sf_dir: str, n: int = 8,
         .map_groups(lambda g: sum_per_doc(g.drop(columns=["_db"])),
                     batch_format="pandas")
     )
+
+
+def doc_oov(sf_dir: str, min_count: int = 100,
+            num_buckets: int = 32) -> rd.Dataset:
+    """Perplexity-proxy scorer: per-document OUT-OF-VOCABULARY token
+    fraction against the corpus's pruned vocabulary (the cheap stand-in
+    for an n-gram LM score that corpus pipelines threshold on). The
+    classic BROADCAST SEMI-JOIN topology:
+
+    - phase 1 reuses :func:`vocabulary` (map-side partial counts, one
+      token-bucket shuffle, ``min_count`` floor). The PRUNED vocab is
+      the Zipf head — small even when the corpus is 100 TB — so it is
+      collected once on the driver and broadcast via ``ray.put``;
+    - phase 2 is a pure map over a column-pruned read: each task reads
+      the broadcast set zero-copy from the object store and scores its
+      batch. No per-document shuffle anywhere.
+
+    ``oov_milli = n_oov * 1000 // n_tokens`` in exact integer
+    milli-units (``n_tokens >= 1`` always: ``"".split(" ") == [""]``).
+    Tokenization matches ``text_stats`` (whitespace, empties kept) so
+    DuckDB's ``string_split`` mirrors bit-exactly.
+
+    Output: doc_id, n_tokens, n_oov, oov_milli.
+    """
+    import ray
+
+    vocab = vocabulary(sf_dir, min_count=min_count,
+                       num_buckets=num_buckets).to_pandas()
+    vocab_ref = ray.put(frozenset(vocab["token"].tolist()))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        toks = [t.split(" ") for t in b["text"]]
+        n_tokens = np.array([len(w) for w in toks], dtype="int64")
+        n_oov = np.array([sum(1 for x in w if x not in v) for w in toks],
+                         dtype="int64")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "n_tokens": n_tokens,
+            "n_oov": n_oov,
+            "oov_milli": n_oov * 1000 // n_tokens,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
