@@ -46,9 +46,9 @@ from .analytics import (
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample, stratified_sample
 from .textstats import (
-    BPE_PATTERN, STOPWORDS, doc_dup_fraction, doc_oov, doc_repetition,
-    doc_sketches, doc_quality, inverted_index, lang_id, sequence_pack,
-    text_stats, tfidf_top_terms, vocabulary,
+    BPE_PATTERN, STOPWORDS, curriculum_order, doc_dup_fraction, doc_oov,
+    doc_repetition, doc_sketches, doc_quality, inverted_index, lang_id,
+    quality_filter, sequence_pack, text_stats, tfidf_top_terms, vocabulary,
 )
 
 # ---------------------------------------------------------------------------
@@ -1120,6 +1120,28 @@ SELECT doc_id, n_tokens, n_oov,
 FROM per
 """
 
+# bottom-quartile corpus cut at an exact discrete global quantile: the
+# threshold is the ceil(0.25*n)-th smallest quality_milli
+_QUALITY_FILTER_SQL = f"""
+WITH dq AS ({{DQ}}),
+r AS (
+  SELECT quality_milli,
+         row_number() OVER (ORDER BY quality_milli) AS rn,
+         count(*) OVER () AS n
+  FROM dq)
+SELECT doc_id, quality_milli FROM dq
+WHERE quality_milli >= (
+  SELECT quality_milli FROM r WHERE rn = (n * 25 + 99) // 100)
+"""
+
+# curriculum placement: dense global rank by (quality desc, doc_id)
+_CURRICULUM_SQL = """
+WITH dq AS ({DQ})
+SELECT doc_id, quality_milli,
+       row_number() OVER (ORDER BY quality_milli DESC, doc_id) AS rank
+FROM dq
+"""
+
 # concat-and-chunk sequence packing: the window cumulative sum is the
 # SQL mirror of the engine's two-pass distributed scan (same whitespace
 # tokens as text_stats; seq_len = 512)
@@ -1676,6 +1698,8 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "doc_dup_fraction": doc_dup_fraction,
     "doc_oov": doc_oov,
+    "quality_filter": quality_filter,
+    "curriculum_order": curriculum_order,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
         ["doc_id", "avg_char", "thumbhash"]),
     "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
@@ -1745,6 +1769,8 @@ ORACLES = {
     "doc_repetition": _DOC_REPETITION_SQL,
     "doc_dup_fraction": _DOC_DUP_FRACTION_SQL,
     "doc_oov": _DOC_OOV_SQL,
+    "quality_filter": _QUALITY_FILTER_SQL.format(DQ=_DOC_QUALITY_SQL),
+    "curriculum_order": _CURRICULUM_SQL.format(DQ=_DOC_QUALITY_SQL),
     "doc_sketches": _SKETCHES_SQL,
     "ann_topk": _ANN_SQL,
     # full-probe LSH (probe_hamming = bits) scans every bucket, so the

@@ -545,3 +545,109 @@ def doc_oov(sf_dir: str, min_count: int = 100,
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def quality_filter(sf_dir: str, q_pct: int = 25) -> rd.Dataset:
+    """GLOBAL-QUANTILE quality filtering — drop the bottom ``q_pct``
+    percent of the corpus by :func:`doc_quality` score (the standard
+    pre-training corpus cut). The threshold is an EXACT discrete
+    quantile, computed scale-free from the score's bounded integer
+    domain ([0, 1000] milli-units):
+
+    - phase 1: per-batch value-count partials (<= 1001 rows each)
+      reduce through one bucketed ``groupby(value // 32)`` — the full
+      histogram (<= 1001 rows total, regardless of corpus size)
+      reaches the driver, which picks the smallest value whose
+      cumulative count reaches ``ceil(q_pct * n / 100)`` — identical
+      to the ``row_number() = k``-th smallest in the SQL mirror;
+    - phase 2: a pure map re-scores and filters — the scalar threshold
+      ships in the task closure, no shuffle of document rows ever.
+
+    Output: doc_id, quality_milli for surviving docs.
+    """
+    ds = doc_quality(sf_dir)
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("quality_milli", sort=False).size()
+        v = s.index.to_numpy(dtype="int64")
+        return pd.DataFrame({"quality_milli": v,
+                             "c": s.to_numpy(dtype="int64"),
+                             "_hb": v // np.int64(32)})
+
+    def reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("quality_milli", sort=False)["c"].sum()
+        return pd.DataFrame({"quality_milli": s.index.to_numpy(),
+                             "c": s.to_numpy(dtype="int64")})
+
+    h = (ds.map_batches(hist, batch_format="pandas")
+         .groupby("_hb")
+         .map_groups(lambda g: reduce_hist(g.drop(columns=["_hb"])),
+                     batch_format="pandas")
+         .to_pandas().sort_values("quality_milli"))
+    n = int(h["c"].sum())
+    k = (n * q_pct + 99) // 100
+    thr = int(h.loc[h["c"].cumsum() >= k, "quality_milli"].iloc[0])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[b["quality_milli"] >= thr, ["doc_id", "quality_milli"]]
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def curriculum_order(sf_dir: str, bucket_width: int = 8) -> rd.Dataset:
+    """Curriculum ORDERING: the dense global rank of every document by
+    (quality desc, doc_id asc) — the placement key a curriculum
+    sampler reads sequences in. A global rank normally means a global
+    sort; here it runs as the two-pass distributed scan over the
+    score's bounded integer domain (same trick as
+    :func:`sequence_pack`, range-partitioned on VALUE instead of key):
+
+    1. pure-map scoring, ``_part = quality_milli // bucket_width``
+       (disjoint value ranges — so cross-partition order is free);
+    2. per-batch (part, count) partials; only O(#parts <= 126) rows
+       reach the driver, which prefix-sums counts in DESCENDING part
+       order into per-partition base ranks;
+    3. one bucketed ``groupby(_part)`` sorts each partition locally by
+       (quality_milli desc, doc_id) and adds the base.
+
+    Partitioning assumption: score ties concentrate per value bucket,
+    so a pathological corpus where most docs share one score puts that
+    bucket on one node (document-scale skew, not row-duplication).
+    Output: doc_id, quality_milli, rank (1-based, no gaps).
+    """
+    ds = doc_quality(sf_dir)
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        qm = b["quality_milli"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "quality_milli": qm,
+            "_part": qm // np.int64(bucket_width),
+        })
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("_part", sort=False).size()
+        return pd.DataFrame({"_part": s.index.to_numpy(),
+                             "c": s.to_numpy(dtype="int64")})
+
+    parts = (keyed.map_batches(partial, batch_format="pandas")
+             .to_pandas().groupby("_part", sort=True)["c"].sum()
+             .sort_index(ascending=False))
+    base = dict(zip(parts.index.tolist(),
+                    np.concatenate(([0], np.cumsum(parts.to_numpy())[:-1]))
+                    .tolist()))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["quality_milli", "doc_id"],
+                          ascending=[False, True])
+        b0 = base[int(g["_part"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "quality_milli": g["quality_milli"].to_numpy(),
+            "rank": b0 + np.arange(1, len(g) + 1, dtype="int64"),
+        })
+
+    return keyed.groupby("_part").map_groups(assign, batch_format="pandas")
