@@ -959,6 +959,12 @@ def _q_media_mkv_roundtrip(sf_dir: str):
     return media_mkv_roundtrip(sf_dir)
 
 
+def _q_media_mjpeg_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_mjpeg_roundtrip
+
+    return media_mjpeg_roundtrip(sf_dir)
+
+
 _JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id, sha256(text) AS recovered_sha
 FROM documents
@@ -1672,6 +1678,7 @@ QUERIES = {
     "media_gif_roundtrip": _q_media_gif_roundtrip,
     "media_mp4_roundtrip": _q_media_mp4_roundtrip,
     "media_mkv_roundtrip": _q_media_mkv_roundtrip,
+    "media_mjpeg_roundtrip": _q_media_mjpeg_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -1809,6 +1816,10 @@ ORACLES = {
     # Matroska round trip recovers the bytes from multi-cluster EBML
     # SimpleBlocks in timestamp order, same raw-text-hash oracle
     "media_mkv_roundtrip": _MEDIA_HASHES_SQL,
+    # Motion-JPEG: sha256 hex painted as DC-only tiles across 4 JPEG
+    # frames inside a real MP4 (even ids) / Matroska (odd ids) video
+    # track — the digest oracle certifies container + JPEG jointly
+    "media_mjpeg_roundtrip": _JPEG_ROUNDTRIP_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

@@ -240,7 +240,9 @@ class MkvCodec:
 
     @staticmethod
     def decode_frames(payload: bytes) -> np.ndarray:
-        """(n_frames, h, w) uint8 for a ``V_UNCOMPRESSED`` gray track;
+        """(n_frames, h, w) uint8 luma for a ``V_UNCOMPRESSED`` gray
+        track or a ``V_MJPEG`` track (every SimpleBlock a complete
+        baseline JPEG, decoded for real by ``stages/jpeg.py``); other
         compressed bitstreams (VP8/VP9/AV1) raise — the documented
         decoder-library plug point."""
         info = _parse(payload, want_blocks=False)
@@ -248,16 +250,21 @@ class MkvCodec:
                    None)
         if vid is None:
             raise ValueError("ebml: no video track")
-        if vid.get("codec_id") != "V_UNCOMPRESSED":
-            raise NotImplementedError(
-                f"ebml: compressed video bitstream "
-                f"({vid.get('codec_id')!r}) needs a decoder library; "
-                f"container demux is real — plug the decoder over "
-                f"MkvCodec.extract_blocks()")
-        w, h = int(vid.get("width", 0)), int(vid.get("height", 0))
+        codec = vid.get("codec_id")
         blocks = MkvCodec.extract_blocks(payload, vid.get("track_num"))
         if not blocks:
             raise ValueError("ebml: no blocks")
+        if codec == "V_MJPEG":
+            from .mp4 import _jpeg_luma
+
+            return np.stack([_jpeg_luma(blk) for blk in blocks])
+        if codec != "V_UNCOMPRESSED":
+            raise NotImplementedError(
+                f"ebml: compressed video bitstream "
+                f"({codec!r}) needs a decoder library; "
+                f"container demux is real — plug the decoder over "
+                f"MkvCodec.extract_blocks()")
+        w, h = int(vid.get("width", 0)), int(vid.get("height", 0))
         return np.stack([
             np.frombuffer(blk, dtype=np.uint8, count=h * w).reshape(h, w)
             for blk in blocks

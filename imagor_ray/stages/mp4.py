@@ -36,6 +36,23 @@ _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf",
                b"edts", b"udta"}
 
 
+def _jpeg_luma(sample: bytes) -> np.ndarray:
+    """Decode one Motion-JPEG sample to its (h, w) uint8 luma plane.
+    Gray JPEGs pass through exactly; color samples reduce via the
+    integer Rec.601 weights (the thumbnail-frame convention)."""
+    from .jpeg import JpegCodec
+
+    px = JpegCodec.decode_pixels(sample)
+    if px.ndim == 3 and px.shape[2] == 1:
+        return px[:, :, 0]
+    if px.ndim == 2:
+        return px
+    r = px[:, :, 0].astype(np.uint32)
+    g = px[:, :, 1].astype(np.uint32)
+    b = px[:, :, 2].astype(np.uint32)
+    return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+
+
 def _walk(payload: bytes, start: int, end: int):
     """Yield (type, body_start, body_end) for each box in [start, end).
     Handles 32-bit sizes, size==1 (64-bit largesize) and size==0
@@ -278,28 +295,33 @@ class Mp4Codec:
 
     @staticmethod
     def decode_frames(payload: bytes) -> np.ndarray:
-        """(n_frames, h, w) uint8 for an uncompressed-gray ``'raw '``
-        video track; compressed bitstreams (H.264/VP9) raise — the
-        documented decoder-library plug point."""
+        """(n_frames, h, w) uint8 luma for an uncompressed-gray
+        ``'raw '`` track or a Motion-JPEG ``'jpeg'`` track (every
+        sample is a complete baseline JPEG, decoded for real by
+        ``stages/jpeg.py``); other compressed bitstreams (H.264/VP9)
+        raise — the documented decoder-library plug point."""
         info = _parse(payload)
         vid = next((t for t in info["tracks"] if t.get("handler") == "vide"),
                    None)
         if vid is None:
             raise ValueError("mp4: no video track")
-        if vid.get("fourcc") != "raw ":
+        fourcc = vid.get("fourcc")
+        samples = Mp4Codec.extract_samples(payload, vid.get("track_id"))
+        if not samples:
+            raise ValueError("mp4: no samples")
+        if fourcc == "jpeg":
+            return np.stack([_jpeg_luma(s) for s in samples])
+        if fourcc != "raw ":
             raise NotImplementedError(
                 f"mp4: compressed video bitstream "
-                f"({vid.get('fourcc')!r}) needs a decoder library; "
+                f"({fourcc!r}) needs a decoder library; "
                 f"container demux is real — plug the decoder over "
                 f"Mp4Codec.extract_samples()")
         w = int(vid.get("sample_width", vid.get("width", 0)))
         h = int(vid.get("sample_height", vid.get("height", 0)))
-        samples = Mp4Codec.extract_samples(payload, vid.get("track_id"))
-        frames = [np.frombuffer(s, dtype=np.uint8, count=h * w).reshape(h, w)
-                  for s in samples]
-        if not frames:
-            raise ValueError("mp4: no samples")
-        return np.stack(frames)
+        return np.stack([
+            np.frombuffer(s, dtype=np.uint8, count=h * w).reshape(h, w)
+            for s in samples])
 
     @staticmethod
     def decode_pixels(payload: bytes) -> np.ndarray:
@@ -361,6 +383,7 @@ def encode_mp4(
     fps: float = 10.0,
     timescale: int = 1000,
     samples_per_chunk: int = 0,
+    fourcc: str | None = None,
 ) -> bytes:
     """Mux samples into a single-track ISO BMFF file (ftyp + mdat +
     moov, offsets exact).
@@ -368,18 +391,32 @@ def encode_mp4(
     - ``frames`` as a (n, h, w) uint8 array → uncompressed grayscale
       VIDEO track (sample entry ``'raw '``), one frame per sample —
       round-trips through :meth:`Mp4Codec.decode_frames`.
-    - ``frames`` as a list of bytes → timed METADATA track (handler
-      ``meta``, sample entry ``'mett'``) with variable sample sizes —
-      round-trips through :meth:`Mp4Codec.extract_samples`.
+    - ``frames`` as a list of bytes with ``fourcc="jpeg"`` → a
+      Motion-JPEG VIDEO track (each sample a complete baseline JPEG,
+      variable sizes, dims read from the first sample) — round-trips
+      through :meth:`Mp4Codec.decode_frames`.
+    - ``frames`` as a list of bytes (no fourcc) → timed METADATA track
+      (handler ``meta``, sample entry ``'mett'``) with variable sample
+      sizes — round-trips through :meth:`Mp4Codec.extract_samples`.
     - ``samples_per_chunk`` > 0 splits samples into multiple chunks
       (exercises the stsc/stco expansion path); 0 = one chunk.
     """
+    video_fourcc = b"raw "
     if isinstance(frames, np.ndarray):
         if frames.ndim != 3 or frames.dtype != np.uint8:
             raise ValueError("encode_mp4: video frames must be (n,h,w) uint8")
         n, h, w = frames.shape
         samples = [np.ascontiguousarray(f).tobytes() for f in frames]
         handler, is_video = b"vide", True
+    elif fourcc == "jpeg":
+        from .jpeg import JpegCodec
+
+        samples = [bytes(s) for s in frames]
+        if not samples:
+            raise ValueError("encode_mp4: no samples")
+        meta0 = JpegCodec.decode_meta(samples[0])
+        w, h = int(meta0["width"]), int(meta0["height"])
+        handler, is_video, video_fourcc = b"vide", True, b"jpeg"
     else:
         samples = [bytes(s) for s in frames]
         h = w = 0
@@ -408,7 +445,7 @@ def encode_mp4(
 
     if is_video:
         sample_entry = _box(
-            b"raw ",
+            video_fourcc,
             b"\x00" * 6, struct.pack(">H", 1),          # reserved, dri
             b"\x00" * 16,                                # predefined/reserved
             struct.pack(">HH", w, h),

@@ -729,6 +729,69 @@ def media_mkv_roundtrip(sf_dir: str) -> rd.Dataset:
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
 
 
+def media_mjpeg_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED Motion-JPEG entry — the first COMPRESSED video
+    bitstream decoded for real inside a container: each document's
+    sha256 hex digest is painted as constant 8×8 tiles split across
+    FOUR baseline-JPEG frames (q=100 ⇒ DC-only ⇒ bit-exact, the
+    media_jpeg_roundtrip witness), and the frames are muxed as a real
+    MJPEG video track — even doc_ids into MP4 (sample entry
+    ``'jpeg'``, 3 samples/chunk so the stsc expansion is on the path),
+    odd doc_ids into Matroska (``V_MJPEG``, 3 blocks/cluster). A
+    second map stage demuxes the track, JPEG-decodes every sample and
+    reads the tiles back in frame order — equality against DuckDB's
+    ``sha256(text)`` certifies container framing AND entropy
+    coding/DCT/quantization jointly, per container.
+
+    Output: doc_id, recovered_sha.
+    """
+    import hashlib
+
+    from .codecs import (JpegCodec, MkvCodec, Mp4Codec, encode_jpeg,
+                         encode_mkv, encode_mp4)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            digest = hashlib.sha256(t.encode("utf-8")).hexdigest()
+            vals = np.frombuffer(digest.encode("ascii"), dtype=np.uint8)
+            jpegs = []
+            for fr in vals.reshape(4, 16):                  # 16 tiles/frame
+                img = np.repeat(np.repeat(fr.reshape(1, 16), 8, axis=0),
+                                8, axis=1)                  # 8 × 128
+                jpegs.append(encode_jpeg(img, quality=100))
+            if int(doc_id) % 2 == 0:
+                payloads.append(encode_mp4(jpegs, fourcc="jpeg",
+                                           samples_per_chunk=3))
+            else:
+                payloads.append(encode_mkv(jpegs, codec_id="V_MJPEG",
+                                           blocks_per_cluster=3))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        shas = []
+        for p in batch["payload"].to_pylist():
+            codec = MkvCodec if p[:4] == b"\x1a\x45\xdf\xa3" else Mp4Codec
+            frames = codec.decode_frames(p)                 # (4, 8, 128)
+            shas.append(frames[:, 0, ::8].reshape(-1)
+                        .tobytes().decode("ascii"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "recovered_sha": pa.array(shas, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine, varying rate/length/channels),

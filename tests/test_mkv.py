@@ -154,3 +154,32 @@ class TestRayIntegration:
             f"FROM '{sf}/documents.parquet' ORDER BY doc_id"
         ).df()
         assert list(got["sha256"]) == list(exp["sha256"])
+
+
+class TestMkvMjpeg:
+    def test_mkv_mjpeg_roundtrip_exact(self):
+        import numpy as np
+
+        from imagor_ray.stages.jpeg import encode_jpeg
+        from imagor_ray.stages.mkv import MkvCodec, encode_mkv
+
+        rng = np.random.default_rng(11)
+        frames = [np.kron(rng.integers(0, 256, (3, 5), dtype=np.uint8),
+                          np.ones((8, 8), np.uint8)) for _ in range(7)]
+        jpegs = [encode_jpeg(f, quality=100) for f in frames]
+        payload = encode_mkv(jpegs, codec_id="V_MJPEG", blocks_per_cluster=3)
+
+        assert MkvCodec.decode_meta(payload)["codec_id"] == "V_MJPEG"
+        dec = MkvCodec.decode_frames(payload)
+        assert dec.shape == (7, 24, 40)
+        for got, want in zip(dec, frames):
+            assert (got == want).all()
+
+    def test_mkv_other_compressed_codec_still_raises(self):
+        import pytest
+
+        from imagor_ray.stages.mkv import MkvCodec, encode_mkv
+
+        payload = encode_mkv([b"\x00" * 16], codec_id="V_VP9")
+        with pytest.raises(NotImplementedError):
+            MkvCodec.decode_frames(payload)

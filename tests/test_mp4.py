@@ -208,3 +208,51 @@ class TestRayIntegration:
             f"FROM '{sf}/documents.parquet' ORDER BY doc_id"
         ).df()
         assert list(got["sha256"]) == list(exp["sha256"])
+
+
+class TestMjpeg:
+    def test_mp4_mjpeg_roundtrip_exact(self):
+        import numpy as np
+
+        from imagor_ray.stages.jpeg import encode_jpeg
+        from imagor_ray.stages.mp4 import Mp4Codec, encode_mp4
+
+        rng = np.random.default_rng(7)
+        frames = [np.kron(rng.integers(0, 256, (4, 6), dtype=np.uint8),
+                          np.ones((8, 8), np.uint8)) for _ in range(5)]
+        jpegs = [encode_jpeg(f, quality=100) for f in frames]
+        payload = encode_mp4(jpegs, fourcc="jpeg", samples_per_chunk=2)
+
+        meta = Mp4Codec.decode_meta(payload)
+        assert meta["fourcc"] == "jpeg"
+        assert (meta["width"], meta["height"]) == (48, 32)
+        dec = Mp4Codec.decode_frames(payload)
+        assert dec.shape == (5, 32, 48)
+        for got, want in zip(dec, frames):
+            assert (got == want).all()       # DC-only ⇒ bit-exact
+
+    def test_mp4_mjpeg_color_sample_reduces_to_luma(self):
+        import numpy as np
+
+        from imagor_ray.stages.jpeg import encode_jpeg
+        from imagor_ray.stages.mp4 import Mp4Codec, encode_mp4
+
+        rgb = np.zeros((16, 16, 3), np.uint8)
+        rgb[..., 1] = 200
+        payload = encode_mp4([encode_jpeg(rgb, quality=100)], fourcc="jpeg")
+        dec = Mp4Codec.decode_frames(payload)
+        assert dec.shape == (1, 16, 16)
+        # Rec.601 integer luma of pure green ≈ (150*200)>>8
+        assert abs(int(dec[0, 8, 8]) - ((150 * 200) >> 8)) <= 2
+
+    def test_mp4_other_compressed_fourcc_still_raises(self):
+        import numpy as np
+        import pytest
+
+        from imagor_ray.stages.mp4 import Mp4Codec, encode_mp4
+
+        payload = encode_mp4(
+            np.zeros((2, 8, 8), np.uint8))
+        patched = payload.replace(b"raw ", b"avc1")
+        with pytest.raises(NotImplementedError):
+            Mp4Codec.decode_frames(patched)
