@@ -965,6 +965,12 @@ def _q_media_mjpeg_roundtrip(sf_dir: str):
     return media_mjpeg_roundtrip(sf_dir)
 
 
+def _q_media_g711_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_g711_roundtrip
+
+    return media_g711_roundtrip(sf_dir)
+
+
 _JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id, sha256(text) AS recovered_sha
 FROM documents
@@ -1679,6 +1685,7 @@ QUERIES = {
     "media_mp4_roundtrip": _q_media_mp4_roundtrip,
     "media_mkv_roundtrip": _q_media_mkv_roundtrip,
     "media_mjpeg_roundtrip": _q_media_mjpeg_roundtrip,
+    "media_g711_roundtrip": _q_media_g711_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -1820,6 +1827,10 @@ ORACLES = {
     # frames inside a real MP4 (even ids) / Matroska (odd ids) video
     # track — the digest oracle certifies container + JPEG jointly
     "media_mjpeg_roundtrip": _JPEG_ROUNDTRIP_SQL,
+    # G.711: the document bytes ARE the A-law code stream of a real
+    # compressed-audio WAV; expand→compand is a bijection on all 256
+    # codes, so the raw-text hash certifies RIFF framing + both tables
+    "media_g711_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

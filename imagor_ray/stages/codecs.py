@@ -41,6 +41,11 @@ __all__ = [
     "Mp4Codec",
     "MkvCodec",
     "encode_wav",
+    "encode_wav_g711",
+    "ulaw_encode",
+    "ulaw_decode",
+    "alaw_encode",
+    "alaw_decode",
     "encode_bmp",
     "encode_png",
     "encode_jpeg",
@@ -91,6 +96,109 @@ def sniff_media(payload: bytes) -> str:
 # ---------------------------------------------------------------------------
 # WAV (stdlib wave + numpy PCM)
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 decode tables for µ-law and A-law (ITU-T G.711
+    expansion formulas). µ-law folds its two zero codes (0x7F/0xFF) to
+    the same sample; A-law is a bijection on all 256 bytes."""
+    u = np.empty(256, dtype=np.int16)
+    a = np.empty(256, dtype=np.int16)
+    for byte in range(256):
+        b = ~byte & 0xFF
+        sign, exp, mant = b & 0x80, (b >> 4) & 7, b & 0x0F
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        u[byte] = -x if sign else x
+        b = byte ^ 0x55
+        sign, exp, mant = b & 0x80, (b >> 4) & 7, b & 0x0F
+        x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        a[byte] = -x if sign else x
+    return u, a
+
+
+_ULAW_TABLE, _ALAW_TABLE = _g711_tables()
+_G711_SEG = np.array([256, 512, 1024, 2048, 4096, 8192, 16384, 32768],
+                     dtype=np.int32)
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 µ-law compression: int16 samples → uint8 codes
+    (bias 0x84, clip 32635, ones-complement output). Exact inverse of
+    the decode table on its image, except the canonical-zero fold
+    (both zero codes re-encode as 0xFF)."""
+    x = np.asarray(pcm, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.searchsorted(_G711_SEG, mag, side="right").astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 A-law compression: int16 samples → uint8 codes
+    (0x55 toggle, clip 32767). Exact inverse of the decode table on
+    all 256 codes."""
+    x = np.asarray(pcm, dtype=np.int32)
+    neg = x < 0
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.maximum(
+        np.searchsorted(_G711_SEG, mag, side="right").astype(np.int32), 0)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    raw = np.where(neg, 0x80, 0) | (exp << 4) | mant
+    return ((raw ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    return _ULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    return _ALAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+_WAV_TAG_PCM, _WAV_TAG_ALAW, _WAV_TAG_ULAW = 1, 6, 7
+
+
+def encode_wav_g711(codes: np.ndarray, sample_rate: int,
+                    law: str = "alaw", n_channels: int = 1) -> bytes:
+    """Compressed-audio WAV: G.711 code bytes wrapped in a RIFF file
+    with format tag 6 (A-law) / 7 (µ-law) and an 18-byte fmt chunk
+    (cbSize=0, as the spec requires for non-PCM)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    tag = _WAV_TAG_ALAW if law == "alaw" else _WAV_TAG_ULAW
+    data = codes.tobytes()
+    fmt = struct.pack("<HHIIHHH", tag, n_channels, sample_rate,
+                      sample_rate * n_channels, n_channels, 8, 0)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_riff_wav(payload: bytes) -> tuple[dict, bytes]:
+    """Minimal RIFF walk for the non-PCM formats stdlib ``wave``
+    rejects: returns (fmt fields, raw data bytes)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    off, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    fmt: dict = {}
+    data = b""
+    while off + 8 <= min(end, len(payload)):
+        cid = payload[off: off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8: off + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0] if size >= 16 else 8
+            fmt = {"tag": tag, "n_channels": ch, "sample_rate": rate,
+                   "bits": bits}
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)
+    if not fmt:
+        raise ValueError("wav: missing fmt chunk")
+    return fmt, data
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """PCM16 WAV bytes from an (n_frames, n_channels) int16 array."""
     samples = np.asarray(samples, dtype="<i2")
@@ -111,26 +219,53 @@ class WavCodec:
 
     @staticmethod
     def decode_meta(payload: bytes) -> dict:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            n_frames = w.getnframes()
-            rate = w.getframerate()
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                n_frames = w.getnframes()
+                rate = w.getframerate()
+                return {
+                    "n_channels": w.getnchannels(),
+                    "sample_rate": rate,
+                    "n_frames": n_frames,
+                    "sample_width": w.getsampwidth(),
+                    "duration_ms": int(n_frames * 1000 / max(1, rate)),
+                }
+        except wave.Error:
+            # compressed flavors stdlib wave rejects (G.711 tags 6/7)
+            fmt, data = _parse_riff_wav(payload)
+            ch = max(1, fmt["n_channels"])
+            n_frames = len(data) // ch
+            rate = fmt["sample_rate"]
             return {
-                "n_channels": w.getnchannels(),
+                "n_channels": ch,
                 "sample_rate": rate,
                 "n_frames": n_frames,
-                "sample_width": w.getsampwidth(),
+                "sample_width": 1,
                 "duration_ms": int(n_frames * 1000 / max(1, rate)),
             }
 
     @staticmethod
     def decode_pcm(payload: bytes) -> tuple[np.ndarray, int]:
         """(frames × channels int array, sample_rate). PCM16/PCM8/PCM32
-        supported (the formats the stdlib writer produces)."""
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            ch = w.getnchannels()
-            width = w.getsampwidth()
-            rate = w.getframerate()
-            raw = w.readframes(w.getnframes())
+        plus the G.711 compressed flavors (format tag 6 A-law / 7
+        µ-law — real table expansion to int16)."""
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                ch = w.getnchannels()
+                width = w.getsampwidth()
+                rate = w.getframerate()
+                raw = w.readframes(w.getnframes())
+        except wave.Error:
+            fmt, data = _parse_riff_wav(payload)
+            ch, rate = max(1, fmt["n_channels"]), fmt["sample_rate"]
+            codes = np.frombuffer(data, dtype=np.uint8)
+            if fmt["tag"] == _WAV_TAG_ALAW:
+                pcm = alaw_decode(codes)
+            elif fmt["tag"] == _WAV_TAG_ULAW:
+                pcm = ulaw_decode(codes)
+            else:
+                raise ValueError(f"unsupported wav format tag {fmt['tag']}")
+            return pcm.reshape(-1, ch), rate
         dtype = {1: np.uint8, 2: "<i2", 4: "<i4"}.get(width)
         if dtype is None:
             raise ValueError(f"unsupported PCM sample width {width}")

@@ -792,6 +792,58 @@ def media_mjpeg_roundtrip(sf_dir: str) -> rd.Dataset:
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
 
 
+def media_g711_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED compressed-AUDIO entry (the audio sibling of
+    ``media_mjpeg_roundtrip``): each document's length-prefixed utf-8
+    bytes ARE the A-law code stream of a real G.711 WAV (format tag 6,
+    18-byte fmt chunk — the flavor stdlib ``wave`` rejects, exercising
+    the engine's own RIFF walk). A second map stage expands the codes
+    to int16 PCM through the real decode table, re-compresses through
+    the vectorized encoder — A-law is a BIJECTION on all 256 codes, so
+    the byte stream is recovered exactly — and re-hashes it. Equality
+    against DuckDB's raw-text sha256 certifies RIFF framing and the
+    compand/expand pair jointly.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .codecs import WavCodec, alaw_encode, encode_wav_g711
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            payloads.append(encode_wav_g711(
+                np.frombuffer(body, dtype=np.uint8), 8000, law="alaw"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            pcm, _rate = WavCodec.decode_pcm(p)
+            flat = alaw_encode(pcm[:, 0]).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine, varying rate/length/channels),

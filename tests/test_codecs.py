@@ -198,3 +198,64 @@ def test_property_wav_roundtrip(n, ch, rate, seed):
     np.testing.assert_array_equal(got, pcm)
     m = WavCodec.decode_meta(payload)
     assert (m["n_frames"], m["n_channels"]) == (n, ch)
+
+
+class TestG711:
+    def test_alaw_bijection_all_codes(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import alaw_decode, alaw_encode
+
+        b = np.arange(256, dtype=np.uint8)
+        vals = alaw_decode(b)
+        assert len(set(vals.tolist())) == 256          # bijection
+        assert (alaw_encode(vals) == b).all()
+
+    def test_ulaw_inverse_except_zero_fold(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import ulaw_decode, ulaw_encode
+
+        b = np.arange(256, dtype=np.uint8)
+        rec = ulaw_encode(ulaw_decode(b))
+        bad = np.nonzero(rec != b)[0]
+        # G.711 µ-law: -0 (0x7F) folds to the canonical +0 code 0xFF
+        assert bad.tolist() == [0x7F] and rec[0x7F] == 0xFF
+        assert ulaw_decode(np.array([0x00], np.uint8))[0] == -32124
+        assert ulaw_decode(np.array([0x80], np.uint8))[0] == 32124
+
+    def test_g711_quantizer_monotone_and_bounded(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import (alaw_decode, alaw_encode,
+                                              ulaw_decode, ulaw_encode)
+
+        x = np.arange(-32768, 32768, dtype=np.int16)
+        for enc, dec, clip in ((ulaw_encode, ulaw_decode, 32635),
+                               (alaw_encode, alaw_decode, 32767)):
+            d = dec(enc(x)).astype(np.int32)
+            assert (np.diff(d) >= 0).all()
+            err = np.abs(d - np.clip(x, -clip, clip).astype(np.int32))
+            assert err.max() <= 1024                   # top-segment width
+
+    def test_g711_wav_flavor_decodes_via_own_riff_walk(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import (WavCodec, alaw_encode,
+                                              encode_wav_g711, sniff_media,
+                                              ulaw_decode)
+
+        codes = np.frombuffer(b"g711 \x00\x7f\xff payload", dtype=np.uint8)
+        for law in ("alaw", "ulaw"):
+            payload = encode_wav_g711(codes, 8000, law=law)
+            assert sniff_media(payload) == "wav"
+            meta = WavCodec.decode_meta(payload)
+            assert meta["n_frames"] == len(codes)
+            assert meta["sample_width"] == 1
+            pcm, rate = WavCodec.decode_pcm(payload)
+            assert rate == 8000 and pcm.shape == (len(codes), 1)
+        # a-law leg recovers the exact bytes; u-law expands via table
+        pcm, _ = WavCodec.decode_pcm(encode_wav_g711(codes, 8000, law="alaw"))
+        assert alaw_encode(pcm[:, 0]).tobytes() == codes.tobytes()
+        pcm, _ = WavCodec.decode_pcm(encode_wav_g711(codes, 8000, law="ulaw"))
+        assert (pcm[:, 0] == ulaw_decode(codes)).all()
