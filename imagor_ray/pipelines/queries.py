@@ -46,9 +46,10 @@ from .analytics import (
 from .joins import asof_join_events_orders, error_context_window
 from .sampling import dataset_split, deterministic_sample, stratified_sample
 from .textstats import (
-    BPE_PATTERN, STOPWORDS, curriculum_order, doc_dup_fraction, doc_oov,
-    doc_repetition, doc_sketches, doc_quality, inverted_index, lang_id,
-    quality_filter, sequence_pack, text_stats, tfidf_top_terms, vocabulary,
+    BPE_PATTERN, STOPWORDS, collocations, curriculum_order,
+    doc_dup_fraction, doc_oov, doc_repetition, doc_sketches, doc_quality,
+    inverted_index, lang_id, quality_filter, sequence_pack, text_stats,
+    tfidf_top_terms, vocabulary,
 )
 
 # ---------------------------------------------------------------------------
@@ -1154,6 +1155,34 @@ SELECT doc_id, quality_milli,
 FROM dq
 """
 
+# top-20 bigram collocations by exact integer lift (min_count 20);
+# HUGEINT keeps cnt*N*1000 exact, mirroring the engine's Python ints
+_COLLOCATIONS_SQL = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), big AS (
+  SELECT w[i.i] AS w1, w[i.i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) i
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM big GROUP BY 1, 2 HAVING count(*) >= 20
+), uc AS (
+  SELECT unnest(string_split(text, ' ')) AS tk FROM documents
+), u AS (
+  SELECT tk, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY 1
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM uc
+)
+SELECT bc.w1, bc.w2, bc.cnt,
+       CAST(CAST(bc.cnt AS HUGEINT) * n.total * 1000
+            // (ua.c * ub.c) AS BIGINT) AS lift_milli
+FROM bc CROSS JOIN n
+JOIN u ua ON ua.tk = bc.w1
+JOIN u ub ON ub.tk = bc.w2
+ORDER BY lift_milli DESC, bc.w1, bc.w2
+LIMIT 20
+"""
+
 # concat-and-chunk sequence packing: the window cumulative sum is the
 # SQL mirror of the engine's two-pass distributed scan (same whitespace
 # tokens as text_stats; seq_len = 512)
@@ -1714,6 +1743,7 @@ QUERIES = {
     "doc_oov": doc_oov,
     "quality_filter": quality_filter,
     "curriculum_order": curriculum_order,
+    "collocations": collocations,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
         ["doc_id", "avg_char", "thumbhash"]),
     "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
@@ -1785,6 +1815,7 @@ ORACLES = {
     "doc_oov": _DOC_OOV_SQL,
     "quality_filter": _QUALITY_FILTER_SQL.format(DQ=_DOC_QUALITY_SQL),
     "curriculum_order": _CURRICULUM_SQL.format(DQ=_DOC_QUALITY_SQL),
+    "collocations": _COLLOCATIONS_SQL,
     "doc_sketches": _SKETCHES_SQL,
     "ann_topk": _ANN_SQL,
     # full-probe LSH (probe_hamming = bits) scans every bucket, so the

@@ -651,3 +651,81 @@ def curriculum_order(sf_dir: str, bucket_width: int = 8) -> rd.Dataset:
         })
 
     return keyed.groupby("_part").map_groups(assign, batch_format="pandas")
+
+
+def collocations(sf_dir: str, min_count: int = 20, top_k: int = 20,
+                 num_buckets: int = 32) -> pd.DataFrame:
+    """Collocation mining: the corpus's top-k word bigrams by exact
+    integer LIFT (``cnt(a,b) * N / (cnt(a) * cnt(b))`` in milli-units
+    — the PMI family without the float log). ONE fused map-side
+    partial pass emits all three statistics as tagged rows (bigram
+    counts, unigram counts, the total-token count), so the corpus is
+    read ONCE and shuffled ONCE on ``crc32(kind|w1|w2) % num_buckets``
+    with Counter-collapsed partials (Zipf heads collapse map-side,
+    same as :func:`vocabulary`):
+
+    - the ``min_count`` floor applies bucket-locally to bigrams AND
+      unigrams (safe: a token in a surviving bigram has
+      ``cnt(token) >= cnt(bigram) >= min_count``);
+    - only the pruned heads reach the driver, which joins them and
+      computes lift with arbitrary-precision Python ints (the product
+      ``cnt * N * 1000`` exceeds int64 at 100 TB — the SQL mirror uses
+      HUGEINT the same way) and takes the top-k under the total order
+      (lift desc, w1, w2).
+
+    Output: w1, w2, cnt, lift_milli (top_k rows).
+    """
+    from collections import Counter
+
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        total = 0
+        for t in b["text"].tolist():
+            w = t.split(" ")
+            total += len(w)
+            uni.update(w)
+            big.update(zip(w, w[1:]))
+        kinds = (["u"] * len(uni)) + (["b"] * len(big)) + ["n"]
+        w1 = list(uni.keys()) + [a for a, _ in big.keys()] + [""]
+        w2 = ([""] * len(uni)) + [bb for _, bb in big.keys()] + [""]
+        cnt = (list(uni.values()) + list(big.values()) + [total])
+        keys = [f"{k}\x1f{a}\x1f{c}" for k, a, c in zip(kinds, w1, w2)]
+        return pd.DataFrame({
+            "kind": kinds, "w1": w1, "w2": w2,
+            "cnt": np.array(cnt, dtype="int64"),
+            "_tb": crc32_bucket(keys, num_buckets),
+        })
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["kind", "w1", "w2"], sort=False)["cnt"].sum()
+        s = s[(s >= min_count) | (s.index.get_level_values(0) == "n")]
+        out = s.reset_index()
+        return out
+
+    pruned = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(lambda g: reduce_bucket(g.drop(columns=["_tb"])),
+                    batch_format="pandas")
+        .to_pandas()
+    )
+    n_total = int(pruned.loc[pruned["kind"] == "n", "cnt"].sum())
+    uni = dict(zip(pruned.loc[pruned["kind"] == "u", "w1"],
+                   pruned.loc[pruned["kind"] == "u", "cnt"].astype(int)))
+    big = pruned[pruned["kind"] == "b"]
+
+    rows = []
+    for w1, w2, cnt in zip(big["w1"], big["w2"], big["cnt"].astype(int)):
+        ca, cb = uni.get(w1), uni.get(w2)
+        if ca is None or cb is None:
+            continue
+        rows.append((w1, w2, cnt, (cnt * n_total * 1000) // (ca * cb)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:top_k]
+    return pd.DataFrame(rows, columns=["w1", "w2", "cnt", "lift_milli"]) \
+        .astype({"cnt": "int64", "lift_milli": "int64"})
