@@ -250,3 +250,69 @@ def error_context_window(
             batch_format="pandas",
         )
     )
+
+
+def _anti_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    ev = g[g["side"] == 0]
+    build = g.loc[g["side"] == 1, "key"]
+    out = ev.loc[~ev["key"].isin(build),
+                 ["event_id", "key", "event_type"]]
+    return pd.DataFrame({
+        "event_id": out["event_id"].to_numpy(dtype="int64"),
+        "user_id": out["key"].to_numpy(dtype="int64"),
+        "event_type": out["event_type"].to_numpy(),
+    })
+
+
+def anti_join_events_urgent(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Distributed hash ANTI-JOIN (the relational sibling of the sink's
+    manifest anti-join): events from users who never placed an URGENT
+    order — the churn-risk / negative-cohort selection shape. Same
+    single-shuffle topology as :func:`asof_join_events_orders`, with
+    the anti-join's one extra scale move: the BUILD side collapses to
+    DISTINCT keys per batch BEFORE the shuffle (a membership probe
+    needs each key once, so what crosses the wire is bounded by
+    per-batch key cardinality, not order volume). Inside a bucket the
+    probe is one vectorized ``isin``.
+
+    Output: event_id, user_id, event_type.
+    """
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["user_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": key,
+            "side": np.zeros(len(b), dtype=np.int8),
+            "event_id": b["event_id"].astype("int64"),
+            "event_type": b["event_type"].to_numpy(),
+            "_jb": (key % num_buckets).astype(np.int32),
+        })
+
+    def tag_build(b: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(
+            b.loc[b["o_orderpriority"] == "1-URGENT", "o_custkey"]
+            .to_numpy().astype(np.int64))
+        return pd.DataFrame({
+            "key": key,
+            "side": np.ones(len(key), dtype=np.int8),
+            "event_id": np.full(len(key), -1, dtype=np.int64),
+            "event_type": np.full(len(key), "", dtype=object),
+            "_jb": (key % num_buckets).astype(np.int32),
+        })
+
+    tagged = events.map_batches(tag_events, batch_format="pandas").union(
+        orders.map_batches(tag_build, batch_format="pandas")
+    )
+    return (
+        tagged.groupby("_jb")
+        .map_groups(lambda g: _anti_bucket(g.drop(columns=["_jb"])),
+                    batch_format="pandas")
+    )

@@ -43,8 +43,10 @@ from .analytics import (
     approx_quantiles_by_type, latest_event_per_user, rolling_user_stats,
     top_orders_per_customer, user_stats_by_type,
 )
-from .joins import asof_join_events_orders, error_context_window
-from .sampling import dataset_split, deterministic_sample, stratified_sample
+from .joins import (anti_join_events_urgent, asof_join_events_orders,
+                    error_context_window)
+from .sampling import (dataset_split, deterministic_sample, group_sample,
+                       stratified_sample)
 from .textstats import (
     BPE_PATTERN, STOPWORDS, collocations, curriculum_order,
     doc_dup_fraction, doc_oov, doc_repetition, doc_sketches, doc_quality,
@@ -1204,6 +1206,26 @@ SELECT doc_id, n_tokens, tok_start,
 FROM c
 """
 
+# distributed hash anti-join: events from users with no URGENT order;
+# the engine ships the build side as per-batch DISTINCT keys
+_ANTI_JOIN_SQL = """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+# deterministic per-group reservoir: k=25 smallest md5(event_id) per
+# event_type — md5 is the engine's cross-engine random tape
+_GROUP_SAMPLE_SQL = """
+SELECT event_type, event_id, user_id, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+  FROM events
+) WHERE rk <= 25
+"""
+
 # CDC latest-per-key compaction: newest event per user, ts ties broken
 # by max event_id — the row_number()=1 window mirror
 _LATEST_EVENT_SQL = """
@@ -1760,6 +1782,8 @@ QUERIES = {
     "q3_shipping": _q_q3,
     "q5_nation_revenue": _q_q5,
     "asof_events_orders": _q_asof,
+    "anti_join_events_urgent": anti_join_events_urgent,
+    "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
     "error_context": error_context_window,
     "topk_orders_per_customer": top_orders_per_customer,
@@ -1830,6 +1854,8 @@ ORACLES = {
     "q3_shipping": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
     "asof_events_orders": _ASOF_SQL,
+    "anti_join_events_urgent": _ANTI_JOIN_SQL,
+    "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,
     "error_context": _ERROR_CONTEXT_SQL,
     "topk_orders_per_customer": _TOPK_PER_CUST_SQL,

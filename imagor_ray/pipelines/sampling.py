@@ -112,3 +112,48 @@ def stratified_sample(
         return b.loc[mask, ["event_id", "user_id", "event_type"]]
 
     return ev.map_batches(keep, batch_format="pandas")
+
+
+def group_sample(sf_dir: str, k: int = 25) -> rd.Dataset:
+    """Deterministic per-group RESERVOIR sample: for every event_type
+    keep the ``k`` rows with the smallest ``md5(event_id)`` — the
+    fixed-size per-class sample a labeling/eval pipeline draws, exact
+    and rerun-stable (the hash IS the reservoir's random tape, so no
+    RNG state crosses tasks). Scale shape: each batch pre-selects its
+    own per-group top-k (a mergeable partial — what shuffles is
+    ``<= k × n_types`` rows per batch, independent of batch size),
+    then one tiny grouped reduce (group count = type cardinality)
+    finishes the merge and assigns ranks.
+
+    Output: event_type, event_id, user_id, rk (1..k by md5 order).
+    """
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["event_id"].astype("int64")
+        h = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
+        out = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(),
+            "event_id": ids.to_numpy(),
+            "user_id": b["user_id"].astype("int64").to_numpy(),
+            "h": h,
+        })
+        return (out.sort_values(["event_type", "h", "event_id"])
+                .groupby("event_type", sort=False).head(k)
+                .reset_index(drop=True))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "event_id"]).head(k)
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(dtype="int64"),
+            "user_id": g["user_id"].to_numpy(dtype="int64"),
+            "rk": np.arange(1, len(g) + 1, dtype="int64"),
+        })
+
+    return (ev.map_batches(add_hash, batch_format="pandas")
+            .groupby("event_type")
+            .map_groups(finish, batch_format="pandas"))
