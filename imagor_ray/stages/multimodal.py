@@ -846,16 +846,19 @@ def media_g711_roundtrip(sf_dir: str) -> rd.Dataset:
 
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
-    rows cycle WAV (PCM16 seeded sine, varying rate/length/channels),
+    rows cycle WAV (PCM16 seeded sine alternating with G.711
+    A-law/µ-law compressed flavors, varying rate/length/channels),
     24-bit BMP alternating with uncompressed TIFF (seeded pixels,
     varying dims), PNG (seeded pixels, cycling gray/RGB/RGBA color
     types), baseline JPEG (seeded pixels, cycling gray / RGB 4:4:4 /
     RGB 4:2:0 / restart-marker variants), and real VIDEO rows cycling
-    animated GIF / multi-chunk MP4 / multi-cluster Matroska (seeded
-    gray frames) — the corpus the real-codec decode path runs on."""
+    animated GIF / multi-chunk MP4 / multi-cluster Matroska / MJPEG
+    (JPEG samples inside MP4 or Matroska) — the corpus the real-codec
+    decode path runs on."""
     from .codecs import (
-        encode_bmp, encode_gif, encode_jpeg, encode_mkv, encode_mp4,
-        encode_png, encode_tiff, encode_wav,
+        alaw_encode, encode_bmp, encode_gif, encode_jpeg, encode_mkv,
+        encode_mp4, encode_png, encode_tiff, encode_wav, encode_wav_g711,
+        ulaw_encode,
     )
 
     rng = np.random.default_rng(seed)
@@ -867,13 +870,21 @@ def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
                 w = int(rng.integers(4, 32))
                 nf = int(rng.integers(2, 9))
                 frames = rng.integers(0, 256, (nf, h, w), dtype=np.uint8)
-                variant = (i // 8) % 3               # cycle GIF / MP4 / MKV
+                variant = (i // 8) % 4       # GIF / MP4 / MKV / MJPEG
                 if variant == 1:
                     payload = encode_mp4(frames, fps=10,
                                          samples_per_chunk=3)
                 elif variant == 2:
                     payload = encode_mkv(frames, fps=10,
                                          blocks_per_cluster=3)
+                elif variant == 3:
+                    jpegs = [encode_jpeg(f, quality=90) for f in frames]
+                    if (i // 32) % 2 == 0:
+                        payload = encode_mp4(jpegs, fourcc="jpeg",
+                                             samples_per_chunk=3)
+                    else:
+                        payload = encode_mkv(jpegs, codec_id="V_MJPEG",
+                                             blocks_per_cluster=3)
                 else:
                     payload = encode_gif(frames)
                 kind = "video"
@@ -898,7 +909,15 @@ def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
             freq = float(rng.uniform(100, 2000))
             mono = (np.sin(2 * np.pi * freq * t) * 18000).astype("<i2")
             pcm = np.stack([mono] * ch, axis=1)
-            payload = encode_wav(pcm, rate)
+            law = (i // 3) % 3               # PCM16 / A-law / µ-law
+            if law == 1:
+                payload = encode_wav_g711(alaw_encode(pcm.reshape(-1)),
+                                          rate, law="alaw", n_channels=ch)
+            elif law == 2:
+                payload = encode_wav_g711(ulaw_encode(pcm.reshape(-1)),
+                                          rate, law="ulaw", n_channels=ch)
+            else:
+                payload = encode_wav(pcm, rate)
             kind = "audio"
         elif i % 3 == 1:
             h = int(rng.integers(4, 64))
