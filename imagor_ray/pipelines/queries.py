@@ -974,6 +974,12 @@ def _q_media_g711_roundtrip(sf_dir: str):
     return media_g711_roundtrip(sf_dir)
 
 
+def _q_bpe_merges(sf_dir: str):
+    from .bpe import bpe_train
+
+    return bpe_train(sf_dir, num_merges=25)
+
+
 _JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id, sha256(text) AS recovered_sha
 FROM documents
@@ -1748,6 +1754,9 @@ QUERIES = {
     "simhash64_pairs": simhash64_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_components": dedup_components,
+    # rows-only: iterative argmax-rewrite loop (no SQL mirror exists);
+    # pytest-verified identical to an independent reference (test_bpe)
+    "bpe_merges": _q_bpe_merges,
     "contamination": contamination,
     "text_stats": text_stats,
     # min_count=100 exercises the vocab-pruning floor on this corpus
