@@ -786,6 +786,169 @@ def _q_q3(sf_dir: str):
     )
 
 
+def _q_q10(sf_dir: str):
+    """TPC-H Q10-shaped returned-items report: top-20 customers by
+    revenue from 'R'-flagged lineitems of orders in a 6-month window.
+
+    Scale shape: both fact sides prune map-side (date window / return
+    flag) with map-side partial revenue sums, the orders × lineitem
+    exchange is Ray's native hash join, revenue aggregates per
+    customer through a bucket reduce — and the DIMENSION DECORATION
+    happens AFTER the top-20 (20 keys → one predicate-pushed
+    ``pq.read_table`` of customer + the tiny nation broadcast), so the
+    big customer dimension never joins the fact stream. Integer
+    milli-cents, identical IEEE expression both engines."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-07-01")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def prune_orders(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        return b[["o_orderkey", "o_custkey"]]
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+    )
+
+    def prune_line(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        ext = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        part = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            "rev_m": np.floor(ext * (1 - disc) * 1000).astype("int64"),
+        })
+        return (part.groupby("l_orderkey", sort=False)["rev_m"].sum()
+                .reset_index())
+
+    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    joined = orders.map_batches(prune_orders, batch_format="pandas").join(
+        line.map_batches(prune_line, batch_format="pandas"),
+        "inner", num_partitions=n_parts,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("o_custkey", sort=False)["rev_m"].sum().reset_index()
+        s["_cb"] = (s["o_custkey"].to_numpy(dtype="int64") % np.int64(32))
+        return s
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("o_custkey", sort=False)["rev_m"].sum()
+                .reset_index())
+
+    per_cust = (joined.map_batches(partial, batch_format="pandas")
+                .groupby("_cb")
+                .map_groups(lambda g: reduce_bucket(g.drop(columns=["_cb"])),
+                            batch_format="pandas")
+                .to_pandas())
+    top = (per_cust.sort_values(["rev_m", "o_custkey"],
+                                ascending=[False, True], kind="mergesort")
+           .head(20))
+
+    # decorate AFTER the top-k: 20 keys, predicate pushed into the read
+    keys = top["o_custkey"].astype("int64").tolist()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=pc.field("c_custkey").isin(keys),
+    ).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out = out.sort_values(["rev_m", "c_custkey"],
+                          ascending=[False, True], kind="mergesort")
+    return pd.DataFrame({
+        "c_custkey": out["c_custkey"].to_numpy(dtype="int64"),
+        "c_name": out["c_name"].to_numpy(),
+        "n_name": out["n_name"].to_numpy(),
+        "revenue_m": out["rev_m"].to_numpy(dtype="int64"),
+    })
+
+
+def rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (nation, order year) over order revenue — the
+    OLAP rollup shape. The FINEST level (nation × year: a few hundred
+    cells at any corpus size) aggregates distributedly with map-side
+    partials + one nation-bucketed reduce; the coarser levels are then
+    derived from the finest cells driver-side — the rollup-from-
+    partials rule (never re-scan the fact table per level). Sentinel
+    'ALL' stands in for the rollup NULLs so the value hash is
+    string-stable. Integer milli-cents.
+
+    Output: n_name, o_year (VARCHAR, 'ALL' sentinels), revenue_m.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from ..functions.hashing import crc32_bucket
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    n_of_cust = dict(zip(
+        cust["c_custkey"].astype("int64"),
+        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
+                                         nation["n_name"])))))
+    dim_ref = _ray.put(n_of_cust)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dim = _ray.get(dim_ref)
+        df = pd.DataFrame({
+            "n_name": b["o_custkey"].astype("int64").map(dim).to_numpy(),
+            "yr": b["o_orderdate"].astype("datetime64[us]")
+                  .dt.year.to_numpy(dtype="int64"),
+            "rev_m": np.floor(b["o_totalprice"].to_numpy() * 1000)
+                     .astype("int64"),
+        })
+        s = df.groupby(["n_name", "yr"], sort=False)["rev_m"].sum() \
+              .reset_index()
+        s["_rb"] = crc32_bucket(s["n_name"].tolist(), 8)
+        return s
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["n_name", "yr"], sort=False)["rev_m"].sum()
+                .reset_index())
+
+    finest = (orders.map_batches(partial, batch_format="pandas")
+              .groupby("_rb")
+              .map_groups(lambda g: reduce_bucket(g.drop(columns=["_rb"])),
+                          batch_format="pandas")
+              .to_pandas())
+
+    lvl2 = finest.assign(o_year=finest["yr"].astype(str))[
+        ["n_name", "o_year", "rev_m"]]
+    lvl1 = (finest.groupby("n_name", sort=False)["rev_m"].sum()
+            .reset_index().assign(o_year="ALL"))
+    lvl0 = pd.DataFrame({"n_name": ["ALL"], "o_year": ["ALL"],
+                         "rev_m": [int(finest["rev_m"].sum())]})
+    out = pd.concat([lvl2, lvl1[["n_name", "o_year", "rev_m"]], lvl0],
+                    ignore_index=True)
+    return pd.DataFrame({
+        "n_name": out["n_name"].to_numpy(),
+        "o_year": out["o_year"].to_numpy(),
+        "revenue_m": out["rev_m"].to_numpy(dtype="int64"),
+    })
+
+
 def _q_q5(sf_dir: str):
     """TPC-H Q5-shaped 5-way join: region → nation → customer chain
     folded into ONE broadcast map (all three dims are small — the
@@ -880,6 +1043,39 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 ORDER BY n.n_name
+"""
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000)
+                AS BIGINT)) AS BIGINT) AS revenue_m
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= DATE '1997-01-01'
+  AND o.o_orderdate < DATE '1997-07-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_m DESC, c.c_custkey
+LIMIT 20
+"""
+
+# OLAP rollup with 'ALL' sentinels for the rollup NULLs (string-stable
+# value hash); revenue in integer milli-cents like q1/q3/q5
+_ROLLUP_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(CAST(yr AS VARCHAR), 'ALL') AS o_year,
+       CAST(SUM(rev) AS BIGINT) AS revenue_m
+FROM (
+  SELECT n.n_name AS n_name,
+         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(floor(o.o_totalprice * 1000) AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+GROUP BY ROLLUP (n_name, yr)
 """
 
 # deterministic as-of: DuckDB's bare ASOF JOIN leaves date-ties
@@ -1790,6 +1986,8 @@ QUERIES = {
     "q1_pricing": _q_q1,
     "q3_shipping": _q_q3,
     "q5_nation_revenue": _q_q5,
+    "q10_returned_items": _q_q10,
+    "rollup_revenue": rollup_revenue,
     "asof_events_orders": _q_asof,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
@@ -1862,6 +2060,8 @@ ORACLES = {
     "q1_pricing": _Q1_SQL,
     "q3_shipping": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "rollup_revenue": _ROLLUP_SQL,
     "asof_events_orders": _ASOF_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
