@@ -335,3 +335,123 @@ def approx_quantiles_by_type(
         .groupby("event_type")
         .map_groups(quantiles, batch_format="pandas")
     )
+
+
+def hll_registers(sf_dir: str, b_bits: int = 8) -> rd.Dataset:
+    """HyperLogLog REGISTER computation over ``events.user_id`` — the
+    mergeable-sketch topology itself, verified EXACTLY: registers are
+    pure integer functions of the data (md5 is the engine's
+    cross-engine hash tape), so unlike the float estimate they
+    hash-compare against a SQL mirror bit-for-bit.
+
+    Register math operates on the md5 HEX STRING on both engines (no
+    float log2 anywhere — the engine-wide exact-arithmetic rule):
+    bucket = first 2 hex chars (2^8 registers), rho = 1 + leading zero
+    BITS of the next 14 hex chars (4 per leading '0' char + the first
+    non-zero nibble's own zeros), capped at 57 when all 56 bits are 0.
+
+    Scale shape: each batch collapses to its own (bucket, max rho)
+    partial — ≤ 256 rows per batch regardless of batch size — and one
+    tiny grouped max finishes the merge; an estimator anywhere
+    downstream unions register sets with the same max. Buckets no
+    hash lands in are omitted (inner semantics, like the mirror).
+
+    Output: bucket, max_rho.
+    """
+    import hashlib
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    _NIB_LZ = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        regs: dict[int, int] = {}
+        for uid in batch["user_id"].astype("int64"):
+            h = hashlib.md5(str(int(uid)).encode()).hexdigest()
+            bucket = int(h[:2], 16)
+            s = h[2:16]
+            z = len(s) - len(s.lstrip("0"))
+            if z == len(s):
+                rho = 57
+            else:
+                rho = 4 * z + _NIB_LZ.get(s[z], 0) + 1
+            if regs.get(bucket, 0) < rho:
+                regs[bucket] = rho
+        return pd.DataFrame({
+            "bucket": np.fromiter(regs.keys(), dtype="int64",
+                                  count=len(regs)),
+            "max_rho": np.fromiter(regs.values(), dtype="int64",
+                                   count=len(regs)),
+            "_hb": np.fromiter((k % 8 for k in regs.keys()),
+                               dtype="int64", count=len(regs)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("bucket", sort=False)["max_rho"].max()
+        return pd.DataFrame({"bucket": s.index.to_numpy(dtype="int64"),
+                             "max_rho": s.to_numpy(dtype="int64")})
+
+    return (ev.map_batches(partial, batch_format="pandas")
+            .groupby("_hb")
+            .map_groups(lambda g: merge(g.drop(columns=["_hb"])),
+                        batch_format="pandas"))
+
+
+def cohort_retention(sf_dir: str, week_us: int = 7 * 86_400_000_000,
+                     num_buckets: int = 32) -> rd.Dataset:
+    """Cohort RETENTION matrix — the growth-analytics staple: users
+    cohorted by their FIRST active week; for each (cohort_week, k)
+    report how many were active again k weeks later. Exact integer
+    counts end to end:
+
+    1. map-side partial: per batch, each user's distinct active weeks
+       (bounded by weeks-per-batch, not event volume);
+    2. ONE user-bucket shuffle; per bucket a vectorized pandas pass
+       computes each user's min week and re-emits (cohort, k) partial
+       counts — only O(cohorts × horizon) rows leave each bucket;
+    3. a tiny grouped sum over cohort buckets finishes the matrix.
+
+    Weeks are integer epoch-microsecond floors (``ts // week_us``) so
+    both engines bucket identically. Output: cohort_week, k, n_active
+    (k = 0 row counts the cohort size).
+    """
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].astype("int64").to_numpy(),
+            "week": (b["ts"].astype("datetime64[us]").astype("int64")
+                     // np.int64(week_us)),
+        }).drop_duplicates()
+        df["_ub"] = df["user_id"].to_numpy() % np.int64(num_buckets)
+        return df
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "week"])
+        first = g.groupby("user_id", sort=False)["week"].transform("min")
+        out = pd.DataFrame({
+            "cohort_week": first.to_numpy(dtype="int64"),
+            "k": (g["week"].to_numpy(dtype="int64")
+                  - first.to_numpy(dtype="int64")),
+        })
+        s = out.groupby(["cohort_week", "k"], sort=False).size()
+        res = s.reset_index(name="n")
+        res["_cb"] = res["cohort_week"].to_numpy(dtype="int64") % np.int64(8)
+        return res
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["cohort_week", "k"], sort=False)["n"].sum()
+        res = s.reset_index()
+        return pd.DataFrame({
+            "cohort_week": res["cohort_week"].to_numpy(dtype="int64"),
+            "k": res["k"].to_numpy(dtype="int64"),
+            "n_active": res["n"].to_numpy(dtype="int64"),
+        })
+
+    return (ev.map_batches(partial, batch_format="pandas")
+            .groupby("_ub")
+            .map_groups(lambda g: per_user(g.drop(columns=["_ub"])),
+                        batch_format="pandas")
+            .groupby("_cb")
+            .map_groups(lambda g: finish(g.drop(columns=["_cb"])),
+                        batch_format="pandas"))

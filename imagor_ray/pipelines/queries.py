@@ -40,8 +40,9 @@ from .dedup import (
 )
 from .flagship import processed_turns
 from .analytics import (
-    approx_quantiles_by_type, latest_event_per_user, rolling_user_stats,
-    top_orders_per_customer, user_stats_by_type,
+    approx_quantiles_by_type, cohort_retention, hll_registers,
+    latest_event_per_user, rolling_user_stats, top_orders_per_customer,
+    user_stats_by_type,
 )
 from .joins import (anti_join_events_urgent, asof_join_events_orders,
                     error_context_window)
@@ -1440,6 +1441,46 @@ SELECT user_id, event_id, event_type, ts FROM (
 ) WHERE rn = 1
 """
 
+# HLL registers: exact integer sketch state (rho math on the md5 hex
+# string — no float log2 on either engine)
+_HLL_SQL = """
+WITH p AS (
+  SELECT CAST(('0x' || substr(h, 1, 2)) AS INT) AS bucket,
+         substr(h, 3, 14) AS s
+  FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events)
+), r AS (
+  SELECT bucket,
+    CASE WHEN regexp_extract(s, '^0*') = s THEN 57
+    ELSE 4 * length(regexp_extract(s, '^0*'))
+         + CASE substr(s, length(regexp_extract(s, '^0*')) + 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+             WHEN '7' THEN 1 ELSE 0 END + 1 END AS rho
+  FROM p
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(max(rho) AS BIGINT) AS max_rho
+FROM r GROUP BY 1
+"""
+
+# cohort retention: first-active-week cohorts × weeks-since, exact
+# integer epoch-microsecond week floors on both engines
+_COHORT_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS week
+  FROM events
+), f AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cw
+  FROM uw
+)
+SELECT CAST(cw AS BIGINT) AS cohort_week,
+       CAST(week - cw AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM f GROUP BY 1, 2
+"""
+
 _USER_STATS_SQL = """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -1997,6 +2038,8 @@ QUERIES = {
     "user_stats_by_type": user_stats_by_type,
     "latest_event_per_user": latest_event_per_user,
     "approx_quantiles_by_type": approx_quantiles_by_type,
+    "hll_registers": hll_registers,
+    "cohort_retention": cohort_retention,
     "dataset_split": dataset_split,
     "media_hashes": _q_media_hashes,
     "deterministic_sample": deterministic_sample,
@@ -2071,6 +2114,8 @@ ORACLES = {
     "user_stats_by_type": _USER_STATS_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
     "approx_quantiles_by_type": _APPROX_QUANTILES_SQL,
+    "hll_registers": _HLL_SQL,
+    "cohort_retention": _COHORT_SQL,
     "dataset_split": _SPLIT_SQL,
     "media_hashes": _MEDIA_HASHES_SQL,
     # PNG round trip recovers the exact utf-8 bytes, so the oracle is the
