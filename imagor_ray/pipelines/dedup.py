@@ -936,3 +936,115 @@ def contamination(sf_dir: str, n: int = 8, num_buckets: int = 64,
         .map_groups(lambda g: sum_per_doc(g.drop(columns=["_db"])),
                     batch_format="pandas")
     )
+
+
+def _edit1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 check (insert/delete/substitute — no
+    transposition), one pass, no DP table."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    i = j = 0
+    skipped = False
+    while i < la:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def typo_pairs(sf_dir: str, num_buckets: int = 32,
+               pair_cap: int = 1024) -> rd.Dataset:
+    """SymSpell / FastSS DELETION-NEIGHBORHOOD join: every pair of
+    distinct ``documents.source`` labels within edit distance 1 — the
+    label-normalization primitive (near-identical source/domain names
+    that a corpus pipeline folds before per-source stats). Two strings
+    are within one edit iff they share a key in
+    {s} ∪ single-deletions(s) (a deletion pair shares the shorter
+    string itself; a substitution pair shares the both-sides
+    deletion), so the join is EXACT with no n² scan:
+
+    1. distinct labels via map-side partial dedup (shuffles unique
+       labels, not row volume);
+    2. each label emits its ≤ len+1 deletion keys; ONE key-bucket
+       shuffle; per key group the candidate pairs generate vectorized
+       (``pair_cap`` bounds hot short keys at web scale — groups under
+       the cap keep the join exact);
+    3. candidate pairs dedup on a pair-bucket shuffle (a pair can
+       share several keys) and an exact one-pass edit-1 check filters
+       the ED=2 key-collisions (e.g. transpositions).
+
+    Output: w1, w2 (w1 < w2).
+    """
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+
+    def tokens_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [s for s in pd.unique(b["source"]) if s]
+        return pd.DataFrame({
+            "token": toks,
+            "_tb": crc32_bucket(toks, num_buckets),
+        })
+
+    def distinct_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.unique(g["token"])
+        out_k: list[str] = []
+        out_t: list[str] = []
+        for w in toks:
+            keys = {w}
+            keys.update(w[:i] + w[i + 1:] for i in range(len(w)))
+            out_k.extend(keys)
+            out_t.extend([w] * len(keys))
+        return pd.DataFrame({
+            "k": out_k,
+            "token": out_t,
+            "_kb": crc32_bucket(out_k, num_buckets),
+        })
+
+    def key_group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton keys (the overwhelming majority) drop vectorized
+        # BEFORE the python loop touches anything
+        g = g[g.groupby("k", sort=False)["token"].transform("size") >= 2]
+        out1: list[str] = []
+        out2: list[str] = []
+        for _k, grp in g.groupby("k", sort=False):
+            toks = np.sort(pd.unique(grp["token"]))[:pair_cap]
+            n = len(toks)
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            out1.extend(toks[i])
+            out2.extend(toks[j])
+        df = pd.DataFrame({"w1": out1, "w2": out2})
+        df["_pb"] = crc32_bucket(
+            [a + "\x1f" + b for a, b in zip(out1, out2)], num_buckets)
+        return df
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["w1", "w2"])
+        mask = [_edit1(a, b) for a, b in zip(g["w1"], g["w2"])]
+        out = g.loc[mask, ["w1", "w2"]]
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(tokens_partial, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(lambda g: distinct_bucket(g.drop(columns=["_tb"])),
+                    batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(lambda g: key_group_pairs(g.drop(columns=["_kb"])),
+                    batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(lambda g: verify_bucket(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
+    )

@@ -36,7 +36,7 @@ from .dedup import (
     contamination, dedup_components, exact_dedup, minhash_pairs,
     minhash_signatures,
     ngram_jaccard_pairs, simhash64_pairs, simhash64_signatures,
-    simhash_pairs, simhash_signatures,
+    simhash_pairs, simhash_signatures, typo_pairs,
 )
 from .flagship import processed_turns
 from .analytics import (
@@ -1273,6 +1273,19 @@ FROM te WHERE g IN (SELECT g FROM tr)
 GROUP BY doc_id
 """
 
+# edit-distance-1 token pairs: the deletion-neighborhood join mirrored
+# as an n² levenshtein scan (exact at oracle scale; the engine never
+# scans n²)
+_TYPO_PAIRS_SQL = """
+WITH t AS (
+  SELECT DISTINCT source AS w FROM documents WHERE source <> ''
+)
+SELECT a.w AS w1, b.w AS w2
+FROM t a JOIN t b ON a.w < b.w
+WHERE abs(length(a.w) - length(b.w)) <= 1
+  AND levenshtein(a.w, b.w) <= 1
+"""
+
 # within-document repetition (the Gopher repeated-n-gram signal):
 # duplicate word 3-grams of the doc itself, in exact integer
 # milli-units; docs shorter than 3 tokens have no grams and score 0
@@ -1990,6 +2003,7 @@ QUERIES = {
     "simhash64_signatures": lambda sf: simhash64_signatures(sf),
     "simhash64_pairs": simhash64_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "typo_pairs": typo_pairs,
     "dedup_components": dedup_components,
     # rows-only: iterative argmax-rewrite loop (no SQL mirror exists);
     # pytest-verified identical to an independent reference (test_bpe)
@@ -2074,6 +2088,7 @@ ORACLES = {
     "simhash64_signatures": _SIMHASH64_SQL,
     "simhash64_pairs": _SIMHASH64_PAIRS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "typo_pairs": _TYPO_PAIRS_SQL,
     "dedup_components": _DEDUP_COMPONENTS_SQL,
     "contamination": _CONTAMINATION_SQL,
     "conv_stats": _CONV_STATS_SQL,

@@ -106,3 +106,21 @@ def test_asof_random(ray_session, tmp_path, seed):
     })
     orders.to_parquet(os.path.join(sf, "orders.parquet"), index=False)
     _compare("asof_events_orders", sf, extra_tables=("orders",))
+
+
+def test_edit1_matches_levenshtein_on_random_strings():
+    import random
+
+    import duckdb
+
+    from imagor_ray.pipelines.dedup import _edit1
+
+    rng = random.Random(1234)
+    con = duckdb.connect()
+    alphabet = "abcx"
+    pairs = [("".join(rng.choices(alphabet, k=rng.randint(0, 5))),
+              "".join(rng.choices(alphabet, k=rng.randint(0, 5))))
+             for _ in range(500)]
+    for a, b in pairs:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _edit1(a, b) == (want <= 1), (a, b, want)
