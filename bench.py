@@ -47,7 +47,10 @@ def _headline(sf_dir: str, out_root: str, replicas: int = 1,
         sf_dir, sink_dir,
         num_buckets=int(os.environ.get("GRAFT_BENCH_BUCKETS", "64")),
         replicas=replicas,
-        engine=os.environ.get("IMAGOR_RAY_FLAGSHIP_ENGINE", "dataset"))
+        # 'auto' picks the raw hash exchange below the measured ~4M-turn
+        # crossover and the dataset engine above it (BENCH.md finding
+        # 20); outputs are byte-identical either way
+        engine=os.environ.get("IMAGOR_RAY_FLAGSHIP_ENGINE", "auto"))
     times["flagship_sink"] = time.perf_counter() - t0
 
     if flagship_only:

@@ -135,6 +135,7 @@ def flagship_write(
     max_filter_ops: int | None = None,
     detector: str | None = None,
     engine: str = "dataset",
+    engine_auto_threshold: int = 4_000_000,
 ) -> dict:
     """Fused flagship → exactly-once sink with ONE shuffle end-to-end.
 
@@ -235,6 +236,23 @@ def flagship_write(
                 "chain_cache_misses": _metrics.get("chain.cache_misses") - misses0,
             },
         )
+
+    if engine == "auto":
+        # cost-based engine selection at the measured crossover
+        # (BENCH.md finding 20 / BASELINE.md): the raw hash exchange
+        # wins while the job is exchange-dominated (~1.9× at 1M turns);
+        # past the threshold the dataset engine's pipelined
+        # read→map→reduce (backpressure, no full-input pin) wins and
+        # carries the 0.881 scaling figure. Estimated rows come from
+        # parquet footers only — no data read. Outputs are
+        # byte-identical either way (cross-engine tests).
+        import pyarrow.parquet as _pq
+
+        n_rep = ((replicas[1] - replicas[0])
+                 if isinstance(replicas, tuple) else int(replicas))
+        est = (_pq.ParquetFile(f"{sf_dir}/events.parquet")
+               .metadata.num_rows * max(1, n_rep))
+        engine = "tasks" if est <= engine_auto_threshold else "dataset"
 
     if engine == "tasks":
         # raw two-stage hash exchange: same grouped work, no per-

@@ -888,3 +888,39 @@ class TestReshard:
         # resharded output is byte-identical to writing the same rows
         # directly at the destination layout
         assert wide.content_sha1() == direct.content_sha1()
+
+
+class TestAutoEngine:
+    def test_auto_picks_by_estimated_rows_and_stays_byte_identical(
+            self, ray_session, tmp_path):
+        """engine='auto' (cost-based crossover, BENCH finding 20):
+        below the threshold it must take the tasks path, above it the
+        dataset path — and the sink bytes match the dataset engine
+        either way."""
+        from unittest.mock import patch
+
+        from imagor_ray.pipelines import exchange
+        from imagor_ray.pipelines.flagship import flagship_write
+        from imagor_ray.state.sink import ExactlyOnceSink
+
+        d_ref = str(tmp_path / "ref")
+        flagship_write(SF, d_ref, num_buckets=4)
+        sha = ExactlyOnceSink(d_ref, num_buckets=4).content_sha1()
+
+        # sf0.001 has 1000 events: threshold above => tasks engine
+        d1 = str(tmp_path / "auto_small")
+        with patch.object(exchange, "hash_exchange",
+                          wraps=exchange.hash_exchange) as spy:
+            flagship_write(SF, d1, num_buckets=4, engine="auto",
+                           engine_auto_threshold=10_000)
+            assert spy.call_count == 1
+        assert ExactlyOnceSink(d1, num_buckets=4).content_sha1() == sha
+
+        # threshold below => dataset engine (exchange never called)
+        d2 = str(tmp_path / "auto_big")
+        with patch.object(exchange, "hash_exchange",
+                          wraps=exchange.hash_exchange) as spy:
+            flagship_write(SF, d2, num_buckets=4, engine="auto",
+                           engine_auto_threshold=10)
+            assert spy.call_count == 0
+        assert ExactlyOnceSink(d2, num_buckets=4).content_sha1() == sha
