@@ -1048,3 +1048,86 @@ def typo_pairs(sf_dir: str, num_buckets: int = 32,
         .map_groups(lambda g: verify_bucket(g.drop(columns=["_pb"])),
                     batch_format="pandas")
     )
+
+
+def source_normalize_stats(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Operator COMPOSITION entry: fold near-identical source labels
+    (:func:`typo_pairs`' edit-distance-1 graph, closed transitively)
+    into canonical labels, then count documents per canonical source —
+    the normalize-then-aggregate shape every per-domain corpus report
+    runs. Division of labor by cardinality:
+
+    - the LABEL graph is bounded by distinct-label cardinality (tiny
+      next to row volume — the same boundedness assumption as the
+      broadcast vocab in ``doc_oov``), so the union-find closure runs
+      driver-side on the collected pair list and broadcasts the
+      label → canonical dict (canonical = lexicographic min of the
+      component);
+    - the DOCUMENT counting is fully distributed: map-side partial
+      counts per canonical label, one tiny label-bucket reduce.
+
+    Output: canon_source, n_sources (labels folded in), n_docs.
+    """
+    import ray
+
+    from ..functions.hashing import crc32_bucket
+
+    pairs = typo_pairs(sf_dir, num_buckets=num_buckets).to_pandas()
+
+    src_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["source"])
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [s for s in pd.unique(b["source"]) if s]
+        return pd.DataFrame({"source": toks,
+                             "_tb": crc32_bucket(toks, num_buckets)})
+
+    labels = (src_ds.map_batches(distinct_partial, batch_format="pandas")
+              .groupby("_tb")
+              .map_groups(lambda g: pd.DataFrame(
+                  {"source": pd.unique(g["source"])}),
+                  batch_format="pandas")
+              .to_pandas())["source"].tolist()
+
+    parent = {s: s for s in labels}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["w1"], pairs["w2"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by lexicographic min keeps the canonical stable
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    canon = {s: find(s) for s in labels}
+    folded = pd.Series(list(canon.values())).value_counts().to_dict()
+    canon_ref = ray.put(canon)
+    folded_ref = ray.put(folded)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(canon_ref)
+        s = b["source"].map(cmap)
+        cnt = s[s.notna()].value_counts()
+        out = pd.DataFrame({"canon_source": cnt.index.to_numpy(),
+                            "n_docs": cnt.to_numpy(dtype="int64")})
+        out["_cb"] = crc32_bucket(out["canon_source"].tolist(), 8)
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fold = ray.get(folded_ref)
+        s = g.groupby("canon_source", sort=False)["n_docs"].sum()
+        return pd.DataFrame({
+            "canon_source": s.index.to_numpy(),
+            "n_sources": np.array([fold[c] for c in s.index],
+                                  dtype="int64"),
+            "n_docs": s.to_numpy(dtype="int64"),
+        })
+
+    return (src_ds.map_batches(partial, batch_format="pandas")
+            .groupby("_cb")
+            .map_groups(lambda g: reduce_bucket(g.drop(columns=["_cb"])),
+                        batch_format="pandas"))

@@ -36,7 +36,7 @@ from .dedup import (
     contamination, dedup_components, exact_dedup, minhash_pairs,
     minhash_signatures,
     ngram_jaccard_pairs, simhash64_pairs, simhash64_signatures,
-    simhash_pairs, simhash_signatures, typo_pairs,
+    simhash_pairs, simhash_signatures, source_normalize_stats, typo_pairs,
 )
 from .flagship import processed_turns
 from .analytics import (
@@ -1286,6 +1286,34 @@ WHERE abs(length(a.w) - length(b.w)) <= 1
   AND levenshtein(a.w, b.w) <= 1
 """
 
+# normalize-then-aggregate: canonical source = lexicographic min of the
+# transitively-closed edit-distance-1 label component (recursive CTE),
+# then docs per canonical source
+_SOURCE_NORMALIZE_SQL = """
+WITH RECURSIVE t AS (
+  SELECT DISTINCT source AS w FROM documents WHERE source <> ''
+), p AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM t a JOIN t b ON a.w < b.w
+  WHERE abs(length(a.w) - length(b.w)) <= 1
+    AND levenshtein(a.w, b.w) <= 1
+), e AS (
+  SELECT w1 AS a, w2 AS b FROM p UNION ALL SELECT w2, w1 FROM p
+), reach(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+), comp AS (
+  SELECT t.w, least(t.w, coalesce(min(r.dst), t.w)) AS canon
+  FROM t LEFT JOIN reach r ON r.src = t.w GROUP BY t.w
+)
+SELECT c.canon AS canon_source,
+       CAST(count(DISTINCT c.w) AS BIGINT) AS n_sources,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN comp c ON c.w = d.source
+GROUP BY 1
+"""
+
 # within-document repetition (the Gopher repeated-n-gram signal):
 # duplicate word 3-grams of the doc itself, in exact integer
 # milli-units; docs shorter than 3 tokens have no grams and score 0
@@ -2004,6 +2032,7 @@ QUERIES = {
     "simhash64_pairs": simhash64_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "typo_pairs": typo_pairs,
+    "source_normalize_stats": source_normalize_stats,
     "dedup_components": dedup_components,
     # rows-only: iterative argmax-rewrite loop (no SQL mirror exists);
     # pytest-verified identical to an independent reference (test_bpe)
@@ -2089,6 +2118,7 @@ ORACLES = {
     "simhash64_pairs": _SIMHASH64_PAIRS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "typo_pairs": _TYPO_PAIRS_SQL,
+    "source_normalize_stats": _SOURCE_NORMALIZE_SQL,
     "dedup_components": _DEDUP_COMPONENTS_SQL,
     "contamination": _CONTAMINATION_SQL,
     "conv_stats": _CONV_STATS_SQL,
