@@ -878,6 +878,68 @@ def _q_q10(sf_dir: str):
     })
 
 
+def _q_q14(sf_dir: str):
+    """TPC-H Q14-shaped promo-revenue fraction: share of one month's
+    lineitem revenue on PROMO-type parts, in exact integer milli-units
+    (the float ``100 * promo / total`` of the spec re-expressed as
+    ``promo_m * 1000 // total_m`` so both engines hash-match).
+
+    Scale shape: AGGREGATE-BEFORE-JOIN — lineitem prunes the date
+    window and collapses to per-batch (partkey, rev_m) partials BEFORE
+    the part join, so the exchange carries partkey-grain partials
+    rather than line items; the join is Ray's native hash join against
+    the pruned 2-column part side; the final fold is one tiny grouped
+    sum."""
+    import numpy as np
+    import ray as _ray
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-02-01")
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prune_line(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        ext = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        part = pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(),
+            "rev_m": np.floor(ext * (1 - disc) * 1000).astype("int64"),
+        })
+        return (part.groupby("l_partkey", sort=False)["rev_m"].sum()
+                .reset_index())
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+
+    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    joined = line.map_batches(prune_line, batch_format="pandas").join(
+        part, "inner", num_partitions=n_parts,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["rev_m"].to_numpy(dtype="int64")
+        promo = rev[(b["p_type"] == "PROMO").to_numpy()].sum()
+        return pd.DataFrame({"promo_m": [int(promo)],
+                             "total_m": [int(rev.sum())], "_k": [0]})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        promo, total = int(g["promo_m"].sum()), int(g["total_m"].sum())
+        return pd.DataFrame({
+            "promo_m": np.array([promo], dtype="int64"),
+            "total_m": np.array([total], dtype="int64"),
+            "promo_milli": np.array([promo * 1000 // total], dtype="int64"),
+        })
+
+    return (joined.map_batches(fold, batch_format="pandas")
+            .groupby("_k")
+            .map_groups(lambda g: finish(g.drop(columns=["_k"])),
+                        batch_format="pandas"))
+
+
 def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP (nation, order year) over order revenue — the
     OLAP rollup shape. The FINEST level (nation × year: a few hundred
@@ -1060,6 +1122,24 @@ WHERE o.o_orderdate >= DATE '1997-01-01'
 GROUP BY 1, 2, 3
 ORDER BY revenue_m DESC, c.c_custkey
 LIMIT 20
+"""
+
+_Q14_SQL = """
+WITH l AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+                  AS BIGINT)) AS BIGINT) AS rev_m
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01'
+    AND l_shipdate < DATE '1997-02-01'
+  GROUP BY 1
+)
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.rev_m ELSE 0 END)
+            AS BIGINT) AS promo_m,
+       CAST(SUM(l.rev_m) AS BIGINT) AS total_m,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.rev_m ELSE 0 END)
+            * 1000 // SUM(l.rev_m) AS BIGINT) AS promo_milli
+FROM l JOIN part p ON p.p_partkey = l.l_partkey
 """
 
 # OLAP rollup with 'ALL' sentinels for the rollup NULLs (string-stable
@@ -2071,6 +2151,7 @@ QUERIES = {
     "q3_shipping": _q_q3,
     "q5_nation_revenue": _q_q5,
     "q10_returned_items": _q_q10,
+    "q14_promo_revenue": _q_q14,
     "rollup_revenue": rollup_revenue,
     "asof_events_orders": _q_asof,
     "anti_join_events_urgent": anti_join_events_urgent,
@@ -2149,6 +2230,7 @@ ORACLES = {
     "q3_shipping": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
     "q10_returned_items": _Q10_SQL,
+    "q14_promo_revenue": _Q14_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "asof_events_orders": _ASOF_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
