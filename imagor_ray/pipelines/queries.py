@@ -940,6 +940,54 @@ def _q_q14(sf_dir: str):
                         batch_format="pandas"))
 
 
+def _q_supplier_balance(sf_dir: str):
+    """Per-nation supplier roster: count + total account balance in
+    integer milli-units. The tiny nation dim broadcasts (q5 idiom);
+    supplier scans once with map-side partials and one 8-way bucket
+    reduce — closes the last untouched input table."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from ..functions.hashing import crc32_bucket
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim_ref = _ray.put(dict(zip(nation["n_nationkey"].astype("int64"),
+                                nation["n_name"])))
+
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dim = _ray.get(dim_ref)
+        df = pd.DataFrame({
+            "n_name": b["s_nationkey"].astype("int64").map(dim).to_numpy(),
+            "bal_m": np.floor(b["s_acctbal"].to_numpy() * 1000)
+                     .astype("int64"),
+        })
+        s = df.groupby("n_name", sort=False).agg(
+            n_suppliers=("bal_m", "size"), total_bal_m=("bal_m", "sum"))
+        out = s.reset_index()
+        out["n_suppliers"] = out["n_suppliers"].astype("int64")
+        out["_nb"] = crc32_bucket(out["n_name"].tolist(), 8)
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("n_name", sort=False).agg(
+            n_suppliers=("n_suppliers", "sum"),
+            total_bal_m=("total_bal_m", "sum"))
+        out = s.reset_index()
+        return out.astype({"n_suppliers": "int64", "total_bal_m": "int64"})
+
+    return (sup.map_batches(partial, batch_format="pandas")
+            .groupby("_nb")
+            .map_groups(lambda g: reduce_bucket(g.drop(columns=["_nb"])),
+                        batch_format="pandas"))
+
+
 def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     """GROUP BY ROLLUP (nation, order year) over order revenue — the
     OLAP rollup shape. The FINEST level (nation × year: a few hundred
@@ -1140,6 +1188,15 @@ SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.rev_m ELSE 0 END)
        CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.rev_m ELSE 0 END)
             * 1000 // SUM(l.rev_m) AS BIGINT) AS promo_milli
 FROM l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+_SUPPLIER_BALANCE_SQL = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(floor(s.s_acctbal * 1000) AS BIGINT)) AS BIGINT)
+         AS total_bal_m
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1
 """
 
 # OLAP rollup with 'ALL' sentinels for the rollup NULLs (string-stable
@@ -2152,6 +2209,7 @@ QUERIES = {
     "q5_nation_revenue": _q_q5,
     "q10_returned_items": _q_q10,
     "q14_promo_revenue": _q_q14,
+    "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
     "asof_events_orders": _q_asof,
     "anti_join_events_urgent": anti_join_events_urgent,
@@ -2231,6 +2289,7 @@ ORACLES = {
     "q5_nation_revenue": _Q5_SQL,
     "q10_returned_items": _Q10_SQL,
     "q14_promo_revenue": _Q14_SQL,
+    "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "asof_events_orders": _ASOF_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
