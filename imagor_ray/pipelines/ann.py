@@ -454,3 +454,37 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
         partials.groupby("label").map_groups(merge, batch_format="pandas")
         .to_pandas().sort_values(["label", "dim_idx"]).reset_index(drop=True)
     )
+
+
+def knn_classify(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
+    """kNN pseudo-labeling — the composition every embedding pipeline
+    runs on top of ANN: majority label among each query's brute-force
+    top-k cosine neighbors (:func:`ann_topk`, the oracle-verified
+    ranking), ties broken by (votes desc, label asc) so the prediction
+    is a pure function of the data. The heavy compute is the
+    distributed top-k itself; label decoration touches only the ≤
+    ``n_queries × k`` neighbor ids via a predicate-pushed
+    ``pq.read_table`` (the ANN-prep pushdown rule).
+
+    Output: query_id, pred_label, votes.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    nbrs = ann_topk(sf_dir, n_queries=n_queries, k=k)
+    ids = sorted(set(nbrs["vec_id"].astype(int)))
+    labels = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+        filters=pc.field("vec_id").isin(ids),
+    ).to_pandas()
+    votes = (nbrs.merge(labels, on="vec_id")
+             .groupby(["query_id", "label"], sort=False).size()
+             .reset_index(name="votes")
+             .sort_values(["query_id", "votes", "label"],
+                          ascending=[True, False, True], kind="mergesort"))
+    top = votes.groupby("query_id", sort=False).head(1)
+    return pd.DataFrame({
+        "query_id": top["query_id"].to_numpy(dtype="int64"),
+        "pred_label": top["label"].to_numpy(),
+        "votes": top["votes"].to_numpy(dtype="int64"),
+    })

@@ -30,7 +30,7 @@ from ..stages.parse_sign import PATH_TEMPLATES
 from ..stages.windows import session_windows, sliding_tool_stats, tumbling_tool_stats
 from .ann import (
     ann_topk, embedding_neardup, embedding_neardup_planted, ivf_topk,
-    label_centroids, lsh_topk,
+    knn_classify, label_centroids, lsh_topk,
 )
 from .dedup import (
     contamination, dedup_components, exact_dedup, minhash_pairs,
@@ -446,6 +446,22 @@ ranked AS (
   FROM sims)
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
 """
+
+# kNN pseudo-labeling: majority label among the brute-force top-k
+# neighbors, ties (votes desc, label asc)
+_KNN_CLASSIFY_SQL = f"""
+WITH ann AS ({_ANN_SQL}),
+votes AS (
+  SELECT a.query_id, e.label, count(*) AS c
+  FROM ann a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, label AS pred_label, CAST(c AS BIGINT) AS votes FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY c DESC, label) AS rn
+  FROM votes) WHERE rn = 1
+"""
+
 
 def _q_ann_lsh_fullprobe(sf_dir: str):
     """Full-probe LSH: every Hamming ball covers all 2^bits buckets, so
@@ -2197,6 +2213,7 @@ QUERIES = {
     "doc_blurhash": lambda sf: doc_sketches(sf).select_columns(
         ["doc_id", "blurhash"]),  # SQL-mirrored since round 2 (_BLURHASH_SQL)
     "ann_topk": ann_topk,
+    "knn_classify": knn_classify,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_planted": embedding_neardup_planted,
     "ann_lsh_topk": lsh_topk,  # rows-only (approximate by design)
@@ -2281,6 +2298,7 @@ ORACLES = {
     # the LSH machinery itself under the hash gate (round-4 verdict
     # item 5); only ann_lsh_topk/ann_ivf_topk stay rows-only (approx)
     "ann_lsh_topk_fullprobe": _ANN_SQL,
+    "knn_classify": _KNN_CLASSIFY_SQL,
     "embedding_neardup": _NEARDUP_SQL,
     "embedding_neardup_planted": _NEARDUP_PLANTED_SQL,
     "label_centroids": _CENTROIDS_SQL,
