@@ -51,8 +51,8 @@ from .sampling import (dataset_split, deterministic_sample, group_sample,
 from .textstats import (
     BPE_PATTERN, STOPWORDS, collocations, curriculum_order,
     doc_dup_fraction, doc_oov, doc_repetition, doc_sketches, doc_quality,
-    inverted_index, lang_id, quality_filter, sequence_pack, text_stats,
-    tfidf_top_terms, vocabulary,
+    inverted_index, lang_id, quality_filter, quality_percentile,
+    sequence_pack, text_stats, tfidf_top_terms, vocabulary,
 )
 
 # ---------------------------------------------------------------------------
@@ -1546,6 +1546,16 @@ WHERE quality_milli >= (
   SELECT quality_milli FROM r WHERE rn = (n * 25 + 99) // 100)
 """
 
+# percentile-rank normalization: (# strictly smaller) * 1000 // n,
+# i.e. (rank()-1) * 1000 // n — the broadcast-CDF feature scaler
+_QUALITY_PCT_SQL = """
+WITH dq AS ({DQ})
+SELECT doc_id, quality_milli,
+       CAST((rank() OVER (ORDER BY quality_milli) - 1) * 1000
+            // (SELECT count(*) FROM dq) AS BIGINT) AS pct_milli
+FROM dq
+"""
+
 # curriculum placement: dense global rank by (quality desc, doc_id)
 _CURRICULUM_SQL = """
 WITH dq AS ({DQ})
@@ -2206,6 +2216,7 @@ QUERIES = {
     "doc_dup_fraction": doc_dup_fraction,
     "doc_oov": doc_oov,
     "quality_filter": quality_filter,
+    "quality_percentile": quality_percentile,
     "curriculum_order": curriculum_order,
     "collocations": collocations,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -2289,6 +2300,7 @@ ORACLES = {
     "doc_dup_fraction": _DOC_DUP_FRACTION_SQL,
     "doc_oov": _DOC_OOV_SQL,
     "quality_filter": _QUALITY_FILTER_SQL.format(DQ=_DOC_QUALITY_SQL),
+    "quality_percentile": _QUALITY_PCT_SQL.format(DQ=_DOC_QUALITY_SQL),
     "curriculum_order": _CURRICULUM_SQL.format(DQ=_DOC_QUALITY_SQL),
     "collocations": _COLLOCATIONS_SQL,
     "doc_sketches": _SKETCHES_SQL,

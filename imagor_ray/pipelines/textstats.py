@@ -729,3 +729,51 @@ def collocations(sf_dir: str, min_count: int = 20, top_k: int = 20,
     rows = rows[:top_k]
     return pd.DataFrame(rows, columns=["w1", "w2", "cnt", "lift_milli"]) \
         .astype({"cnt": "int64", "lift_milli": "int64"})
+
+
+def quality_percentile(sf_dir: str) -> rd.Dataset:
+    """Percentile-rank NORMALIZATION of the quality score — the CDF
+    feature-scaling step before mixing heterogeneous quality signals.
+    Same scale-free trick as :func:`quality_filter`: the bounded
+    integer histogram (≤1001 cells regardless of corpus size) reduces
+    once and broadcasts as a cumulative table inside the task closure;
+    the normalization itself is a pure map. ``pct_milli = (# docs with
+    strictly smaller score) * 1000 // n`` — exactly ``(rank()-1) *
+    1000 // n`` in the SQL mirror.
+
+    Output: doc_id, quality_milli, pct_milli.
+    """
+    ds = doc_quality(sf_dir)
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("quality_milli", sort=False).size()
+        v = s.index.to_numpy(dtype="int64")
+        return pd.DataFrame({"quality_milli": v,
+                             "c": s.to_numpy(dtype="int64"),
+                             "_hb": v // np.int64(32)})
+
+    def reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("quality_milli", sort=False)["c"].sum()
+        return pd.DataFrame({"quality_milli": s.index.to_numpy(),
+                             "c": s.to_numpy(dtype="int64")})
+
+    h = (ds.map_batches(hist, batch_format="pandas")
+         .groupby("_hb")
+         .map_groups(lambda g: reduce_hist(g.drop(columns=["_hb"])),
+                     batch_format="pandas")
+         .to_pandas().sort_values("quality_milli"))
+    n = int(h["c"].sum())
+    vals = h["quality_milli"].to_numpy(dtype="int64")
+    below = np.concatenate(([0], np.cumsum(h["c"].to_numpy(dtype="int64"))
+                            [:-1]))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qm = b["quality_milli"].to_numpy(dtype="int64")
+        idx = np.searchsorted(vals, qm)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "quality_milli": qm,
+            "pct_milli": below[idx] * 1000 // np.int64(n),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
