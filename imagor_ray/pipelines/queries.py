@@ -46,6 +46,7 @@ from .analytics import (
 )
 from .joins import (anti_join_events_urgent, asof_join_events_orders,
                     error_context_window)
+from .pii import PII_REDACT_SQL, PII_SCAN_SQL, pii_redact, pii_scan
 from .sampling import (dataset_split, deterministic_sample, group_sample,
                        stratified_sample)
 from .textstats import (
@@ -2217,6 +2218,8 @@ QUERIES = {
     "doc_oov": doc_oov,
     "quality_filter": quality_filter,
     "quality_percentile": quality_percentile,
+    "pii_scan": pii_scan,
+    "pii_redact": pii_redact,
     "curriculum_order": curriculum_order,
     "collocations": collocations,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -2299,6 +2302,8 @@ ORACLES = {
     "doc_repetition": _DOC_REPETITION_SQL,
     "doc_dup_fraction": _DOC_DUP_FRACTION_SQL,
     "doc_oov": _DOC_OOV_SQL,
+    "pii_scan": PII_SCAN_SQL,
+    "pii_redact": PII_REDACT_SQL,
     "quality_filter": _QUALITY_FILTER_SQL.format(DQ=_DOC_QUALITY_SQL),
     "quality_percentile": _QUALITY_PCT_SQL.format(DQ=_DOC_QUALITY_SQL),
     "curriculum_order": _CURRICULUM_SQL.format(DQ=_DOC_QUALITY_SQL),
