@@ -46,6 +46,8 @@ from .analytics import (
 )
 from .joins import (anti_join_events_urgent, asof_join_events_orders,
                     error_context_window)
+from .kmeans import (KMEANS_ASSIGN_SQL, KMEANS_ITER_SQL, kmeans_assign,
+                     kmeans_iter, kmeans_train, kmeans_train_sql)
 from .pii import PII_REDACT_SQL, PII_SCAN_SQL, pii_redact, pii_scan
 from .sampling import (dataset_split, deterministic_sample, group_sample,
                        stratified_sample)
@@ -2234,6 +2236,11 @@ QUERIES = {
     "ann_lsh_topk_fullprobe": _q_ann_lsh_fullprobe,
     "ann_ivf_topk": ivf_topk,  # rows-only (approximate by design)
     "label_centroids": label_centroids,
+    # distributed k-means: integer-quantized exact arithmetic makes even
+    # the multi-round Lloyd's loop hash-verifiable (pipelines/kmeans.py)
+    "kmeans_assign": kmeans_assign,
+    "kmeans_iter": kmeans_iter,
+    "kmeans_train": lambda sf: kmeans_train(sf),
     # relational breadth
     "q1_pricing": _q_q1,
     "q3_shipping": _q_q3,
@@ -2319,6 +2326,11 @@ ORACLES = {
     "embedding_neardup": _NEARDUP_SQL,
     "embedding_neardup_planted": _NEARDUP_PLANTED_SQL,
     "label_centroids": _CENTROIDS_SQL,
+    "kmeans_assign": KMEANS_ASSIGN_SQL,
+    "kmeans_iter": KMEANS_ITER_SQL,
+    # the 3-round training loop, unrolled into CTEs — an ITERATIVE
+    # algorithm under the exact hash gate (quantized-integer arithmetic)
+    "kmeans_train": kmeans_train_sql(),
     "q1_pricing": _Q1_SQL,
     "q3_shipping": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
