@@ -1315,6 +1315,12 @@ def _q_media_mkv_roundtrip(sf_dir: str):
     return media_mkv_roundtrip(sf_dir)
 
 
+def _q_media_tiff_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_tiff_roundtrip
+
+    return media_tiff_roundtrip(sf_dir)
+
+
 def _q_media_mjpeg_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_mjpeg_roundtrip
 
@@ -2185,6 +2191,7 @@ QUERIES = {
     "media_gif_roundtrip": _q_media_gif_roundtrip,
     "media_mp4_roundtrip": _q_media_mp4_roundtrip,
     "media_mkv_roundtrip": _q_media_mkv_roundtrip,
+    "media_tiff_roundtrip": _q_media_tiff_roundtrip,
     "media_mjpeg_roundtrip": _q_media_mjpeg_roundtrip,
     "media_g711_roundtrip": _q_media_g711_roundtrip,
     "conv_stats": _q_conv_stats,
@@ -2371,6 +2378,9 @@ ORACLES = {
     # frames inside a real MP4 (even ids) / Matroska (odd ids) video
     # track — the digest oracle certifies container + JPEG jointly
     "media_mjpeg_roundtrip": _JPEG_ROUNDTRIP_SQL,
+    # TIFF round trip recovers the exact utf-8 bytes through a
+    # PackBits-compressed multi-strip file, same raw-text-hash oracle
+    "media_tiff_roundtrip": _MEDIA_HASHES_SQL,
     # G.711: the document bytes ARE the A-law code stream of a real
     # compressed-audio WAV; expand→compand is a bijection on all 256
     # codes, so the raw-text hash certifies RIFF framing + both tables

@@ -49,6 +49,7 @@ __all__ = [
     "media_gif_roundtrip",
     "media_mp4_roundtrip",
     "media_mkv_roundtrip",
+    "media_tiff_roundtrip",
     "MediaDetectStage",
     "MediaConvertStage",
     "frame_sample",
@@ -714,6 +715,61 @@ def media_mkv_roundtrip(sf_dir: str) -> rd.Dataset:
         n_bytes, digests = [], []
         for p in batch["payload"].to_pylist():
             flat = MkvCodec.decode_frames(p).reshape(-1).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
+def media_tiff_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED entry for the reference's other lossless export
+    format (Tiffsave, process.go:920-929; blob magic rows
+    blob.go:36,445): each document's length-prefixed utf-8 bytes are
+    zero-padded onto a grayscale grid and encoded as a REAL
+    PackBits-compressed MULTI-STRIP TIFF (rows_per_strip=4), so the
+    decode path that runs in a second map stage exercises the IFD walk,
+    the per-strip offset/count arrays in the value area AND the
+    run-length decoder (word-salad bytes → literal packets, the zero
+    pad → repeat packets). The DuckDB oracle hashes the raw text —
+    hash equality certifies the whole compressed container path.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .codecs import TiffCodec, encode_tiff
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    width = 128
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            h = -(-len(body) // width)
+            grid = np.zeros(h * width, dtype=np.uint8)
+            grid[: len(body)] = np.frombuffer(body, dtype=np.uint8)
+            payloads.append(encode_tiff(grid.reshape(h, width),
+                                        packbits=True, rows_per_strip=4))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            flat = TiffCodec.decode_pixels(p).reshape(-1).tobytes()
             (n,) = struct.unpack_from(">I", flat, 0)
             body = flat[4: 4 + n]
             n_bytes.append(n)

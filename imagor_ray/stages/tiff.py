@@ -15,9 +15,11 @@ produce):
   Tiled TIFF, planar layout, LZW and 16-bit samples raise
   ``NotImplementedError`` with a clear message — the documented
   boundary, like the PNG/JPEG gates.
-- **Encoder**: little-endian, single-strip, uncompressed 8-bit gray
-  or RGB — deterministic bytes, exact round trips (the Tiffsave
-  analogue of the reference's uncompressed export path).
+- **Encoder**: little-endian 8-bit gray or RGB — deterministic bytes,
+  exact round trips. Default single-strip uncompressed (the Tiffsave
+  analogue of the reference's uncompressed export path, byte-stable
+  across rounds); opt-in PackBits compression and multi-strip layout
+  (``rows_per_strip``) for the compressed profile.
 """
 
 from __future__ import annotations
@@ -162,11 +164,47 @@ class TiffCodec:
         return encode_tiff(out[:, :, 0] if out.shape[2] == 1 else out)
 
 
-def encode_tiff(pixels: np.ndarray) -> bytes:
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits: maximal byte runs ≥ 3 become repeat packets
+    (control 257-len), everything else literal packets of ≤ 128. Any
+    split is valid PackBits; this one is deterministic."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literal(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(data[j : j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literal(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literal(n)
+    return bytes(out)
+
+
+def encode_tiff(pixels: np.ndarray, *, packbits: bool = False,
+                rows_per_strip: int | None = None) -> bytes:
     """Encode ``(h, w)``/``(h, w, 1)`` gray or ``(h, w, 3)`` RGB uint8
-    as little-endian uncompressed single-strip TIFF (the reference's
-    plain Tiffsave shape, process.go:920-929). Deterministic bytes;
-    exact round trips."""
+    as little-endian TIFF (the reference's Tiffsave shape,
+    process.go:920-929). Default is the historical single-strip
+    uncompressed layout (byte-identical to earlier rounds — golden
+    corpus contract); ``packbits=True`` / ``rows_per_strip=r`` emit
+    PackBits-compressed multi-strip files that exercise the decoder's
+    strip walk and run-length path. Deterministic bytes either way."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -175,28 +213,52 @@ def encode_tiff(pixels: np.ndarray) -> bytes:
         raise ValueError("tiff: empty image")
     if spp not in (1, 3):
         raise ValueError("tiff: expected 1 or 3 channels")
-    data = px.tobytes()
-    # layout: header(8) | pixel data | BitsPerSample array (if RGB) | IFD
+    row_bytes = w * spp
+    raw = px.tobytes()
+    rps = h if rows_per_strip is None else max(1, min(h, rows_per_strip))
+    nstrips = -(-h // rps)
+    strips = []
+    for s in range(nstrips):
+        chunk = raw[s * rps * row_bytes : min((s + 1) * rps, h) * row_bytes]
+        strips.append(_packbits_encode(chunk) if packbits else chunk)
+    data = b"".join(strips)
+    # layout: header(8) | strip data | value area (bits, strip arrays) | IFD
     data_off = 8
-    bits_off = data_off + len(data)
-    ifd_off = bits_off + (6 if spp == 3 else 0)
+    offs = []
+    cur = data_off
+    for st in strips:
+        offs.append(cur)
+        cur += len(st)
+    va = bytearray()
+    va_base = data_off + len(data)
+    bits_val = 8
+    if spp == 3:
+        bits_val = va_base + len(va)
+        va += struct.pack("<HHH", 8, 8, 8)
+    if nstrips > 1:
+        off_val = va_base + len(va)
+        va += struct.pack("<" + "I" * nstrips, *offs)
+        cnt_val = va_base + len(va)
+        va += struct.pack("<" + "I" * nstrips, *[len(st) for st in strips])
+    else:
+        off_val, cnt_val = offs[0], len(strips[0])
+    ifd_off = va_base + len(va)
     tags = [
         (_W, _T_LONG, 1, w),
         (_H, _T_LONG, 1, h),
-        (_BITS, _T_SHORT, spp, bits_off if spp == 3 else 8),
-        (_COMP, _T_SHORT, 1, 1),
+        (_BITS, _T_SHORT, spp, bits_val),
+        (_COMP, _T_SHORT, 1, 32773 if packbits else 1),
         (_PHOTO, _T_SHORT, 1, 1 if spp == 1 else 2),   # BlackIsZero / RGB
-        (_STRIP_OFF, _T_LONG, 1, data_off),
+        (_STRIP_OFF, _T_LONG, nstrips, off_val),
         (_SPP, _T_SHORT, 1, spp),
-        (_ROWS_PER_STRIP, _T_LONG, 1, h),
-        (_STRIP_CNT, _T_LONG, 1, len(data)),
+        (_ROWS_PER_STRIP, _T_LONG, 1, rps),
+        (_STRIP_CNT, _T_LONG, nstrips, cnt_val),
         (_PLANAR, _T_SHORT, 1, 1),
     ]
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
     out += data
-    if spp == 3:
-        out += struct.pack("<HHH", 8, 8, 8)
+    out += va
     out += struct.pack("<H", len(tags))
     for tag, typ, n, val in tags:
         if _TYPE_SIZE[typ] * n > 4 or typ == _T_LONG:

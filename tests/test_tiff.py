@@ -229,3 +229,56 @@ class TestRayIntegration:
         tiff_rows = out[[k == "tiff" for k in kinds]]
         assert (tiff_rows["width"] > 0).all()
         assert (tiff_rows["channels"] == 3).all()
+
+
+class TestPackBitsEncoder:
+    """Round-4 session-4: PackBits encoder + multi-strip muxer."""
+
+    def test_codec_roundtrip_packbits_multistrip(self):
+        for h, w, c in [(13, 7, 1), (16, 8, 3), (1, 5, 1), (9, 3, 3)]:
+            px = _rand(h, w, c, seed=h * 100 + w)
+            data = encode_tiff(px, packbits=True, rows_per_strip=4)
+            meta = TiffCodec.decode_meta(data)
+            assert meta["compression"] == "packbits"
+            got = TiffCodec.decode_pixels(data)
+            np.testing.assert_array_equal(got, px if c == 3 else px[:, :, None])
+
+    def test_repeat_packets_compress_runs(self):
+        flat = np.zeros((16, 64), dtype=np.uint8)   # all-zero → pure runs
+        data = encode_tiff(flat, packbits=True, rows_per_strip=4)
+        assert len(data) < flat.size // 4
+        np.testing.assert_array_equal(TiffCodec.decode_pixels(data),
+                                      flat[:, :, None])
+
+    def test_literal_packets_on_incompressible(self):
+        px = _rand(8, 128, 1, seed=3)
+        data = encode_tiff(px, packbits=True, rows_per_strip=2)
+        np.testing.assert_array_equal(TiffCodec.decode_pixels(data),
+                                      px[:, :, None])
+
+    @settings(max_examples=40, deadline=None)
+    @given(seed=st.integers(min_value=0, max_value=2**31),
+           n=st.integers(min_value=0, max_value=700))
+    def test_packbits_stream_roundtrip(self, seed, n):
+        from imagor_ray.stages.tiff import _packbits_decode, _packbits_encode
+
+        rng = np.random.default_rng(seed)
+        # mixed runs + noise, including >128-length runs
+        raw = b"".join(
+            bytes([rng.integers(0, 256)]) * int(rng.integers(1, 200))
+            if rng.random() < 0.5
+            else rng.integers(0, 256, size=int(rng.integers(1, 50)),
+                              dtype=np.uint8).tobytes()
+            for _ in range(max(1, n // 100))
+        )[:max(1, n)]
+        assert _packbits_decode(_packbits_encode(raw), len(raw)) == raw
+
+    def test_default_layout_unchanged(self):
+        """The no-kwarg encoder must keep the historical single-strip
+        uncompressed byte layout (golden-corpus contract): data at
+        offset 8, inline strip tags, COMP=1."""
+        px = _rand(4, 6, 1, seed=9)
+        data = encode_tiff(px)
+        assert data[8:8 + 24] == px.tobytes()
+        meta = TiffCodec.decode_meta(data)
+        assert meta["compression"] == "none"
