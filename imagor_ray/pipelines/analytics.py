@@ -18,6 +18,8 @@ import ray.data as rd
 __all__ = [
     "rolling_user_stats", "top_orders_per_customer", "user_stats_by_type",
     "approx_quantiles_by_type", "latest_event_per_user",
+    "event_transitions", "zorder_cells", "zorder_cells_sql",
+    "EVENT_TRANSITIONS_SQL",
 ]
 
 _7D_US = 7 * 86400 * 1_000_000
@@ -455,3 +457,171 @@ def cohort_retention(sf_dir: str, week_us: int = 7 * 86_400_000_000,
             .groupby("_cb")
             .map_groups(lambda g: finish(g.drop(columns=["_cb"])),
                         batch_format="pandas"))
+
+
+def event_transitions(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Markov TRANSITION COUNTS over per-user ordered event sequences —
+    the action-bigram model behind next-event prediction and behavioral
+    LM features (and the sequence analogue of ``collocations``). SQL
+    mirror: ``lag(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` then GROUP BY.
+
+    Scale shape: one user-bucket shuffle (user-complete buckets); inside
+    a bucket ONE lexsort + a vectorized shift finds every adjacent pair
+    (no per-user loop), and the bucket emits pre-aggregated
+    (src, dst, n) partials — at most n_types² rows per bucket cross the
+    second (tiny) exchange, where the per-src group computes the final
+    counts and the integer-milli row probability.
+
+    Output: src_type, dst_type, n_transitions, prob_milli.
+    """
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "t": b["ts"].astype("datetime64[us]").astype("int64"),
+            "user_id": b["user_id"].astype("int64"),
+            "event_type": b["event_type"],
+            "_wb": (b["user_id"].to_numpy().astype(np.int64) % num_buckets
+                    ).astype(np.int32),
+        })
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, et = u[order], et[order]
+        same = u[1:] == u[:-1]
+        pairs = pd.DataFrame({"src_type": et[:-1][same],
+                              "dst_type": et[1:][same]})
+        agg = (pairs.value_counts(["src_type", "dst_type"])
+               .reset_index(name="n"))
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("dst_type", as_index=False, sort=True)["n"].sum()
+        n = agg["n"].to_numpy(dtype="int64")
+        tot = np.int64(n.sum())
+        return pd.DataFrame({
+            "src_type": g["src_type"].iloc[:1].repeat(len(agg)).to_numpy(),
+            "dst_type": agg["dst_type"].to_numpy(),
+            "n_transitions": n,
+            "prob_milli": (n * 1000) // tot,
+        })
+
+    return (ev.map_batches(prep, batch_format="pandas")
+            .groupby("_wb")
+            .map_groups(lambda g: count_bucket(g.drop(columns=["_wb"])),
+                        batch_format="pandas")
+            .groupby("src_type")
+            .map_groups(finalize, batch_format="pandas"))
+
+
+# z-order: 16 bits per dimension interleaved (user bits odd, day bits
+# even) — valid while day-since-epoch < 2^16 (year 2149) and user_id
+# < 2^16 at the catalog's scale knob; a deployment widens to 32/64.
+_Z_BITS = 16
+
+
+def _zvalue(user: np.ndarray, day: np.ndarray) -> np.ndarray:
+    z = np.zeros(len(user), dtype=np.int64)
+    for i in range(_Z_BITS):
+        z |= ((user >> i) & 1) << (2 * i + 1)
+        z |= ((day >> i) & 1) << (2 * i)
+    return z
+
+
+def zorder_cells(sf_dir: str, cell_shift: int = 6) -> rd.Dataset:
+    """Z-ORDER (Morton) layout clustering — the multi-dimensional data
+    layout step a 100 TB table needs so BOTH ``user_id`` and date
+    predicates prune at the read (the write-side dual of parquet
+    row-group zone maps; same family as Delta/Iceberg OPTIMIZE ZORDER).
+    Instead of a global sort, rows group directly by their z-value
+    PREFIX (``z >> cell_shift`` — the quadtree cell that a z-sorted
+    layout would pack together), and each cell reports its zone map:
+    row count and min/max of both dimensions. Locality is the verified
+    property: every cell's user/day ranges come out tight, which is
+    exactly what makes the layout prunable.
+
+    Scale shape: z-value is a pure vectorized map; ONE cell-bucket
+    shuffle (cells are the partition key a writer would use as the
+    output-file key); per-cell stats are numpy min/max. No global sort,
+    no driver materialization.
+
+    Output: cell, n_rows, user_min, user_max, day_min, day_max.
+    """
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def zmap(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy().astype(np.int64)
+        d = (b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+             // np.int64(86_400_000_000))
+        return pd.DataFrame({
+            "cell": _zvalue(u, d) >> np.int64(cell_shift),
+            "user_id": u,
+            "day": d,
+        })
+
+    def cell_stats(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        return pd.DataFrame({
+            "cell": g["cell"].iloc[:1].astype("int64"),
+            "n_rows": np.int64(len(g)),
+            "user_min": u.min(), "user_max": u.max(),
+            "day_min": d.min(), "day_max": d.max(),
+        })
+
+    return (ev.map_batches(zmap, batch_format="pandas")
+            .groupby("cell")
+            .map_groups(cell_stats, batch_format="pandas"))
+
+
+def zorder_cells_sql(cell_shift: int = 6) -> str:
+    """Mirror: the 16-term interleave as explicit bit arithmetic."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((user_id >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((day >> {i}) & 1) << {2 * i})")
+    z = " | ".join(terms)
+    return f"""
+WITH d AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events
+)
+SELECT ({z}) >> {cell_shift} AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(user_id) AS user_min, MAX(user_id) AS user_max,
+       MIN(day) AS day_min, MAX(day) AS day_max
+FROM d
+GROUP BY 1
+"""
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type AS src_type, event_type AS dst_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n_transitions,
+       CAST((n_transitions * 1000)
+            // SUM(n_transitions) OVER (PARTITION BY src_type) AS BIGINT)
+         AS prob_milli
+FROM c
+"""

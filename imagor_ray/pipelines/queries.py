@@ -40,9 +40,10 @@ from .dedup import (
 )
 from .flagship import processed_turns
 from .analytics import (
-    approx_quantiles_by_type, cohort_retention, hll_registers,
-    latest_event_per_user, rolling_user_stats, top_orders_per_customer,
-    user_stats_by_type,
+    EVENT_TRANSITIONS_SQL, approx_quantiles_by_type, cohort_retention,
+    event_transitions, hll_registers, latest_event_per_user,
+    rolling_user_stats, top_orders_per_customer, user_stats_by_type,
+    zorder_cells, zorder_cells_sql,
 )
 from .joins import (anti_join_events_urgent, asof_join_events_orders,
                     error_context_window)
@@ -2264,6 +2265,8 @@ QUERIES = {
     "topk_orders_per_customer": top_orders_per_customer,
     "user_stats_by_type": user_stats_by_type,
     "latest_event_per_user": latest_event_per_user,
+    "event_transitions": event_transitions,
+    "zorder_cells": zorder_cells,
     "approx_quantiles_by_type": approx_quantiles_by_type,
     "hll_registers": hll_registers,
     "cohort_retention": cohort_retention,
@@ -2353,6 +2356,8 @@ ORACLES = {
     "topk_orders_per_customer": _TOPK_PER_CUST_SQL,
     "user_stats_by_type": _USER_STATS_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
+    "event_transitions": EVENT_TRANSITIONS_SQL,
+    "zorder_cells": zorder_cells_sql(),
     "approx_quantiles_by_type": _APPROX_QUANTILES_SQL,
     "hll_registers": _HLL_SQL,
     "cohort_retention": _COHORT_SQL,

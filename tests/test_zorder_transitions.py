@@ -1,0 +1,53 @@
+"""zorder_cells locality + event_transitions semantics (beyond the
+oracle parity rows)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_zorder_cells_nonvacuous_and_local(ray_session):
+    from imagor_ray.pipelines.analytics import zorder_cells
+
+    z = zorder_cells(SF).to_pandas()
+    assert len(z) >= 20, "cell fan-out collapsed — shift default regressed"
+    assert int(z["n_rows"].sum()) == 10_000
+    # the layout property: per-cell zone maps are tight on BOTH dims
+    day_span = (z["day_max"] - z["day_min"]).to_numpy()
+    user_span = (z["user_max"] - z["user_min"]).to_numpy()
+    global_day = z["day_max"].max() - z["day_min"].min()
+    global_user = z["user_max"].max() - z["user_min"].min()
+    assert day_span.mean() <= global_day / 2
+    assert user_span.mean() <= global_user / 2
+
+
+def test_zvalue_interleave_bits():
+    from imagor_ray.pipelines.analytics import _zvalue
+
+    u = np.array([0b101, 0, 0xFFFF], dtype=np.int64)
+    d = np.array([0b011, 0xFFFF, 0], dtype=np.int64)
+    z = _zvalue(u, d)
+    # user bits land odd, day bits even
+    assert z[0] == (1 << 1) | (1 << 5) | (1 << 0) | (1 << 2)
+    assert z[1] == sum(1 << (2 * i) for i in range(16))
+    assert z[2] == sum(1 << (2 * i + 1) for i in range(16))
+
+
+def test_event_transitions_rows_and_probs(ray_session):
+    from imagor_ray.pipelines.analytics import event_transitions
+
+    t = event_transitions(SF).to_pandas()
+    assert len(t) > 0 and t["n_transitions"].sum() > 0
+    # per-src integer-milli probabilities: floor rounding keeps each
+    # src row-group total in (1000 - n_dst, 1000]
+    for src, g in t.groupby("src_type"):
+        s = int(g["prob_milli"].sum())
+        assert 1000 - len(g) < s <= 1000, (src, s)
+    # bucketing must not split users: total transitions = rows - users
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT count(*) - count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert int(t["n_transitions"].sum()) == want
