@@ -37,6 +37,7 @@ import pandas as pd
 import ray.data as rd
 
 __all__ = ["kmeans_assign", "kmeans_iter", "kmeans_train",
+           "embedding_gram", "EMBEDDING_GRAM_SQL",
            "KMEANS_ASSIGN_SQL", "KMEANS_ITER_SQL", "kmeans_train_sql"]
 
 K = 8
@@ -252,3 +253,53 @@ def kmeans_train_sql(k: int = K, rounds: int = 3) -> str:
             "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,\n"
             "       CAST(SUM(dist_sq) AS BIGINT) AS inertia\n"
             "FROM af GROUP BY cluster")
+
+
+def embedding_gram(sf_dir: str) -> rd.Dataset:
+    """Exact Gram matrix of the quantized embedding table — the
+    covariance/PCA building block (X^T X plus the count; the mean
+    vector is ``kmeans_iter``'s k=1 degenerate case). The mergeable-
+    MATRIX-partial topology: every batch folds to one 64×64 int64
+    matmul, partials ride the shuffle as upper-triangle rows, a
+    64-group reduce sums them — the input table never re-shuffles and
+    the driver never sees a vector. Entries stay within int64 up to
+    ~10^10 rows at this quantization (module docstring).
+
+    Output: dim_i, dim_j (i ≤ j), gram_sum, n_vecs.
+    """
+    iu, ju = np.triu_indices(DIM)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = _quantize(b["embedding"].to_numpy())
+        G = X.T @ X
+        return pd.DataFrame({
+            "dim_i": iu.astype("int64"),
+            "dim_j": ju.astype("int64"),
+            "g": G[iu, ju],
+            "n": np.full(len(iu), len(X), dtype="int64"),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("dim_j", as_index=False, sort=True)[["g", "n"]].sum()
+        return pd.DataFrame({
+            "dim_i": g["dim_i"].iloc[:1].repeat(len(s)).to_numpy(),
+            "dim_j": s["dim_j"].to_numpy(dtype="int64"),
+            "gram_sum": s["g"].to_numpy(dtype="int64"),
+            "n_vecs": s["n"].to_numpy(dtype="int64"),
+        })
+
+    return (_read_emb(sf_dir)
+            .map_batches(partial, batch_format="pandas")
+            .groupby("dim_i")
+            .map_groups(merge, batch_format="pandas"))
+
+
+EMBEDDING_GRAM_SQL = f"""
+WITH {_QUANT_SQL}
+SELECT r1.i - 1 AS dim_i, r2.i - 1 AS dim_j,
+       CAST(SUM(qv[r1.i] * qv[r2.i]) AS BIGINT) AS gram_sum,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM q, range(1,{DIM + 1}) r1(i), range(1,{DIM + 1}) r2(i)
+WHERE r2.i >= r1.i
+GROUP BY 1, 2
+"""

@@ -47,8 +47,9 @@ from .analytics import (
 )
 from .joins import (anti_join_events_urgent, asof_join_events_orders,
                     error_context_window)
-from .kmeans import (KMEANS_ASSIGN_SQL, KMEANS_ITER_SQL, kmeans_assign,
-                     kmeans_iter, kmeans_train, kmeans_train_sql)
+from .kmeans import (EMBEDDING_GRAM_SQL, KMEANS_ASSIGN_SQL, KMEANS_ITER_SQL,
+                     embedding_gram, kmeans_assign, kmeans_iter, kmeans_train,
+                     kmeans_train_sql)
 from .pii import PII_REDACT_SQL, PII_SCAN_SQL, pii_redact, pii_scan
 from .sampling import (dataset_split, deterministic_sample, group_sample,
                        stratified_sample)
@@ -898,6 +899,92 @@ def _q_q10(sf_dir: str):
     })
 
 
+def _q_q18(sf_dir: str, qty_threshold: int = 250, topn: int = 100):
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    lineitem quantity exceeds the threshold, top-N by total price.
+
+    Scale shape: the GROUP-BY-HAVING SEMI-JOIN — lineitem collapses to
+    per-batch (orderkey, qty) partials map-side (quantities are
+    integral, summed as int64 → exact), one orderkey-bucket reduce
+    filters the heavy orders, and only THOSE keys join the orders table
+    through Ray's native hash join (the fact table never joins
+    unfiltered). The top-N runs on the heavy subset (~0.3% of orders);
+    customer decoration happens AFTER the top-N — N keys, predicate
+    pushed into the read (the Q10 pattern). At 100 TB the final head()
+    would be ds.sort().limit(); the heavy subset here is hundreds of
+    rows.
+
+    Output: c_custkey, c_name, o_orderkey, o_orderdate, price_m,
+    total_qty.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            "qty": b["l_quantity"].to_numpy().astype("int64"),
+        })
+        s = part.groupby("l_orderkey", sort=False)["qty"].sum().reset_index()
+        s["_qb"] = (s["l_orderkey"].to_numpy(dtype="int64") % np.int64(32))
+        return s
+
+    def heavy(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", sort=False)["qty"].sum().reset_index()
+        s = s[s["qty"] > qty_threshold]
+        return s.rename(columns={"qty": "total_qty"})
+
+    heavy_ds = (line.map_batches(qty_partial, batch_format="pandas")
+                .groupby("_qb")
+                .map_groups(lambda g: heavy(g.drop(columns=["_qb"])),
+                            batch_format="pandas"))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def price_m(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["price_m"] = np.floor(
+            b.pop("o_totalprice").to_numpy() * 1000).astype("int64")
+        return b
+
+    n_parts = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    joined = heavy_ds.join(
+        orders.map_batches(price_m, batch_format="pandas"),
+        "inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).to_pandas()
+    if "o_orderkey" not in joined.columns:   # join collapses the key pair
+        joined = joined.rename(columns={"l_orderkey": "o_orderkey"})
+
+    top = (joined.sort_values(["price_m", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort")
+           .head(topn))
+    keys = top["o_custkey"].astype("int64").unique().tolist()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filters=pc.field("c_custkey").isin(keys),
+    ).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["price_m", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+    return pd.DataFrame({
+        "c_custkey": out["c_custkey"].to_numpy(dtype="int64"),
+        "c_name": out["c_name"].to_numpy(),
+        "o_orderkey": out["o_orderkey"].to_numpy(dtype="int64"),
+        "o_orderdate": out["o_orderdate"].to_numpy(),
+        "price_m": out["price_m"].to_numpy(dtype="int64"),
+        "total_qty": out["total_qty"].to_numpy(dtype="int64"),
+    })
+
+
 def _q_q14(sf_dir: str):
     """TPC-H Q14-shaped promo-revenue fraction: share of one month's
     lineitem revenue on PROMO-type parts, in exact integer milli-units
@@ -1208,6 +1295,22 @@ SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.rev_m ELSE 0 END)
        CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN l.rev_m ELSE 0 END)
             * 1000 // SUM(l.rev_m) AS BIGINT) AS promo_milli
 FROM l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+_Q18_SQL = """
+WITH h AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 1000) AS BIGINT) AS price_m,
+       h.total_qty
+FROM h
+JOIN orders o ON o.o_orderkey = h.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY price_m DESC, o.o_orderkey
+LIMIT 100
 """
 
 _SUPPLIER_BALANCE_SQL = """
@@ -2249,12 +2352,14 @@ QUERIES = {
     "kmeans_assign": kmeans_assign,
     "kmeans_iter": kmeans_iter,
     "kmeans_train": lambda sf: kmeans_train(sf),
+    "embedding_gram": embedding_gram,
     # relational breadth
     "q1_pricing": _q_q1,
     "q3_shipping": _q_q3,
     "q5_nation_revenue": _q_q5,
     "q10_returned_items": _q_q10,
     "q14_promo_revenue": _q_q14,
+    "q18_large_orders": _q_q18,
     "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
     "asof_events_orders": _q_asof,
@@ -2341,11 +2446,13 @@ ORACLES = {
     # the 3-round training loop, unrolled into CTEs — an ITERATIVE
     # algorithm under the exact hash gate (quantized-integer arithmetic)
     "kmeans_train": kmeans_train_sql(),
+    "embedding_gram": EMBEDDING_GRAM_SQL,
     "q1_pricing": _Q1_SQL,
     "q3_shipping": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,
     "q10_returned_items": _Q10_SQL,
     "q14_promo_revenue": _Q14_SQL,
+    "q18_large_orders": _Q18_SQL,
     "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "asof_events_orders": _ASOF_SQL,
