@@ -30,7 +30,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["pii_scan", "pii_redact", "PII_SCAN_SQL", "PII_REDACT_SQL",
+__all__ = ["pii_scan", "pii_redact", "corpus_clean",
+           "PII_SCAN_SQL", "PII_REDACT_SQL", "CORPUS_CLEAN_SQL",
            "PII_PATTERNS"]
 
 # pattern text is shared verbatim with the SQL mirror (RE2 ∩ sre).
@@ -189,4 +190,119 @@ WITH aug AS (
 )
 SELECT doc_id, n AS n_redactions, md5(cur) AS redacted_md5
 FROM s4
+"""
+
+
+# twin offset ≡ 0 (mod 5·7·11·13): a twin draws the SAME planted-PII
+# families as its base, so after redaction the pair is byte-identical —
+# the mirror-page-differing-only-by-contact-info dedup case.
+_TWIN_OFFSET = 5005 * 200          # 1_001_000
+_TWIN_MOD = 17
+
+
+def corpus_clean(sf_dir: str, min_quality: int = 400,
+                 num_buckets: int = 32) -> rd.Dataset:
+    """The COMPOSED training-data cleaning pipeline: PII-redact →
+    quality-score (on the redacted text, the bytes that would ship) →
+    threshold filter → exact content dedup. Every stage is the verified
+    single op (``pii_redact``, ``doc_quality``'s formula,
+    ``dedup_exact``'s topology); this entry verifies the COMPOSITION —
+    order matters (dedup runs on redacted survivors) and the planted
+    twins (doc_id + 1,001,000, same text, PII-pattern-congruent) only
+    collapse BECAUSE redaction ran first.
+
+    Scale shape: redact+score+filter is one pure map; the only shuffle
+    is the content-hash bucket exchange of dedup_exact, carrying just
+    (doc_id, quality_milli, md5) for quality survivors.
+
+    Output: doc_id, quality_milli, redacted_md5 (one row per distinct
+    redacted content, min doc_id wins).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["doc_id"] % _TWIN_MOD == 0]
+        if not len(sel):
+            return b
+        twins = sel.assign(doc_id=sel["doc_id"] + _TWIN_OFFSET)
+        return pd.concat([b, twins], ignore_index=True)
+
+    def redact_score(b: pd.DataFrame) -> pd.DataFrame:
+        stop = {"the", "a", "of", "and", "to"}
+        ids = b["doc_id"].to_numpy()
+        rows = {"doc_id": ids.astype("int64"), "quality_milli": [],
+                "redacted_md5": [], "_hb": []}
+        punct_re = re.compile(r"[^A-Za-z0-9 ]")
+        for i, t in zip(ids, b["text"]):
+            s = _augment(int(i), t)
+            for k in _ORDER:
+                s = _COMPILED[k].sub(_TOKEN[k], s)
+            n_chars = len(s)
+            toks = s.split(" ")
+            n_tokens = len(toks)
+            stop_count = sum(1 for x in toks if x in stop)
+            n_punct = len(punct_re.findall(s))
+            q = (0.5 * (min(n_chars, 500) / 500.0)
+                 + 0.3 * (stop_count / max(n_tokens, 1))
+                 + 0.2 * (1.0 - n_punct / max(n_chars, 1)))
+            digest = hashlib.md5(s.encode("utf-8")).hexdigest()
+            rows["quality_milli"].append(int(np.floor(q * 1000)))
+            rows["redacted_md5"].append(digest)
+            rows["_hb"].append(int(digest[:8], 16) % num_buckets)
+        out = pd.DataFrame(rows)
+        out["quality_milli"] = out["quality_milli"].astype("int64")
+        out["_hb"] = out["_hb"].astype("int32")
+        return out[out["quality_milli"] >= min_quality]
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["redacted_md5", "doc_id"], kind="mergesort")
+        g = g.drop_duplicates("redacted_md5", keep="first")
+        return g[["doc_id", "quality_milli", "redacted_md5"]]
+
+    return (docs
+            .map_batches(plant, batch_format="pandas")
+            .map_batches(redact_score, batch_format="pandas")
+            .groupby("_hb")
+            .map_groups(lambda g: dedup(g.drop(columns=["_hb"])),
+                        batch_format="pandas"))
+
+
+_RED_EXPR = (
+    f"regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,"
+    f" '{PII_PATTERNS['email']}', '<EMAIL>', 'g'),"
+    f" '{PII_PATTERNS['phone']}', '<PHONE>', 'g'),"
+    f" '{PII_PATTERNS['ssn']}', '<SSN>', 'g'),"
+    f" '{PII_PATTERNS['ip']}', '<IP>', 'g')"
+)
+
+CORPUS_CLEAN_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_TWIN_OFFSET}, text FROM documents
+  WHERE doc_id % {_TWIN_MOD} = 0
+), aug AS (
+  SELECT doc_id, {_AUGMENT_SQL} AS t FROM base
+), red AS (
+  SELECT doc_id, {_RED_EXPR} AS s FROM aug
+), m AS (
+  SELECT doc_id, s,
+         length(s) AS n_chars,
+         len(string_split(s, ' ')) AS n_tokens,
+         len(list_filter(string_split(s, ' '),
+             x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS stop_count,
+         len(regexp_extract_all(s, '[^A-Za-z0-9 ]')) AS n_punct
+  FROM red
+), q AS (
+  SELECT doc_id, md5(s) AS redacted_md5,
+         CAST(floor((0.5 * (least(n_chars, 500) / 500.0)
+                     + 0.3 * (stop_count / greatest(n_tokens, 1))
+                     + 0.2 * (1.0 - n_punct / greatest(n_chars, 1)))
+                    * 1000) AS BIGINT) AS quality_milli
+  FROM m
+)
+SELECT doc_id, quality_milli, redacted_md5
+FROM q WHERE quality_milli >= 400
+QUALIFY row_number() OVER (PARTITION BY redacted_md5 ORDER BY doc_id) = 1
 """

@@ -50,7 +50,8 @@ from .joins import (anti_join_events_urgent, asof_join_events_orders,
 from .kmeans import (EMBEDDING_GRAM_SQL, KMEANS_ASSIGN_SQL, KMEANS_ITER_SQL,
                      embedding_gram, kmeans_assign, kmeans_iter, kmeans_train,
                      kmeans_train_sql)
-from .pii import PII_REDACT_SQL, PII_SCAN_SQL, pii_redact, pii_scan
+from .pii import (CORPUS_CLEAN_SQL, PII_REDACT_SQL, PII_SCAN_SQL,
+                  corpus_clean, pii_redact, pii_scan)
 from .sampling import (dataset_split, deterministic_sample, group_sample,
                        stratified_sample)
 from .textstats import (
@@ -2333,6 +2334,7 @@ QUERIES = {
     "quality_percentile": quality_percentile,
     "pii_scan": pii_scan,
     "pii_redact": pii_redact,
+    "corpus_clean": corpus_clean,
     "curriculum_order": curriculum_order,
     "collocations": collocations,
     "doc_sketches": lambda sf: doc_sketches(sf).select_columns(
@@ -2426,6 +2428,7 @@ ORACLES = {
     "doc_oov": _DOC_OOV_SQL,
     "pii_scan": PII_SCAN_SQL,
     "pii_redact": PII_REDACT_SQL,
+    "corpus_clean": CORPUS_CLEAN_SQL,
     "quality_filter": _QUALITY_FILTER_SQL.format(DQ=_DOC_QUALITY_SQL),
     "quality_percentile": _QUALITY_PCT_SQL.format(DQ=_DOC_QUALITY_SQL),
     "curriculum_order": _CURRICULUM_SQL.format(DQ=_DOC_QUALITY_SQL),

@@ -79,3 +79,16 @@ def test_scan_nonvacuous(ray_session):
     assert df["pii_total"].sum() > 0
     for c in ("n_emails", "n_phones", "n_ssns", "n_ips"):
         assert df[c].sum() > 0, c
+
+
+def test_corpus_clean_composition(ray_session):
+    """Twins differ from their base ONLY in PII spans, so they collapse
+    iff redaction ran before dedup — the base (smaller doc_id) must
+    always win, so no twin id survives."""
+    from imagor_ray.pipelines.pii import _TWIN_OFFSET, corpus_clean
+
+    df = corpus_clean(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["doc_id"] < _TWIN_OFFSET).all()
+    assert (df["quality_milli"] >= 400).all()
+    assert df["redacted_md5"].is_unique
