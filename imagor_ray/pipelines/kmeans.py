@@ -38,6 +38,7 @@ import ray.data as rd
 
 __all__ = ["kmeans_assign", "kmeans_iter", "kmeans_train",
            "embedding_gram", "EMBEDDING_GRAM_SQL",
+           "pca_power_iter", "pca_power_iter_sql",
            "KMEANS_ASSIGN_SQL", "KMEANS_ITER_SQL", "kmeans_train_sql"]
 
 K = 8
@@ -303,3 +304,60 @@ FROM q, range(1,{DIM + 1}) r1(i), range(1,{DIM + 1}) r2(i)
 WHERE r2.i >= r1.i
 GROUP BY 1, 2
 """
+
+
+_PI_SCALE = 4096                    # fixed-point grid for the direction
+
+
+def pca_power_iter(sf_dir: str, rounds: int = 3) -> pd.DataFrame:
+    """Top principal direction by POWER ITERATION on the exact Gram
+    matrix — iterative distributed linear algebra under the hash gate.
+    The heavy part is the ONE streamed ``embedding_gram`` pass (matrix
+    partials, 64-group reduce); the iteration itself is O(dim²) driver
+    math on 2080 integers, deterministic because every step is exact:
+    w = G·v in arbitrary-precision Python ints, then fixed-point
+    renormalization v' = trunc(w·4096 / max|w|) — truncation (not
+    floor) so DuckDB's HUGEINT ``//`` reproduces it bit-for-bit on
+    negative components. Start vector = all-ones (fixes the sign).
+
+    Output: dim_idx, v (the fixed-point direction, max |v| = 4096).
+    """
+    gram = embedding_gram(sf_dir).to_pandas()
+    G = np.zeros((DIM, DIM), dtype=object)
+    for i, j, g in zip(gram["dim_i"], gram["dim_j"], gram["gram_sum"]):
+        G[i][j] = int(g)
+        G[j][i] = int(g)
+    v = [1] * DIM
+    for _ in range(rounds):
+        w = [sum(G[i][j] * v[j] for j in range(DIM)) for i in range(DIM)]
+        m = max(abs(x) for x in w)
+        v = [(-((-x * _PI_SCALE) // m)) if x < 0 else (x * _PI_SCALE) // m
+             for x in w]
+    return pd.DataFrame({"dim_idx": np.arange(DIM, dtype="int64"),
+                         "v": np.array(v, dtype="int64")})
+
+
+def pca_power_iter_sql(rounds: int = 3) -> str:
+    """Unrolled mirror: symmetrize the gram CTE, then per round one
+    matrix-vector join + a HUGEINT truncating renormalization."""
+    parts = [f"g0 AS ({EMBEDDING_GRAM_SQL.strip()})",
+             """g2 AS (
+  SELECT dim_i AS i, dim_j AS j, gram_sum AS g FROM g0
+  UNION ALL
+  SELECT dim_j, dim_i, gram_sum FROM g0 WHERE dim_i < dim_j
+)""",
+             f"v0 AS (SELECT i AS j, CAST(1 AS HUGEINT) AS v "
+             f"FROM range(0,{DIM}) t(i))"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""w{r} AS (
+  SELECT g2.i AS j, SUM(CAST(g2.g AS HUGEINT) * v.v) AS w
+  FROM g2 JOIN v{r - 1} v ON v.j = g2.j
+  GROUP BY 1
+), m{r} AS (SELECT MAX(ABS(w)) AS m FROM w{r}),
+v{r} AS (
+  SELECT j, CASE WHEN w < 0 THEN -((-w * {_PI_SCALE}) // m)
+                 ELSE (w * {_PI_SCALE}) // m END AS v
+  FROM w{r}, m{r}
+)""")
+    return ("WITH " + ",\n".join(parts) + f"\n"
+            f"SELECT j AS dim_idx, CAST(v AS BIGINT) AS v FROM v{rounds}")

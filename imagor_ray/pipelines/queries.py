@@ -49,7 +49,7 @@ from .joins import (anti_join_events_urgent, asof_join_events_orders,
                     error_context_window)
 from .kmeans import (EMBEDDING_GRAM_SQL, KMEANS_ASSIGN_SQL, KMEANS_ITER_SQL,
                      embedding_gram, kmeans_assign, kmeans_iter, kmeans_train,
-                     kmeans_train_sql)
+                     kmeans_train_sql, pca_power_iter, pca_power_iter_sql)
 from .pii import (CORPUS_CLEAN_SQL, PII_REDACT_SQL, PII_SCAN_SQL,
                   corpus_clean, pii_redact, pii_scan)
 from .sampling import (dataset_split, deterministic_sample, group_sample,
@@ -2355,6 +2355,7 @@ QUERIES = {
     "kmeans_iter": kmeans_iter,
     "kmeans_train": lambda sf: kmeans_train(sf),
     "embedding_gram": embedding_gram,
+    "pca_power_iter": lambda sf: pca_power_iter(sf),
     # relational breadth
     "q1_pricing": _q_q1,
     "q3_shipping": _q_q3,
@@ -2450,6 +2451,9 @@ ORACLES = {
     # algorithm under the exact hash gate (quantized-integer arithmetic)
     "kmeans_train": kmeans_train_sql(),
     "embedding_gram": EMBEDDING_GRAM_SQL,
+    # power iteration on the exact gram: truncating fixed-point
+    # renormalization makes the iterative eigen-solve hash-verifiable
+    "pca_power_iter": pca_power_iter_sql(),
     "q1_pricing": _Q1_SQL,
     "q3_shipping": _Q3_SQL,
     "q5_nation_revenue": _Q5_SQL,

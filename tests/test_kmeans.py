@@ -89,3 +89,24 @@ def test_tie_break_first_min():
                  dtype=np.int64)
     cl, dist = _assign_np(X, C)
     assert cl[0] == 0 and dist[0] == 1
+
+
+def test_power_iter_rayleigh_improves(ray_session):
+    """Convergence witness suited to this spectrum: random gaussian
+    embeddings give a near-flat eigengap (λ2/λ1 ≈ 0.93 here), so a
+    3-round direction can't pin the top eigenvector — but the Rayleigh
+    quotient must climb monotonically toward λ1 and beat the spectrum
+    mean (what power iteration guarantees regardless of gap)."""
+    from imagor_ray.pipelines.kmeans import pca_power_iter
+
+    qX = _full_table().astype(np.float64)
+    G = qX.T @ qX
+    evals = np.linalg.eigvalsh(G)
+
+    def rayleigh(v: np.ndarray) -> float:
+        return (v @ G @ v) / (v @ v)
+
+    rs = [rayleigh(pca_power_iter(SF, rounds=r)["v"]
+                   .to_numpy().astype(np.float64)) for r in (1, 2, 3)]
+    assert rs[0] < rs[1] < rs[2] <= evals[-1] * (1 + 1e-9)
+    assert rs[2] > evals.mean()
