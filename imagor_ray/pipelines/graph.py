@@ -1,0 +1,220 @@
+"""Distributed PageRank over the customer–supplier purchase graph —
+the fourth iterative algorithm under the exact hash gate (after
+``dedup_components``' label propagation, ``kmeans_train`` and
+``pca_power_iter``), and the weighted-graph complement to components'
+unweighted closure.
+
+Graph: bipartite customers ↔ suppliers, an undirected edge per DISTINCT
+(o_custkey, l_suppkey) purchase relationship (node ids disambiguated as
+``cust*2`` / ``supp*2+1``). Undirected means every node has out-degree
+≥ 1, so there are no dangling nodes and the damped update covers every
+node each round.
+
+Arithmetic is exact-integer PageRank in micro-units: pr₀ = 1,000,000;
+per round ``pr'(v) = 150_000 + (850 · Σ_{u→v} (pr(u) // outdeg(u)))
+// 1000``. All values are positive, so Python ``//`` (floor) and DuckDB
+``//`` (trunc) coincide, and the whole 3-round recursion unrolls into
+CTEs that DuckDB reproduces bit-for-bit.
+
+Scale shape (the components round topology, ``dedup.py:777``):
+
+- edge derivation is ONE tagged co-group on the orderkey bucket
+  (orders rows carry custkey, lineitem rows carry suppkey — the fact
+  table never joins unbucketed), then an edge-bucket distinct;
+- each round is TWO bucketed exchanges carrying (node, pr, outdeg) and
+  (dst, contrib) integer rows — never the fact tables;
+- edges + degrees materialize once; pr re-materializes per round so
+  round N+1 never re-executes rounds 1..N (the bpe/kmeans re-read
+  precedent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+__all__ = ["pagerank", "pagerank_sql"]
+
+_PR0 = 1_000_000
+_DAMP_NUM = 850          # 0.85 in milli
+_BASE = 150_000          # (1 - 0.85) · PR0 in micro-units
+
+
+def _edges(sf_dir: str, num_buckets: int) -> rd.Dataset:
+    """Distinct undirected purchase edges via the tagged co-group join
+    on the orderkey bucket."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": k, "kind": np.zeros(len(b), dtype=np.int8),
+            "val": b["o_custkey"].to_numpy().astype(np.int64),
+            "_ob": (k % num_buckets).astype(np.int32),
+        })
+
+    def tag_line(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["l_orderkey"].to_numpy().astype(np.int64)
+        # map-side pre-distinct: one (order, supp) per batch
+        d = pd.DataFrame({"key": k, "val": b["l_suppkey"].to_numpy()
+                          .astype(np.int64)}).drop_duplicates()
+        d["kind"] = np.int8(1)
+        d["_ob"] = (d["key"].to_numpy() % num_buckets).astype(np.int32)
+        return d[["key", "kind", "val", "_ob"]]
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["kind"] == 0]
+        lut = dict(zip(cust["key"], cust["val"]))
+        li = g[g["kind"] == 1]
+        c = li["key"].map(lut).to_numpy(dtype="int64")
+        s = li["val"].to_numpy(dtype="int64")
+        e = pd.DataFrame({"src": c * 2, "dst": s * 2 + 1}).drop_duplicates()
+        return e
+
+    tagged = (orders.map_batches(tag_orders, batch_format="pandas")
+              .union(line.map_batches(tag_line, batch_format="pandas")))
+    half = (tagged.groupby("_ob")
+            .map_groups(lambda g: attach(g.drop(columns=["_ob"])),
+                        batch_format="pandas"))
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy()
+        d = b["dst"].to_numpy()
+        out = pd.DataFrame({"src": np.concatenate([s, d]),
+                            "dst": np.concatenate([d, s])})
+        out["_sb"] = (out["src"].to_numpy() % num_buckets).astype(np.int32)
+        return out
+
+    return (half.map_batches(both_dirs, batch_format="pandas")
+            .groupby("_sb")
+            .map_groups(lambda g: g.drop(columns=["_sb"]).drop_duplicates(),
+                        batch_format="pandas")
+            .materialize())
+
+
+def pagerank(sf_dir: str, rounds: int = 3,
+             num_buckets: int = 32) -> pd.DataFrame:
+    """Output: node_type ('customer'/'supplier'), node_id, pr
+    (micro-units after ``rounds`` damped updates)."""
+    edges = _edges(sf_dir, num_buckets)
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.groupby("src", sort=False).size().reset_index(name="outdeg")
+        s["_nb"] = (s["src"].to_numpy(dtype="int64") % num_buckets
+                    ).astype(np.int32)
+        return s
+
+    def deg_merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("src", sort=False)["outdeg"].sum().reset_index()
+        return pd.DataFrame({
+            "node": s["src"].to_numpy(dtype="int64"),
+            "outdeg": s["outdeg"].to_numpy(dtype="int64"),
+            "pr": np.full(len(s), _PR0, dtype="int64"),
+        })
+
+    state = (edges.map_batches(deg_partial, batch_format="pandas")
+             .groupby("_nb")
+             .map_groups(lambda g: deg_merge(g.drop(columns=["_nb"])),
+                         batch_format="pandas")
+             .materialize())
+
+    def tag_state(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["node"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "key": n, "kind": np.zeros(len(b), dtype=np.int8),
+            "dst": np.full(len(b), -1, dtype="int64"),
+            "contrib": b["pr"].to_numpy(dtype="int64")
+            // b["outdeg"].to_numpy(dtype="int64"),
+            "outdeg": b["outdeg"].to_numpy(dtype="int64"),
+            "_eb": (n % num_buckets).astype(np.int32),
+        })
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "key": s, "kind": np.ones(len(b), dtype=np.int8),
+            "dst": b["dst"].to_numpy(dtype="int64"),
+            "contrib": np.full(len(b), -1, dtype="int64"),
+            "outdeg": np.full(len(b), -1, dtype="int64"),
+            "_eb": (s % num_buckets).astype(np.int32),
+        })
+
+    def offer(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["kind"] == 0]
+        lutc = dict(zip(st["key"], st["contrib"]))
+        lutd = dict(zip(st["key"], st["outdeg"]))
+        ed = g[g["kind"] == 1]
+        out = pd.DataFrame({
+            "node": ed["dst"].to_numpy(dtype="int64"),
+            "c": ed["key"].map(lutc).to_numpy(dtype="int64"),
+            # ship each target's outdeg forward so the reducer can
+            # rebuild next-round state without a third exchange
+        })
+        out["_nb"] = (out["node"].to_numpy() % num_buckets).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame, deg_lut: dict) -> pd.DataFrame:
+        s = g.groupby("node", sort=False)["c"].sum().reset_index()
+        n = s["node"].to_numpy(dtype="int64")
+        pr = _BASE + (_DAMP_NUM * s["c"].to_numpy(dtype="int64")) // 1000
+        return pd.DataFrame({
+            "node": n,
+            "outdeg": pd.Series(n).map(deg_lut).to_numpy(dtype="int64"),
+            "pr": pr.astype("int64"),
+        })
+
+    # degrees are node-table-sized; at catalog scale they broadcast as a
+    # dict (at 100 TB they'd stay a column in `state`, which they do —
+    # the dict is only the reducer-side rebuild shortcut)
+    deg_lut = dict(zip(state.to_pandas()["node"], state.to_pandas()["outdeg"]))
+    import ray as _ray
+    deg_ref = _ray.put(deg_lut)
+
+    for _ in range(rounds):
+        tagged = (state.map_batches(tag_state, batch_format="pandas")
+                  .union(edges.map_batches(tag_edges, batch_format="pandas")))
+        contribs = (tagged.groupby("_eb")
+                    .map_groups(lambda g: offer(g.drop(columns=["_eb"])),
+                                batch_format="pandas"))
+        state = (contribs.groupby("_nb")
+                 .map_groups(lambda g, r=deg_ref: fold(
+                     g.drop(columns=["_nb"]), _ray.get(r)),
+                     batch_format="pandas")
+                 .materialize())
+
+    out = state.to_pandas()
+    return (pd.DataFrame({
+        "node_type": np.where(out["node"] % 2 == 0, "customer", "supplier"),
+        "node_id": (out["node"] // 2).astype("int64"),
+        "pr": out["pr"].astype("int64"),
+    }).sort_values(["node_type", "node_id"]).reset_index(drop=True))
+
+
+def pagerank_sql(rounds: int = 3) -> str:
+    parts = ["""e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1
+)""",
+             f"p0 AS (SELECT node, CAST({_PR0} AS BIGINT) AS pr FROM deg)"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""c{r} AS (
+  SELECT e.dst AS node, SUM(p.pr // d.outdeg) AS s
+  FROM e JOIN p{r - 1} p ON p.node = e.src JOIN deg d ON d.node = e.src
+  GROUP BY 1
+), p{r} AS (
+  SELECT node, CAST({_BASE} + ({_DAMP_NUM} * s) // 1000 AS BIGINT) AS pr
+  FROM c{r}
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       node // 2 AS node_id, pr
+FROM p{rounds}""")

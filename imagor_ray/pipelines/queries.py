@@ -45,6 +45,7 @@ from .analytics import (
     rolling_user_stats, top_orders_per_customer, user_stats_by_type,
     zorder_cells, zorder_cells_sql,
 )
+from .graph import pagerank, pagerank_sql
 from .joins import (anti_join_events_urgent, asof_join_events_orders,
                     error_context_window)
 from .kmeans import (EMBEDDING_GRAM_SQL, KMEANS_ASSIGN_SQL, KMEANS_ITER_SQL,
@@ -2319,6 +2320,7 @@ QUERIES = {
     "typo_pairs": typo_pairs,
     "source_normalize_stats": source_normalize_stats,
     "dedup_components": dedup_components,
+    "pagerank": lambda sf: pagerank(sf),
     # rows-only: iterative argmax-rewrite loop (no SQL mirror exists);
     # pytest-verified identical to an independent reference (test_bpe)
     "bpe_merges": _q_bpe_merges,
@@ -2422,6 +2424,8 @@ ORACLES = {
     "typo_pairs": _TYPO_PAIRS_SQL,
     "source_normalize_stats": _SOURCE_NORMALIZE_SQL,
     "dedup_components": _DEDUP_COMPONENTS_SQL,
+    # exact-integer damped PageRank, 3 rounds unrolled into CTEs
+    "pagerank": pagerank_sql(),
     "contamination": _CONTAMINATION_SQL,
     "conv_stats": _CONV_STATS_SQL,
     "text_stats": _TEXT_STATS_SQL,
