@@ -36,7 +36,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["bpe_train", "bpe_reference", "END_OF_WORD"]
+__all__ = ["bpe_train", "bpe_encode", "bpe_reference", "END_OF_WORD"]
 
 END_OF_WORD = "</w>"
 
@@ -203,3 +203,68 @@ def bpe_reference(word_counts: dict[str, int],
         table = {tuple(_merge_word(list(s), a, b)): c
                  for s, c in table.items()}
     return merges
+
+
+def bpe_encode(sf_dir: str, num_merges: int = 40,
+               num_buckets: int = 32) -> rd.Dataset:
+    """TOKENIZER APPLICATION — the shard-writer side that consumes
+    ``bpe_train``'s merge table, closing the train→apply loop a
+    pre-training pipeline runs: learn merges once (the iterative op),
+    broadcast the 40-row table, then ONE pure map over the corpus
+    subword-encodes every document.
+
+    Encode semantics match training exactly: each word splits into
+    characters + ``</w>`` and the merges apply sequentially in learned
+    order with the same greedy left-to-right rewrite (``_merge_word``).
+    Per batch, the rewrite runs once per UNIQUE word (Zipf makes the
+    cache hit rate high), so the hot loop is dict lookups.
+
+    Rows-only entry (the merge table itself is the iterative artifact
+    with no SQL mirror); the differential pytest encodes documents with
+    an independent apply over the reference-trained merges and pins
+    byte-identical token streams.
+
+    Output: doc_id, n_subwords, token_md5 (md5 of the \\x1e-joined
+    token stream).
+    """
+    import hashlib
+
+    import ray
+
+    merges = bpe_train(sf_dir, num_merges=num_merges,
+                       num_buckets=num_buckets)
+    merge_list = list(zip(merges["left"], merges["right"]))
+    merges_ref = ray.put(merge_list)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        ms = ray.get(merges_ref)
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            toks = cache.get(w)
+            if toks is None:
+                toks = list(w) + [END_OF_WORD]
+                for a, bb in ms:
+                    if len(toks) > 1:
+                        toks = _merge_word(toks, a, bb)
+                cache[w] = toks
+            return toks
+
+        n_sub, digests = [], []
+        for t in b["text"]:
+            stream: list[str] = []
+            for w in t.split(" "):
+                stream.extend(enc_word(w))
+            n_sub.append(len(stream))
+            digests.append(hashlib.md5(
+                "\x1e".join(stream).encode("utf-8")).hexdigest())
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "n_subwords": np.array(n_sub, dtype="int64"),
+            "token_md5": digests,
+        })
+
+    return docs.map_batches(encode, batch_format="pandas")

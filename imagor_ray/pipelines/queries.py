@@ -1452,6 +1452,12 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(sf_dir, num_merges=25)
 
 
+def _q_bpe_encode(sf_dir: str):
+    from .bpe import bpe_encode
+
+    return bpe_encode(sf_dir, num_merges=25)
+
+
 _JPEG_ROUNDTRIP_SQL = """
 SELECT doc_id, sha256(text) AS recovered_sha
 FROM documents
@@ -2324,6 +2330,9 @@ QUERIES = {
     # rows-only: iterative argmax-rewrite loop (no SQL mirror exists);
     # pytest-verified identical to an independent reference (test_bpe)
     "bpe_merges": _q_bpe_merges,
+    # rows-only: consumes the iterative merge table; differential pytest
+    # pins byte-identical token streams vs an independent apply
+    "bpe_encode": _q_bpe_encode,
     "contamination": contamination,
     "text_stats": text_stats,
     # min_count=100 exercises the vocab-pruning floor on this corpus
