@@ -19,7 +19,7 @@ __all__ = [
     "rolling_user_stats", "top_orders_per_customer", "user_stats_by_type",
     "approx_quantiles_by_type", "latest_event_per_user",
     "event_transitions", "zorder_cells", "zorder_cells_sql",
-    "EVENT_TRANSITIONS_SQL",
+    "EVENT_TRANSITIONS_SQL", "attribution_last_touch", "ATTRIBUTION_SQL",
 ]
 
 _7D_US = 7 * 86400 * 1_000_000
@@ -624,4 +624,84 @@ SELECT src_type, dst_type, n_transitions,
             // SUM(n_transitions) OVER (PARTITION BY src_type) AS BIGINT)
          AS prob_milli
 FROM c
+"""
+
+
+def attribution_last_touch(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """LAST-TOUCH ATTRIBUTION: each purchase event attributes to the
+    same user's most recent strictly-preceding click (composite
+    (ts, event_id) order — deterministic under ts ties). The
+    self-as-of-join shape every conversion pipeline runs, vectorized
+    per user bucket with one lexsort + a segment-reset running maximum
+    (no per-user loop).
+
+    SQL mirror: ``last_value(... IGNORE NULLS) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING)`` + QUALIFY. Purchases with no preceding click drop.
+
+    Output: purchase_id, user_id, click_id, gap_us.
+    """
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["click", "purchase"])]
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "t": b["ts"].astype("datetime64[us]").astype("int64"),
+            "user_id": b["user_id"].astype("int64"),
+            "is_click": (b["event_type"] == "click").to_numpy(),
+            "_wb": (b["user_id"].to_numpy().astype(np.int64) % num_buckets
+                    ).astype(np.int32),
+        })
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        t = g["t"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        click = g["is_click"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, t, eid, click = u[order], t[order], eid[order], click[order]
+        idx = np.arange(len(u))
+        # running "latest click position", reset at user boundaries
+        last_click = np.maximum.accumulate(np.where(click, idx, -1))
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, -1))
+        ok = (~click) & (last_click >= seg_start)
+        j = last_click[ok]
+        return pd.DataFrame({
+            "purchase_id": eid[ok],
+            "user_id": u[ok],
+            "click_id": eid[j],
+            "gap_us": (t[ok] - t[j]).astype("int64"),
+        })
+
+    return (ev.map_batches(prep, batch_format="pandas")
+            .groupby("_wb")
+            .map_groups(lambda g: attribute(g.drop(columns=["_wb"])),
+                        batch_format="pandas"))
+
+
+ATTRIBUTION_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id AS purchase_id, user_id, click_id,
+       epoch_us(ts) - epoch_us(click_ts) AS gap_us
+FROM s
+WHERE event_type = 'purchase' AND click_id IS NOT NULL
 """

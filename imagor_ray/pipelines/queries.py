@@ -40,10 +40,11 @@ from .dedup import (
 )
 from .flagship import processed_turns
 from .analytics import (
-    EVENT_TRANSITIONS_SQL, approx_quantiles_by_type, cohort_retention,
-    event_transitions, hll_registers, latest_event_per_user,
-    rolling_user_stats, top_orders_per_customer, user_stats_by_type,
-    zorder_cells, zorder_cells_sql,
+    ATTRIBUTION_SQL, EVENT_TRANSITIONS_SQL, approx_quantiles_by_type,
+    attribution_last_touch, cohort_retention, event_transitions,
+    hll_registers, latest_event_per_user, rolling_user_stats,
+    top_orders_per_customer, user_stats_by_type, zorder_cells,
+    zorder_cells_sql,
 )
 from .graph import pagerank, pagerank_sql
 from .joins import (anti_join_events_urgent, asof_join_events_orders,
@@ -2392,6 +2393,7 @@ QUERIES = {
     "user_stats_by_type": user_stats_by_type,
     "latest_event_per_user": latest_event_per_user,
     "event_transitions": event_transitions,
+    "attribution_last_touch": attribution_last_touch,
     "zorder_cells": zorder_cells,
     "approx_quantiles_by_type": approx_quantiles_by_type,
     "hll_registers": hll_registers,
@@ -2491,6 +2493,7 @@ ORACLES = {
     "user_stats_by_type": _USER_STATS_SQL,
     "latest_event_per_user": _LATEST_EVENT_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
     "zorder_cells": zorder_cells_sql(),
     "approx_quantiles_by_type": _APPROX_QUANTILES_SQL,
     "hll_registers": _HLL_SQL,
