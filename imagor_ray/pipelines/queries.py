@@ -1435,6 +1435,12 @@ def _q_media_tiff_roundtrip(sf_dir: str):
     return media_tiff_roundtrip(sf_dir)
 
 
+def _q_media_png_paeth(sf_dir: str):
+    from ..stages.multimodal import media_png_paeth_roundtrip
+
+    return media_png_paeth_roundtrip(sf_dir)
+
+
 def _q_media_mjpeg_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_mjpeg_roundtrip
 
@@ -2312,6 +2318,7 @@ QUERIES = {
     "media_mp4_roundtrip": _q_media_mp4_roundtrip,
     "media_mkv_roundtrip": _q_media_mkv_roundtrip,
     "media_tiff_roundtrip": _q_media_tiff_roundtrip,
+    "media_png_paeth_roundtrip": _q_media_png_paeth,
     "media_mjpeg_roundtrip": _q_media_mjpeg_roundtrip,
     "media_g711_roundtrip": _q_media_g711_roundtrip,
     "conv_stats": _q_conv_stats,
@@ -2523,6 +2530,9 @@ ORACLES = {
     # TIFF round trip recovers the exact utf-8 bytes through a
     # PackBits-compressed multi-strip file, same raw-text-hash oracle
     "media_tiff_roundtrip": _MEDIA_HASHES_SQL,
+    # Paeth-predicted PNG: lossless spatial prediction + inverse
+    # reconstruction under the same raw-text-hash oracle
+    "media_png_paeth_roundtrip": _MEDIA_HASHES_SQL,
     # G.711: the document bytes ARE the A-law code stream of a real
     # compressed-audio WAV; expand→compand is a bijection on all 256
     # codes, so the raw-text hash certifies RIFF framing + both tables

@@ -367,7 +367,7 @@ class BmpCodec:
 # here: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
 # (gray+alpha), 6 (RGBA), non-interlaced — decode handles ALL FIVE
 # scanline filters of the spec (None/Sub/Up/Average/Paeth); the encoder
-# emits filter 0 rows (deterministic, round-trip-exact). 16-bit depth
+# emits filter 0 rows by default, opt-in Paeth (filter 4). 16-bit depth
 # and Adam7 interlacing raise NotImplementedError with a clear message.
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -378,10 +378,24 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int16 inputs."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a,
+                   np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, *, paeth: bool = False) -> bytes:
     """PNG bytes from a uint8 array: (h, w) → grayscale, (h, w, 2) →
-    gray+alpha, (h, w, 3) → RGB, (h, w, 4) → RGBA. Filter 0 scanlines +
-    one zlib IDAT — deterministic output for a given input."""
+    gray+alpha, (h, w, 3) → RGB, (h, w, 4) → RGBA. Deterministic output
+    for a given input. Default emits filter-0 scanlines (the byte-stable
+    contract earlier rounds pinned); ``paeth=True`` opts into filter-4
+    PREDICTIVE coding on every row — the spec's spatial predictor,
+    lossless, exercising the decoder's full reconstruction path."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -389,9 +403,21 @@ def encode_png(pixels: np.ndarray) -> bytes:
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if color_type is None:
         raise ValueError(f"unsupported channel count {c}")
-    # filter byte 0 prepended to every scanline
+    flat = px.reshape(h, w * c)
     raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
-    raw[:, 1:] = px.reshape(h, w * c)
+    if paeth:
+        raw[:, 0] = 4
+        # a = left (bpp back), b = up, c = up-left; zeros off-edge
+        bpp = c
+        left = np.zeros_like(flat)
+        left[:, bpp:] = flat[:, :-bpp]
+        up = np.zeros_like(flat)
+        up[1:] = flat[:-1]
+        upleft = np.zeros_like(flat)
+        upleft[1:, bpp:] = flat[:-1, :-bpp]
+        raw[:, 1:] = flat - _paeth_predict(left, up, upleft)
+    else:
+        raw[:, 1:] = flat
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))

@@ -244,3 +244,39 @@ def test_real_media_corpus_includes_png_and_decodes(ray_session):
     assert len(out) == 18
     png_rows = out[[k == "png" for k in kinds]]
     assert (png_rows["width"] <= 8).all() and (png_rows["width"] >= 1).all()
+
+
+class TestPaethEncoder:
+    """Opt-in filter-4 predictive encoding (session 4)."""
+
+    def test_roundtrip_all_channel_counts(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import PngCodec, encode_png
+
+        rng = np.random.default_rng(11)
+        for shape in [(5, 7), (16, 16, 3), (3, 3, 4), (1, 1), (9, 2, 2)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            got = PngCodec.decode_pixels(encode_png(px, paeth=True))
+            want = px if px.ndim == 3 else px[:, :, None]
+            np.testing.assert_array_equal(got, want)
+
+    def test_prediction_compresses_smooth_content(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import encode_png
+
+        grad = np.add.outer(np.arange(256), np.arange(256)).astype(np.uint8)
+        assert len(encode_png(grad, paeth=True)) < len(encode_png(grad)) / 1.5
+
+    def test_default_stays_filter0(self):
+        import numpy as np
+
+        from imagor_ray.stages.codecs import encode_png
+
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        data = encode_png(px)
+        import zlib
+        raw = zlib.decompress(
+            data[data.index(b"IDAT") + 4: data.rindex(b"IEND") - 8])
+        assert all(raw[r * 9] == 0 for r in range(8))
