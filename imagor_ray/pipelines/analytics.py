@@ -20,6 +20,7 @@ __all__ = [
     "approx_quantiles_by_type", "latest_event_per_user",
     "event_transitions", "zorder_cells", "zorder_cells_sql",
     "EVENT_TRANSITIONS_SQL", "attribution_last_touch", "ATTRIBUTION_SQL",
+    "running_customer_revenue", "RUNNING_REVENUE_SQL",
 ]
 
 _7D_US = 7 * 86400 * 1_000_000
@@ -704,4 +705,63 @@ SELECT event_id AS purchase_id, user_id, click_id,
        epoch_us(ts) - epoch_us(click_ts) AS gap_us
 FROM s
 WHERE event_type = 'purchase' AND click_id IS NOT NULL
+"""
+
+
+def running_customer_revenue(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """RUNNING (cumulative) aggregate — the ``SUM() OVER (PARTITION BY
+    key ORDER BY time ROWS UNBOUNDED PRECEDING)`` window shape that
+    completes the engine's window family (rolling RANGE, lag, rank,
+    last-touch all exist). Per customer, the cumulative order total and
+    running order count at each order, integer milli-units.
+
+    One custkey-bucket shuffle; inside a bucket ONE lexsort + a grouped
+    cumsum (vectorized; no per-key loop).
+
+    Output: o_custkey, o_orderkey, o_orderdate, cum_spend_m, order_seq.
+    """
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "o_orderdate": b["o_orderdate"].astype("datetime64[us]"),
+            "price_m": np.floor(
+                b["o_totalprice"].to_numpy() * 1000).astype("int64"),
+            "_wb": (b["o_custkey"].to_numpy().astype(np.int64) % num_buckets
+                    ).astype(np.int32),
+        })
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        grp = g.groupby("o_custkey", sort=False)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(),
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_orderdate": g["o_orderdate"].to_numpy(),
+            "cum_spend_m": grp["price_m"].cumsum().to_numpy(dtype="int64"),
+            "order_seq": (grp.cumcount() + 1).to_numpy(dtype="int64"),
+        })
+
+    return (orders.map_batches(prep, batch_format="pandas")
+            .groupby("_wb")
+            .map_groups(lambda g: running(g.drop(columns=["_wb"])),
+                        batch_format="pandas"))
+
+
+RUNNING_REVENUE_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(floor(o_totalprice * 1000) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_spend_m,
+       CAST(row_number()
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS BIGINT) AS order_seq
+FROM orders
 """
