@@ -21,6 +21,7 @@ __all__ = [
     "event_transitions", "zorder_cells", "zorder_cells_sql",
     "EVENT_TRANSITIONS_SQL", "attribution_last_touch", "ATTRIBUTION_SQL",
     "running_customer_revenue", "RUNNING_REVENUE_SQL",
+    "profile_events", "PROFILE_EVENTS_SQL",
 ]
 
 _7D_US = 7 * 86400 * 1_000_000
@@ -764,4 +765,140 @@ SELECT o_custkey, o_orderkey, o_orderdate,
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             AS BIGINT) AS order_seq
 FROM orders
+"""
+
+
+def profile_events(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """DATA PROFILING — the per-column quality audit every ingest runs
+    before a table enters the lake: row/null counts, exact distinct
+    cardinality, min and max for each profiled column of ``events``
+    (the int/string columns whose min/max formatting is
+    engine-independent; float/timestamp columns profile through their
+    integer encodings — ts as epoch_us, value in milli-units).
+
+    Scale shape: counts/min/max fold to ONE partial row per column per
+    batch; exact distincts use the map-side partial-distinct pattern
+    (each batch emits its distinct (column, value-key) pairs, one
+    value-bucket shuffle counts survivors) — the combiner form of
+    COUNT(DISTINCT), column-parallel. Nothing materializes the table.
+
+    Output: column, n_rows, n_null, n_distinct, min_v, max_v
+    (values rendered as strings; integers render identically in
+    pandas and DuckDB).
+    """
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def to_keys(b: pd.DataFrame) -> pd.DataFrame:
+        """Encode every profiled column to an orderable int64-or-string
+        key column pair (column, key)."""
+        out = {}
+        out["event_id"] = b["event_id"].astype("int64")
+        out["user_id"] = b["user_id"].astype("int64")
+        out["event_type"] = b["event_type"]
+        out["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
+        out["value_m"] = pd.Series(
+            np.floor(b["value"].to_numpy() * 1000)).astype("int64")
+        return pd.DataFrame(out)
+
+    def stat_partials(b: pd.DataFrame) -> pd.DataFrame:
+        k = to_keys(b)
+        rows = []
+        for c in k.columns:
+            s = k[c]
+            rows.append({
+                "column": c,
+                "n_rows": np.int64(len(s)),
+                "n_null": np.int64(s.isna().sum()),
+                "min_v": str(s.min()),
+                "max_v": str(s.max()),
+            })
+        return pd.DataFrame(rows)
+
+    def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["column"].iloc[0]
+        if c in ("event_type",):
+            mn, mx = g["min_v"].min(), g["max_v"].max()
+        else:
+            mn = str(g["min_v"].astype("int64").min())
+            mx = str(g["max_v"].astype("int64").max())
+        return pd.DataFrame({
+            "column": [c],
+            "n_rows": [np.int64(g["n_rows"].sum())],
+            "n_null": [np.int64(g["n_null"].sum())],
+            "min_v": [mn],
+            "max_v": [mx],
+        })
+
+    stats = (ev.map_batches(stat_partials, batch_format="pandas")
+             .groupby("column")
+             .map_groups(stat_merge, batch_format="pandas"))
+
+    def distinct_partials(b: pd.DataFrame) -> pd.DataFrame:
+        k = to_keys(b)
+        frames = []
+        for c in k.columns:
+            v = k[c].astype(str).drop_duplicates()
+            frames.append(pd.DataFrame({"column": c, "v": v}))
+        out = pd.concat(frames, ignore_index=True)
+        # arbitrary-string bucketing keeps the crc32 C-call loop
+        # (BENCH.md finding 8)
+        import zlib as _z
+        out["_vb"] = np.array(
+            [_z.crc32(f"{c}|{v}".encode()) % num_buckets
+             for c, v in zip(out["column"], out["v"])], dtype=np.int32)
+        return out
+
+    def distinct_count(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop_duplicates(["column", "v"]).groupby(
+            "column", sort=False).size().reset_index(name="nd")
+        return pd.DataFrame({"column": s["column"],
+                             "nd": s["nd"].astype("int64")})
+
+    nd = (ev.map_batches(distinct_partials, batch_format="pandas")
+          .groupby("_vb")
+          .map_groups(lambda g: distinct_count(g.drop(columns=["_vb"])),
+                      batch_format="pandas")
+          .groupby("column")
+          .map_groups(lambda g: pd.DataFrame({
+              "column": g["column"].iloc[:1],
+              "n_distinct": [np.int64(g["nd"].sum())]}),
+              batch_format="pandas"))
+
+    stats_df = stats.to_pandas()
+    nd_df = nd.to_pandas()
+    out = stats_df.merge(nd_df, on="column")
+    return rd.from_pandas(out[["column", "n_rows", "n_null", "n_distinct",
+                               "min_v", "max_v"]])
+
+
+PROFILE_EVENTS_SQL = """
+WITH k AS (
+  SELECT event_id,
+         user_id,
+         event_type,
+         epoch_us(ts) AS ts_us,
+         CAST(floor(value * 1000) AS BIGINT) AS value_m
+  FROM events
+)
+SELECT 'event_id' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(event_id) AS VARCHAR) AS min_v,
+       CAST(MAX(event_id) AS VARCHAR) AS max_v FROM k
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM k
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+       COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type) FROM k
+UNION ALL
+SELECT 'ts_us', COUNT(*), COUNT(*) - COUNT(ts_us),
+       COUNT(DISTINCT ts_us),
+       CAST(MIN(ts_us) AS VARCHAR), CAST(MAX(ts_us) AS VARCHAR) FROM k
+UNION ALL
+SELECT 'value_m', COUNT(*), COUNT(*) - COUNT(value_m),
+       COUNT(DISTINCT value_m),
+       CAST(MIN(value_m) AS VARCHAR), CAST(MAX(value_m) AS VARCHAR) FROM k
 """
