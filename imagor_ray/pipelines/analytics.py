@@ -23,6 +23,7 @@ __all__ = [
     "running_customer_revenue", "RUNNING_REVENUE_SQL",
     "profile_events", "PROFILE_EVENTS_SQL",
     "incremental_user_counts", "INCREMENTAL_COUNTS_SQL",
+    "skyline_orders", "SKYLINE_SQL",
 ]
 
 _7D_US = 7 * 86400 * 1_000_000
@@ -960,4 +961,85 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
          AS value_m_total
 FROM events GROUP BY 1
+"""
+
+
+def _local_skyline(p: np.ndarray, d: np.ndarray,
+                   keys: np.ndarray) -> np.ndarray:
+    """Indices of the (price, date)-minimizing Pareto front. Dominance:
+    p2<=p1 ∧ d2<=d1 ∧ strict somewhere; identical points co-survive.
+    Vectorized: sort by (p, d), survivor ⇔ d equals its p-group min AND
+    d < the running date-min over strictly-smaller p."""
+    order = np.lexsort((keys, d, p))
+    ps, ds = p[order], d[order]
+    new_p = np.ones(len(ps), dtype=bool)
+    new_p[1:] = ps[1:] != ps[:-1]
+    # group-min date = d of the first row of each p-group (d-sorted)
+    grp_first = np.maximum.accumulate(np.where(new_p, np.arange(len(ps)), -1))
+    grp_min_d = ds[grp_first]
+    # running min of d over all STRICTLY smaller p: the prefix min up to
+    # the previous group's end
+    prev_min = np.full(len(ps), np.iinfo(np.int64).max, dtype=np.int64)
+    if len(ps) > 1:
+        prefix = np.minimum.accumulate(ds)
+        starts = np.flatnonzero(new_p)
+        prev_end = np.repeat(starts - 1, np.diff(np.append(starts, len(ps))))
+        valid = prev_end >= 0
+        prev_min[valid] = prefix[prev_end[valid]]
+    survive = (ds == grp_min_d) & (ds < prev_min)
+    return order[survive]
+
+
+def skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """SKYLINE / Pareto-front query: orders not dominated on
+    (o_totalprice, o_orderdate) — no other order is both cheaper-or-
+    equal AND earlier-or-equal with one strict. The classic
+    multi-criteria op, distributed via the skyline-of-skylines
+    identity: each batch emits its LOCAL front (a pure map — dominated
+    rows never leave the scan), and the global front is the front of
+    the unioned survivors (valid under ANY partitioning because
+    dominance is transitive). Only front-sized data reaches the final
+    fold.
+
+    Output: o_orderkey, price_m, o_orderdate.
+    """
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        p = np.floor(b["o_totalprice"].to_numpy() * 1000).astype("int64")
+        d = b["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        k = b["o_orderkey"].to_numpy().astype("int64")
+        idx = _local_skyline(p, d, k)
+        return pd.DataFrame({"o_orderkey": k[idx], "price_m": p[idx],
+                             "d": d[idx]})
+
+    survivors = orders.map_batches(local, batch_format="pandas").to_pandas()
+    idx = _local_skyline(survivors["price_m"].to_numpy(),
+                         survivors["d"].to_numpy(),
+                         survivors["o_orderkey"].to_numpy())
+    out = survivors.iloc[idx].copy()
+    return (pd.DataFrame({
+        "o_orderkey": out["o_orderkey"].to_numpy(dtype="int64"),
+        "price_m": out["price_m"].to_numpy(dtype="int64"),
+        "o_orderdate": pd.Series(out["d"].to_numpy()
+                                 ).astype("datetime64[us]"),
+    }).sort_values("o_orderkey").reset_index(drop=True))
+
+
+SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(floor(o_totalprice * 1000) AS BIGINT) AS price_m
+  FROM orders
+)
+SELECT o_orderkey, price_m, o_orderdate
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.price_m <= a.price_m AND b.o_orderdate <= a.o_orderdate
+    AND (b.price_m < a.price_m OR b.o_orderdate < a.o_orderdate)
+)
 """

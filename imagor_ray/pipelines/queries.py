@@ -41,12 +41,13 @@ from .dedup import (
 from .flagship import processed_turns
 from .analytics import (
     ATTRIBUTION_SQL, EVENT_TRANSITIONS_SQL, INCREMENTAL_COUNTS_SQL,
+    SKYLINE_SQL,
     PROFILE_EVENTS_SQL, RUNNING_REVENUE_SQL, approx_quantiles_by_type,
     attribution_last_touch, cohort_retention, event_transitions,
     hll_registers, incremental_user_counts, latest_event_per_user,
     profile_events, rolling_user_stats, running_customer_revenue,
-    top_orders_per_customer, user_stats_by_type, zorder_cells,
-    zorder_cells_sql,
+    skyline_orders, top_orders_per_customer, user_stats_by_type,
+    zorder_cells, zorder_cells_sql,
 )
 from .graph import pagerank, pagerank_sql
 from .joins import (anti_join_events_urgent, asof_join_events_orders,
@@ -2406,6 +2407,7 @@ QUERIES = {
     "running_customer_revenue": running_customer_revenue,
     "profile_events": profile_events,
     "incremental_user_counts": incremental_user_counts,
+    "skyline_orders": lambda sf: skyline_orders(sf),
     "zorder_cells": zorder_cells,
     "approx_quantiles_by_type": approx_quantiles_by_type,
     "hll_registers": hll_registers,
@@ -2509,6 +2511,7 @@ ORACLES = {
     "running_customer_revenue": RUNNING_REVENUE_SQL,
     "profile_events": PROFILE_EVENTS_SQL,
     "incremental_user_counts": INCREMENTAL_COUNTS_SQL,
+    "skyline_orders": SKYLINE_SQL,
     "zorder_cells": zorder_cells_sql(),
     "approx_quantiles_by_type": _APPROX_QUANTILES_SQL,
     "hll_registers": _HLL_SQL,

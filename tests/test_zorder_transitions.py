@@ -51,3 +51,44 @@ def test_event_transitions_rows_and_probs(ray_session):
         f"SELECT count(*) - count(DISTINCT user_id) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
     assert int(t["n_transitions"].sum()) == want
+
+
+def test_local_skyline_matches_brute_force():
+    """The vectorized Pareto kernel vs O(n²) dominance on random sets,
+    including duplicate points (co-survivors) and single elements."""
+    import numpy as np
+
+    from imagor_ray.pipelines.analytics import _local_skyline
+
+    rng = np.random.default_rng(3)
+    for trial in range(200):
+        n = int(rng.integers(1, 60))
+        p = rng.integers(0, 10, size=n).astype(np.int64)
+        d = rng.integers(0, 10, size=n).astype(np.int64)
+        k = np.arange(n, dtype=np.int64)
+        idx = set(_local_skyline(p, d, k).tolist())
+        brute = {i for i in range(n)
+                 if not any((p[j] <= p[i]) and (d[j] <= d[i]) and
+                            (p[j] < p[i] or d[j] < d[i]) for j in range(n))}
+        assert idx == brute, trial
+
+
+def test_skyline_of_skylines_partition_invariance(ray_session):
+    """The distributed identity the operator rests on: the front of
+    unioned local fronts equals the front computed in one piece,
+    regardless of how rows were partitioned."""
+    import numpy as np
+
+    from imagor_ray.pipelines.analytics import _local_skyline
+
+    rng = np.random.default_rng(11)
+    n = 500
+    p = rng.integers(0, 1000, size=n).astype(np.int64)
+    d = rng.integers(0, 1000, size=n).astype(np.int64)
+    k = np.arange(n, dtype=np.int64)
+    whole = set(k[_local_skyline(p, d, k)].tolist())
+    parts = np.array_split(rng.permutation(n), 7)
+    surv = np.concatenate([part[_local_skyline(p[part], d[part], k[part])]
+                           for part in parts])
+    merged = set(surv[_local_skyline(p[surv], d[surv], k[surv])].tolist())
+    assert merged == whole
