@@ -71,6 +71,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dst", required=True, help="destination sink directory/URI")
     p.add_argument("--dst-buckets", type=int, required=True)
 
+    p = sub.add_parser(
+        "query",
+        help="run any catalog operator by name (the queries() registry); "
+             "prints a row-count summary or writes partitioned parquet",
+    )
+    p.add_argument("name", nargs="?", default=None,
+                   help="catalog entry; omit (or use --list) to list all")
+    p.add_argument("--sf", default=None, help="input table directory")
+    p.add_argument("--out", default=None,
+                   help="write result as parquet under this directory "
+                        "instead of printing the summary")
+    p.add_argument("--list", action="store_true", help="list catalog entries")
+    p.add_argument("--show", type=int, default=0,
+                   help="also print the first N result rows as JSON lines")
+
     p = sub.add_parser("stream", help="micro-batch streaming job (full DAG)")
     p.add_argument("--input", required=True, help="micro-batch parquet dir")
     p.add_argument("--state", required=True, help="checkpoint/state dir")
@@ -90,6 +105,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "config":
         print(json.dumps(cfg.describe()))
+        return 0
+    if args.cmd == "query" and (args.list or args.name is None):
+        from imagor_ray.pipelines.queries import ORACLES, QUERIES
+
+        for name in sorted(QUERIES):
+            kind = "sql-verified" if name in ORACLES else "rows-only"
+            print(f"{name}\t{kind}")
         return 0
     if args.cmd == "metrics":
         # pull model over committed artifacts — no Ray session needed
@@ -138,6 +160,36 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"src_partitions": len(src_sink.committed_buckets()),
                           "dst_partitions": len(dest.committed_buckets()),
                           "rows": dest.metrics()["rows"]}))
+    elif args.cmd == "query":
+        from imagor_ray.pipelines.queries import QUERIES
+
+        if args.name not in QUERIES:
+            print(json.dumps({"error": f"unknown query {args.name!r}; "
+                              "run 'query --list'"}))
+            return 2
+        if not args.sf:
+            print(json.dumps({"error": "--sf required to run a query"}))
+            return 2
+        result = QUERIES[args.name](args.sf)
+        is_ds = hasattr(result, "write_parquet")
+        if args.out and is_ds:
+            # resumable layout: Ray writes one file per block
+            result.write_parquet(args.out)
+            print(json.dumps({"query": args.name, "out": args.out}))
+        else:
+            df = result.to_pandas() if hasattr(result, "to_pandas") else result
+            if args.out:
+                os.makedirs(args.out, exist_ok=True)
+                path = os.path.join(args.out, f"{args.name}.parquet")
+                df.to_parquet(path)
+                print(json.dumps({"query": args.name, "rows": int(len(df)),
+                                  "out": path}))
+            else:
+                head = (df.head(args.show).astype(str).to_dict("records")
+                        if args.show else [])
+                print(json.dumps({"query": args.name, "rows": int(len(df)),
+                                  "columns": sorted(map(str, df.columns)),
+                                  "head": head}))
     elif args.cmd == "stream":
         from imagor_ray.pipelines.streaming import StreamingFlagshipJob
 

@@ -124,3 +124,43 @@ class TestSinkStageMetrics:
         report = json.loads(r.stdout.strip().splitlines()[-1])
         assert report["sink"]["partitions"] == 2
         assert report["stages"]["rows"] == 1000
+
+
+class TestQueryCli:
+    """`python -m imagor_ray query` — the catalog-as-a-job surface."""
+
+    def test_list_names_every_catalog_entry(self):
+        r = subprocess.run(
+            [sys.executable, "-m", "imagor_ray", "query", "--list"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+        lines = [ln for ln in r.stdout.strip().splitlines() if "\t" in ln]
+        from imagor_ray.pipelines.queries import ORACLES, QUERIES
+        assert len(lines) == len(QUERIES)
+        kinds = dict(ln.split("\t") for ln in lines)
+        assert kinds["doc_quality"] == "sql-verified"
+        assert kinds["signed"] == "rows-only"
+        assert sum(1 for v in kinds.values() if v == "rows-only") \
+            == len(QUERIES) - len(ORACLES)
+
+    def test_run_and_write(self, tmp_path):
+        out = str(tmp_path / "q")
+        r = subprocess.run(
+            [sys.executable, "-m", "imagor_ray", "query", "doc_quality",
+             "--sf", SF, "--out", out],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+        import pyarrow.dataset as pads
+        n = pads.dataset(out).count_rows()
+        assert n == 500
+
+    def test_unknown_query_errors(self):
+        r = subprocess.run(
+            [sys.executable, "-m", "imagor_ray", "query", "nope",
+             "--sf", SF],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 2
+        assert "unknown query" in r.stdout
