@@ -33,6 +33,47 @@ def _ensure_ray():
     DataContext.get_current().enable_progress_bars = False
 
 
+_ORACLE_TABLES = ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _verify_against_oracle(name: str, df, sf_dir: str) -> dict:
+    """Side-by-side oracle check — the evaluation driver's comparator
+    (sorted columns, sorted values, 1e-9 float tolerance) as a CLI."""
+    import duckdb
+    import pandas as pd
+
+    from imagor_ray.pipelines.queries import ORACLES
+
+    con = duckdb.connect()
+    for t in _ORACLE_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.sql(ORACLES[name]).df()
+
+    def norm(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            if pd.api.types.is_datetime64_any_dtype(d[c]):
+                d[c] = d[c].astype("datetime64[us]")
+            elif pd.api.types.is_integer_dtype(d[c]):
+                d[c] = d[c].astype("int64")
+            elif pd.api.types.is_float_dtype(d[c]):
+                d[c] = d[c].astype("float64").round(9)
+        return d.sort_values(list(d.columns),
+                             kind="mergesort").reset_index(drop=True)
+
+    g, w = norm(df), norm(want)
+    out = {"query": name, "rows": int(len(g)), "oracle_rows": int(len(w)),
+           "columns_match": list(g.columns) == list(w.columns)}
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                      check_exact=False, rtol=0, atol=1e-9)
+        out["match"] = len(g) == len(w) and out["columns_match"]
+    except AssertionError:
+        out["match"] = False
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="imagor_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -85,6 +126,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--list", action="store_true", help="list catalog entries")
     p.add_argument("--show", type=int, default=0,
                    help="also print the first N result rows as JSON lines")
+    p.add_argument("--verify", action="store_true",
+                   help="run the entry's DuckDB oracle over the same "
+                        "tables and report row/column/value equality")
 
     p = sub.add_parser("stream", help="micro-batch streaming job (full DAG)")
     p.add_argument("--input", required=True, help="micro-batch parquet dir")
@@ -171,6 +215,18 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": "--sf required to run a query"}))
             return 2
         result = QUERIES[args.name](args.sf)
+        if args.verify:
+            from imagor_ray.pipelines.queries import ORACLES
+
+            df = (result.to_pandas()
+                  if hasattr(result, "to_pandas") else result)
+            if args.name not in ORACLES:
+                print(json.dumps({"query": args.name, "rows": int(len(df)),
+                                  "verified": "rows-only (no SQL oracle)"}))
+                return 0
+            verdict = _verify_against_oracle(args.name, df, args.sf)
+            print(json.dumps(verdict))
+            return 0 if verdict["match"] else 1
         is_ds = hasattr(result, "write_parquet")
         if args.out and is_ds:
             # resumable layout: Ray writes one file per block

@@ -164,3 +164,13 @@ class TestQueryCli:
         )
         assert r.returncode == 2
         assert "unknown query" in r.stdout
+
+    def test_verify_flag(self):
+        r = subprocess.run(
+            [sys.executable, "-m", "imagor_ray", "query", "doc_quality",
+             "--sf", SF, "--verify"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+        v = json.loads(r.stdout.strip().splitlines()[-1])
+        assert v["match"] is True and v["rows"] == v["oracle_rows"] == 500
