@@ -129,6 +129,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--verify", action="store_true",
                    help="run the entry's DuckDB oracle over the same "
                         "tables and report row/column/value equality")
+    p.add_argument("--all", action="store_true",
+                   help="run EVERY catalog entry (one JSON line each, "
+                        "continues on error); with --verify this is the "
+                        "full correctness sweep")
 
     p = sub.add_parser("stream", help="micro-batch streaming job (full DAG)")
     p.add_argument("--input", required=True, help="micro-batch parquet dir")
@@ -150,7 +154,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "config":
         print(json.dumps(cfg.describe()))
         return 0
-    if args.cmd == "query" and (args.list or args.name is None):
+    if args.cmd == "query" and (args.list
+                                or (args.name is None and not args.all)):
         from imagor_ray.pipelines.queries import ORACLES, QUERIES
 
         for name in sorted(QUERIES):
@@ -207,13 +212,40 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         from imagor_ray.pipelines.queries import QUERIES
 
-        if args.name not in QUERIES:
+        if not args.all and args.name not in QUERIES:
             print(json.dumps({"error": f"unknown query {args.name!r}; "
                               "run 'query --list'"}))
             return 2
         if not args.sf:
             print(json.dumps({"error": "--sf required to run a query"}))
             return 2
+        if args.all:
+            from imagor_ray.pipelines.queries import ORACLES
+
+            import time as _time
+            bad = []
+            for name in sorted(QUERIES):
+                t0 = _time.perf_counter()
+                try:
+                    res = QUERIES[name](args.sf)
+                    df = (res.to_pandas()
+                          if hasattr(res, "to_pandas") else res)
+                    row = {"query": name, "rows": int(len(df)),
+                           "sec": round(_time.perf_counter() - t0, 1)}
+                    if args.verify and name in ORACLES:
+                        v = _verify_against_oracle(name, df, args.sf)
+                        row["match"] = v["match"]
+                        if not v["match"]:
+                            bad.append(name)
+                    elif args.verify:
+                        row["match"] = "rows-only"
+                except Exception as exc:  # sweep must finish
+                    row = {"query": name, "error": str(exc)[:200],
+                           "sec": round(_time.perf_counter() - t0, 1)}
+                    bad.append(name)
+                print(json.dumps(row), flush=True)
+            print(json.dumps({"sweep": len(QUERIES), "failed": bad}))
+            return 1 if bad else 0
         result = QUERIES[args.name](args.sf)
         if args.verify:
             from imagor_ray.pipelines.queries import ORACLES
