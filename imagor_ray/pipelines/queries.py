@@ -1180,6 +1180,25 @@ def rollup_revenue(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def cube_revenue(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (nation, order year) — the full grouping-sets
+    lattice (rollup + the per-year-across-nations slice). Same
+    finest-cells-once rule as ``rollup_revenue``: every grouping set
+    derives from the distributed nation × year partials; the fact
+    table scans exactly once.
+
+    Output: n_name, o_year (VARCHAR, 'ALL' sentinels), revenue_m.
+    """
+    finest = rollup_revenue(sf_dir)
+    cells = finest[(finest["n_name"] != "ALL") & (finest["o_year"] != "ALL")]
+    by_year = (cells.groupby("o_year", sort=False)["revenue_m"].sum()
+               .reset_index().assign(n_name="ALL"))
+    out = pd.concat(
+        [finest, by_year[["n_name", "o_year", "revenue_m"]]],
+        ignore_index=True)
+    return out.astype({"revenue_m": "int64"})
+
+
 def _q_q5(sf_dir: str):
     """TPC-H Q5-shaped 5-way join: region → nation → customer chain
     folded into ONE broadcast map (all three dims are small — the
@@ -1351,6 +1370,9 @@ FROM (
 )
 GROUP BY ROLLUP (n_name, yr)
 """
+
+_CUBE_SQL = _ROLLUP_SQL.replace("GROUP BY ROLLUP (n_name, yr)",
+                                "GROUP BY CUBE (n_name, yr)")
 
 # deterministic as-of: DuckDB's bare ASOF JOIN leaves date-ties
 # implementation-defined, so the oracle pins the same explicit
@@ -2394,6 +2416,7 @@ QUERIES = {
     "q18_large_orders": _q_q18,
     "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
+    "cube_revenue": cube_revenue,
     "asof_events_orders": _q_asof,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
@@ -2498,6 +2521,7 @@ ORACLES = {
     "q18_large_orders": _Q18_SQL,
     "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
+    "cube_revenue": _CUBE_SQL,
     "asof_events_orders": _ASOF_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
