@@ -29,6 +29,7 @@ __all__ = [
     "embedding_neardup",
     "embedding_neardup_ds",
     "embedding_neardup_planted",
+    "knn_accuracy",
 ]
 
 
@@ -487,4 +488,34 @@ def knn_classify(sf_dir: str, n_queries: int = 5, k: int = 10) -> pd.DataFrame:
         "query_id": top["query_id"].to_numpy(dtype="int64"),
         "pred_label": top["label"].to_numpy(),
         "votes": top["votes"].to_numpy(dtype="int64"),
+    })
+
+
+def knn_accuracy(sf_dir: str, n_queries: int = 32, k: int = 10) -> pd.DataFrame:
+    """Classifier EVALUATION on top of :func:`knn_classify` — the
+    held-out accuracy readout an embedding pipeline reports after
+    pseudo-labeling: each query's predicted majority label vs its own
+    ground-truth label. ``ann_topk`` EXCLUDES the query from its own
+    neighbor list, so this is the honest leave-one-out readout, not
+    the self-match-inflated one. Exact integers: n_correct and a
+    milli-unit accuracy.
+
+    Output: one row — n_queries, n_correct, accuracy_milli.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pred = knn_classify(sf_dir, n_queries=n_queries, k=k)
+    truth = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+        filters=pc.field("vec_id").isin(pred["query_id"].tolist()),
+    ).to_pandas()
+    m = pred.merge(truth, left_on="query_id", right_on="vec_id")
+    n_correct = int((m["pred_label"].to_numpy()
+                     == m["label"].to_numpy()).sum())
+    return pd.DataFrame({
+        "n_queries": np.array([len(pred)], dtype="int64"),
+        "n_correct": np.array([n_correct], dtype="int64"),
+        "accuracy_milli": np.array([n_correct * 1000 // max(1, len(pred))],
+                                   dtype="int64"),
     })

@@ -30,7 +30,7 @@ from ..stages.parse_sign import PATH_TEMPLATES
 from ..stages.windows import session_windows, sliding_tool_stats, tumbling_tool_stats
 from .ann import (
     ann_topk, embedding_neardup, embedding_neardup_planted, ivf_topk,
-    knn_classify, label_centroids, lsh_topk,
+    knn_accuracy, knn_classify, label_centroids, lsh_topk,
 )
 from .dedup import (
     contamination, dedup_components, exact_dedup, minhash_pairs,
@@ -456,6 +456,29 @@ ranked AS (
             ORDER BY cos DESC, vec_id ASC) AS rank
   FROM sims)
 SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 10
+"""
+
+# leave-one-out accuracy over 32 queries (ann excludes self): the
+# classifier-evaluation composition, exact integer milli accuracy
+_KNN_ACCURACY_SQL = f"""
+WITH ann AS ({_ANN_SQL.replace("vec_id < 5", "vec_id < 32")}),
+votes AS (
+  SELECT a.query_id, e.label, count(*) AS c
+  FROM ann a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS pred_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY c DESC, label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END)
+            * 1000 // count(*) AS BIGINT) AS accuracy_milli
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
 """
 
 # kNN pseudo-labeling: majority label among the brute-force top-k
@@ -2394,6 +2417,7 @@ QUERIES = {
         ["doc_id", "blurhash"]),  # SQL-mirrored since round 2 (_BLURHASH_SQL)
     "ann_topk": ann_topk,
     "knn_classify": knn_classify,
+    "knn_accuracy": lambda sf: knn_accuracy(sf),
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_planted": embedding_neardup_planted,
     "ann_lsh_topk": lsh_topk,  # rows-only (approximate by design)
@@ -2501,6 +2525,7 @@ ORACLES = {
     # item 5); only ann_lsh_topk/ann_ivf_topk stay rows-only (approx)
     "ann_lsh_topk_fullprobe": _ANN_SQL,
     "knn_classify": _KNN_CLASSIFY_SQL,
+    "knn_accuracy": _KNN_ACCURACY_SQL,
     "embedding_neardup": _NEARDUP_SQL,
     "embedding_neardup_planted": _NEARDUP_PLANTED_SQL,
     "label_centroids": _CENTROIDS_SQL,
