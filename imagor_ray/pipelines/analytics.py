@@ -792,15 +792,21 @@ def profile_events(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
     def to_keys(b: pd.DataFrame) -> pd.DataFrame:
-        """Encode every profiled column to an orderable int64-or-string
-        key column pair (column, key)."""
+        """Encode every profiled column to an orderable nullable-int or
+        string key column (column, key). Nullable Int64 (not raw int64)
+        so nulls survive the encode — floor(NaN).astype(int64) would be
+        undefined garbage and n_null/min/max would lie on real data."""
         out = {}
-        out["event_id"] = b["event_id"].astype("int64")
-        out["user_id"] = b["user_id"].astype("int64")
+        out["event_id"] = b["event_id"].astype("Int64")
+        out["user_id"] = b["user_id"].astype("Int64")
         out["event_type"] = b["event_type"]
-        out["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
+        ts = b["ts"].astype("datetime64[us]")
+        out["ts_us"] = pd.Series(
+            ts.to_numpy().astype("int64"), index=b.index
+        ).astype("Int64").mask(ts.isna())
         out["value_m"] = pd.Series(
-            np.floor(b["value"].to_numpy() * 1000)).astype("int64")
+            np.floor(b["value"].to_numpy() * 1000), index=b.index
+        ).astype("Int64")
         return pd.DataFrame(out)
 
     def stat_partials(b: pd.DataFrame) -> pd.DataFrame:
@@ -808,22 +814,27 @@ def profile_events(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         rows = []
         for c in k.columns:
             s = k[c]
+            nn = s.dropna()
             rows.append({
                 "column": c,
                 "n_rows": np.int64(len(s)),
                 "n_null": np.int64(s.isna().sum()),
-                "min_v": str(s.min()),
-                "max_v": str(s.max()),
+                "min_v": str(nn.min()) if len(nn) else None,
+                "max_v": str(nn.max()) if len(nn) else None,
             })
         return pd.DataFrame(rows)
 
     def stat_merge(g: pd.DataFrame) -> pd.DataFrame:
         c = g["column"].iloc[0]
+        gv = g.dropna(subset=["min_v"])  # all-null partials carry None
         if c in ("event_type",):
-            mn, mx = g["min_v"].min(), g["max_v"].max()
+            mn = gv["min_v"].min() if len(gv) else None
+            mx = gv["max_v"].max() if len(gv) else None
+        elif len(gv) == 0:
+            mn = mx = None
         else:
-            mn = str(g["min_v"].astype("int64").min())
-            mx = str(g["max_v"].astype("int64").max())
+            mn = str(gv["min_v"].astype("int64").min())
+            mx = str(gv["max_v"].astype("int64").max())
         return pd.DataFrame({
             "column": [c],
             "n_rows": [np.int64(g["n_rows"].sum())],
@@ -840,7 +851,9 @@ def profile_events(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
         k = to_keys(b)
         frames = []
         for c in k.columns:
-            v = k[c].astype(str).drop_duplicates()
+            # dropna first: COUNT(DISTINCT) ignores nulls, and astype(str)
+            # would otherwise mint a fake "<NA>" distinct value
+            v = k[c].dropna().astype(str).drop_duplicates()
             frames.append(pd.DataFrame({"column": c, "v": v}))
         out = pd.concat(frames, ignore_index=True)
         # arbitrary-string bucketing keeps the crc32 C-call loop
@@ -926,11 +939,16 @@ def incremental_user_counts(sf_dir: str, cutoff: str = "2024-01-15",
     cut = pd.Timestamp(cutoff)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        vm = np.floor(b["value"].to_numpy() * 1000).astype("int64")
+        # nullable Int64 so a null value contributes to n (COUNT(*))
+        # but not to v (SUM skips nulls) — floor(NaN).astype(int64)
+        # would silently poison both
+        vm = pd.Series(np.floor(b["value"].to_numpy() * 1000),
+                       index=b.index).astype("Int64")
         d = pd.DataFrame({"user_id": b["user_id"].astype("int64"),
                           "vm": vm})
         s = d.groupby("user_id", sort=False).agg(
             n=("vm", "size"), v=("vm", "sum")).reset_index()
+        s["v"] = s["v"].astype("int64")
         s["_ub"] = (s["user_id"].to_numpy(dtype="int64") % num_buckets
                     ).astype(np.int32)
         return s
@@ -990,16 +1008,25 @@ def _local_skyline(p: np.ndarray, d: np.ndarray,
     return order[survive]
 
 
-def skyline_orders(sf_dir: str) -> pd.DataFrame:
+def skyline_orders(sf_dir: str, num_buckets: int = 32) -> pd.DataFrame:
     """SKYLINE / Pareto-front query: orders not dominated on
     (o_totalprice, o_orderdate) — no other order is both cheaper-or-
     equal AND earlier-or-equal with one strict. The classic
     multi-criteria op, distributed via the skyline-of-skylines
     identity: each batch emits its LOCAL front (a pure map — dominated
-    rows never leave the scan), and the global front is the front of
-    the unioned survivors (valid under ANY partitioning because
-    dominance is transitive). Only front-sized data reaches the final
-    fold.
+    rows never leave the scan), a RANGE-bucketed intermediate fold
+    prunes cross-batch dominated survivors distributed, and only the
+    unioned bucket-fronts reach the driver finish.
+
+    The intermediate fold buckets by PRICE RANGE, not hash: within a
+    price-contiguous bucket every cross-batch dominance pair is
+    co-located, so the bucket front equals the true front restricted
+    to that price slice up to points dominated from cheaper buckets —
+    which the driver finish removes over front-sized data only. On
+    correlated data this collapses the per-batch survivor union to
+    ~the true front before anything leaves the cluster; on
+    anti-correlated data the front itself is the result, so the driver
+    holds exactly the output (no avoidable materialization either way).
 
     Output: o_orderkey, price_m, o_orderdate.
     """
@@ -1013,10 +1040,26 @@ def skyline_orders(sf_dir: str) -> pd.DataFrame:
         d = b["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
         k = b["o_orderkey"].to_numpy().astype("int64")
         idx = _local_skyline(p, d, k)
-        return pd.DataFrame({"o_orderkey": k[idx], "price_m": p[idx],
-                             "d": d[idx]})
+        out = pd.DataFrame({"o_orderkey": k[idx], "price_m": p[idx],
+                            "d": d[idx]})
+        # price-range bucket (fixed-width over the synthetic price
+        # domain; any monotone-in-p bucketing keeps the identity valid
+        # because the driver finish re-fronts across buckets)
+        out["_fb"] = np.clip(out["price_m"].to_numpy() // (600_000_000
+                             // num_buckets), 0, num_buckets - 1
+                             ).astype(np.int32)
+        return out
 
-    survivors = orders.map_batches(local, batch_format="pandas").to_pandas()
+    def bucket_front(g: pd.DataFrame) -> pd.DataFrame:
+        idx = _local_skyline(g["price_m"].to_numpy(), g["d"].to_numpy(),
+                             g["o_orderkey"].to_numpy())
+        return g.iloc[idx]
+
+    survivors = (orders.map_batches(local, batch_format="pandas")
+                 .groupby("_fb")
+                 .map_groups(lambda g: bucket_front(
+                     g.drop(columns=["_fb"])), batch_format="pandas")
+                 .to_pandas())
     idx = _local_skyline(survivors["price_m"].to_numpy(),
                          survivors["d"].to_numpy(),
                          survivors["o_orderkey"].to_numpy())

@@ -833,6 +833,12 @@ def dedup_components(
             .groupby("_lb")
             .map_groups(lambda g: group_min(g.drop(columns=["_lb"])),
                         batch_format="pandas")
+            # bound the block count: each round unions two reads of
+            # `labels`, and the sort shuffle's output partitions track
+            # input blocks — without this, labels' block count doubles
+            # per round and per-block fixed costs go exponential in
+            # max_iters (measured on pagerank, graph.py round loop)
+            .repartition(num_buckets)
             .materialize()
         )
         s = labels.sum("component")

@@ -21,8 +21,10 @@ Scale shape (the components round topology, ``dedup.py:777``):
 - edge derivation is ONE tagged co-group on the orderkey bucket
   (orders rows carry custkey, lineitem rows carry suppkey — the fact
   table never joins unbucketed), then an edge-bucket distinct;
-- each round is TWO bucketed exchanges carrying (node, pr, outdeg) and
-  (dst, contrib) integer rows — never the fact tables;
+- each round is TWO bucketed exchanges: a src-bucket co-group of
+  (state, edges) emitting contributions, then a dst-bucket co-group of
+  (contributions, degree rows) folding next-round state — never the
+  fact tables, never a broadcast/driver node table;
 - edges + degrees materialize once; pr re-materializes per round so
   round N+1 never re-executes rounds 1..N (the bpe/kmeans re-read
   precedent).
@@ -144,21 +146,36 @@ def pagerank(sf_dir: str, rounds: int = 3,
         })
 
     def offer(g: pd.DataFrame) -> pd.DataFrame:
+        """Contribution rows (node=dst, c=pr//outdeg of src), tagged
+        kind=1 so they share the ``_nb`` exchange with degree rows."""
         st = g[g["kind"] == 0]
         lutc = dict(zip(st["key"], st["contrib"]))
-        lutd = dict(zip(st["key"], st["outdeg"]))
         ed = g[g["kind"] == 1]
         out = pd.DataFrame({
             "node": ed["dst"].to_numpy(dtype="int64"),
             "c": ed["key"].map(lutc).to_numpy(dtype="int64"),
-            # ship each target's outdeg forward so the reducer can
-            # rebuild next-round state without a third exchange
         })
+        out["kind"] = np.int8(1)
         out["_nb"] = (out["node"].to_numpy() % num_buckets).astype(np.int32)
         return out
 
-    def fold(g: pd.DataFrame, deg_lut: dict) -> pd.DataFrame:
-        s = g.groupby("node", sort=False)["c"].sum().reset_index()
+    def state_deg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        """Degree rows (node, c=outdeg), tagged kind=0, riding the same
+        ``_nb`` exchange as the contributions — each reducer sees only
+        its own bucket's degrees, so no driver/broadcast node table."""
+        n = b["node"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "node": n,
+            "c": b["outdeg"].to_numpy(dtype="int64"),
+            "kind": np.zeros(len(b), dtype=np.int8),
+            "_nb": (n % num_buckets).astype(np.int32),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["kind"] == 0]
+        deg_lut = dict(zip(st["node"], st["c"]))
+        co = g[g["kind"] == 1]
+        s = co.groupby("node", sort=False)["c"].sum().reset_index()
         n = s["node"].to_numpy(dtype="int64")
         pr = _BASE + (_DAMP_NUM * s["c"].to_numpy(dtype="int64")) // 1000
         return pd.DataFrame({
@@ -167,23 +184,31 @@ def pagerank(sf_dir: str, rounds: int = 3,
             "pr": pr.astype("int64"),
         })
 
-    # degrees are node-table-sized; at catalog scale they broadcast as a
-    # dict (at 100 TB they'd stay a column in `state`, which they do —
-    # the dict is only the reducer-side rebuild shortcut)
-    deg_lut = dict(zip(state.to_pandas()["node"], state.to_pandas()["outdeg"]))
-    import ray as _ray
-    deg_ref = _ray.put(deg_lut)
-
+    # Each round: exchange 1 co-groups (state, edges) on the src bucket
+    # to emit contributions; exchange 2 co-groups (contributions,
+    # degree rows) on the dst bucket to fold next-round state. Degrees
+    # travel as O(|V|/buckets) rows per reducer — never a broadcast
+    # dict, never a driver materialization.
+    #
+    # The repartition before each materialize is load-bearing: the sort
+    # shuffle's output partition count tracks its INPUT block count, and
+    # each round's input unions two reads of `state` with `edges` —
+    # without the bound, state's block count doubles every round
+    # (measured 3→7→15→31…) and per-block fixed costs make the loop
+    # exponential in `rounds`. Bounding at num_buckets keeps every
+    # round identical. (Linear split/merge, not an extra all-to-all.)
     for _ in range(rounds):
         tagged = (state.map_batches(tag_state, batch_format="pandas")
                   .union(edges.map_batches(tag_edges, batch_format="pandas")))
         contribs = (tagged.groupby("_eb")
                     .map_groups(lambda g: offer(g.drop(columns=["_eb"])),
                                 batch_format="pandas"))
-        state = (contribs.groupby("_nb")
-                 .map_groups(lambda g, r=deg_ref: fold(
-                     g.drop(columns=["_nb"]), _ray.get(r)),
-                     batch_format="pandas")
+        merged = contribs.union(
+            state.map_batches(state_deg_rows, batch_format="pandas"))
+        state = (merged.groupby("_nb")
+                 .map_groups(lambda g: fold(g.drop(columns=["_nb"])),
+                             batch_format="pandas")
+                 .repartition(num_buckets)
                  .materialize())
 
     out = state.to_pandas()

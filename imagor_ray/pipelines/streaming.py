@@ -113,7 +113,7 @@ def _exchange_fns():
 
     @ray.remote
     def reduce_bucket(bucket: int, final_wm: int, gap_s: int,
-                      closed_dir: str, work, pseudo, *parts):
+                      closed_dir: str, work, prev_open, *parts):
         import pyarrow as pa
 
         parts = [p for p in parts if p.num_rows]
@@ -130,8 +130,18 @@ def _exchange_fns():
                 "n_turns": np.ones(len(turns), np.int64),
                 "_start": turns["ts"],
             }))
-        if pseudo is not None and len(pseudo):
-            sess_frames.append(pseudo)
+        if prev_open is not None and len(prev_open):
+            # carried open-session SUMMARIES → pseudo-turn rows, converted
+            # here (not on the driver) so the pipelined loop can chain
+            # reducer (N, b)'s output ObjectRef straight into (N+1, b)
+            sess_frames.append(pd.DataFrame({
+                "conv_id": prev_open["conv_id"].to_numpy(),
+                "ts": prev_open["session_end"]
+                .astype("datetime64[us]").to_numpy(),
+                "n_turns": prev_open["n_turns"].astype("int64").to_numpy(),
+                "_start": prev_open["session_start"]
+                .astype("datetime64[us]").to_numpy(),
+            }))
         if not sess_frames:
             return _empty_summaries()
         sessions = StreamingSessionJob._sessionize_with_start(
@@ -263,13 +273,21 @@ class StreamingSessionJob:
             still_open, closed_count, late_count, new_watermark = (
                 self._cycle_pandas(path, fname, watermark, cycle, open_prev)
             )
-        n_ontime = nrows - late_count
+        return self._commit_cycle(state, fname, cycle, still_open,
+                                  closed_count, late_count, new_watermark,
+                                  nrows - late_count)
 
-        # stage the post-cycle snapshot under a cycle-versioned name; it
-        # only becomes visible when checkpoint.json (the single atomic
-        # commit point) records it below — a crash between here and
-        # cp.save(state) replays the cycle against the pre-cycle snapshot,
-        # keeping the byte-identical-replay guarantee.
+    def _commit_cycle(self, state: dict, fname: str, cycle: int,
+                      still_open: pd.DataFrame, closed_count: int,
+                      late_count: int, new_watermark: int,
+                      n_ontime: int) -> dict:
+        """Single atomic commit point of a cycle: stage the post-cycle
+        open-session snapshot under a cycle-versioned name (only visible
+        once checkpoint.json records it — a crash between staging and
+        ``cp.save`` replays the cycle against the pre-cycle snapshot,
+        keeping the byte-identical-replay guarantee), then advance the
+        checkpoint. Mutates ``state`` in place so a pipelined caller can
+        keep committing against its own loaded copy."""
         open_fname = self.cp.stage_open_sessions(still_open, cycle)
         state["open_sessions_file"] = open_fname
         state["watermark_us"] = new_watermark
@@ -526,6 +544,19 @@ class StreamingSessionJob:
             os.rmdir(closed_dir)  # keep closed_sessions() listings clean
         return still_open, int(closed_count)
 
+    @staticmethod
+    def _split_summaries(open_prev: pd.DataFrame | None, nb: int) -> list:
+        """Per-bucket slices of an open-session summary frame (crc32
+        conv bucketing — the job's one partitioning key)."""
+        from ..functions.hashing import crc32_bucket
+
+        prev: list = [None] * nb
+        if open_prev is not None and len(open_prev):
+            pb = crc32_bucket(open_prev["conv_id"].to_numpy(), nb)
+            for b in np.unique(pb):
+                prev[int(b)] = open_prev[pb == b].reset_index(drop=True)
+        return prev
+
     def _cycle_tasks(
         self, path, fname, watermark, cycle, open_prev
     ) -> tuple[pd.DataFrame, int, int, int]:
@@ -541,8 +572,6 @@ class StreamingSessionJob:
         zone-map late stats, watermark, late write) is shared."""
         import ray
 
-        from ..functions.hashing import crc32_bucket
-
         wm = watermark
         nb = self._cycle_bucket_count()
         raw, late_count, new_watermark = self._cycle_prelude(path, fname, wm)
@@ -552,25 +581,18 @@ class StreamingSessionJob:
         shards = [split_fn.options(num_returns=nb).remote(r, wm, nb)
                   for r in refs]
 
-        # per-bucket pseudo-turn frames from the carried open sessions
-        # (tiny — bounded by conversations alive at the cycle boundary);
-        # shipped directly into the owning reducer, no null-padding
-        pseudo: dict[int, pd.DataFrame | None] = {b: None for b in range(nb)}
-        if open_prev is not None and len(open_prev):
-            pb = crc32_bucket(open_prev["conv_id"].to_numpy(), nb)
-            for b in np.unique(pb):
-                sub = open_prev[pb == b]
-                pseudo[int(b)] = pd.DataFrame({
-                    "conv_id": sub["conv_id"].to_numpy(),
-                    "ts": sub["session_end"].astype("datetime64[us]").to_numpy(),
-                    "n_turns": sub["n_turns"].astype("int64").to_numpy(),
-                    "_start": sub["session_start"].astype("datetime64[us]").to_numpy(),
-                })
+        # per-bucket slices of the carried open-session SUMMARIES (tiny —
+        # bounded by conversations alive at the cycle boundary); shipped
+        # straight into the owning reducer, which converts them to
+        # pseudo-turn rows itself — the reducer-side convert is what lets
+        # the pipelined loop chain reducer (N, b)'s output ObjectRef
+        # directly into reducer (N+1, b) with no driver hop
+        prev = self._split_summaries(open_prev, nb)
         work = self._make_grouped_cycle_work(cycle)
         closed_dir = self._prepare_closed_dir(cycle)
         opens = ray.get([
             reduce_fn.remote(b, new_watermark, self.gap_s, closed_dir,
-                             work, pseudo[b], *[s[b] for s in shards])
+                             work, prev[b], *[s[b] for s in shards])
             for b in range(nb)
         ])
         still_open = (pd.concat(opens, ignore_index=True)
@@ -828,7 +850,17 @@ class StreamingSessionJob:
         self._prefetch = None
         return holder.get("ds")
 
+    #: max cycles in flight under the pipelined tasks-engine loop (the
+    #: oldest is committed before another launches). Depth 2 overlaps
+    #: cycle N+1's read/split/launch with cycle N's reducer drain —
+    #: the fixed per-cycle exchange cost stops serializing with compute
+    #: (the round-4 streaming-scaling residue); deeper pipelines only
+    #: add object-store pressure since per-bucket reducers chain anyway.
+    PIPELINE_DEPTH = 2
+
     def run_all(self) -> list[dict]:
+        if self.cycle_engine == "tasks" and self.PIPELINE_DEPTH > 1:
+            return self._run_all_pipelined()
         out = []
         while True:
             pending = self.pending_files()
@@ -841,6 +873,112 @@ class StreamingSessionJob:
                 break
             out.append(r)
         return out
+
+    def _run_all_pipelined(self) -> list[dict]:
+        """Pipelined tasks-engine loop: consecutive large cycles overlap.
+
+        The per-cycle global barrier in :meth:`run_cycle` (``ray.get``
+        on every reducer before the next cycle starts) is what bounds
+        streaming scaling at high CPU counts — the driver-side prelude
+        + split launch of cycle N+1 serialize behind cycle N's slowest
+        reducer. Here they don't:
+
+        - the watermark chain needs only parquet FOOTER stats
+          (``_cycle_prelude``), so cycle N+1's watermark, late routing
+          and split tasks launch without any cycle-N reduce result;
+        - reducer (N+1, b) takes reducer (N, b)'s output ObjectRef as
+          its ``prev_open`` directly (the reducer converts summaries to
+          pseudo-turn rows itself) — the open-session carry never
+          touches the driver between cycles, and each bucket's chain
+          advances independently instead of waiting on the global
+          straggler;
+        - the CHECKPOINT still commits strictly in cycle order: the
+          oldest in-flight cycle is ``ray.get``-drained and committed
+          before cycle N+PIPELINE_DEPTH launches. A crash loses only
+          uncommitted cycles, whose replay is byte-identical (atomic
+          per-bucket renames + committed-bucket sink skip absorb the
+          partially-written work) — same guarantee, same commit point.
+
+        Small cycles (≤ RAY_CYCLE_THRESHOLD) drain the pipeline and run
+        through the standard committed path; outputs stay byte-identical
+        to the unpipelined engines (asserted in tests).
+        """
+        import ray
+        import pyarrow.dataset as pads
+
+        split_fn, reduce_fn = _exchange_fns()
+        state = self.cp.load()
+        wm = int(state.get("watermark_us", 0))
+        cycle = int(state.get("cycles", 0))
+        nb = self._cycle_bucket_count()
+        done = set(state.get("processed", []))
+        prev = self._split_summaries(self.cp.load_open_sessions(state), nb)
+
+        results: list[dict] = []
+        inflight: list[tuple] = []  # (fname, cycle, open_refs, late, wm, closed_dir, n_ontime)
+
+        def commit_oldest():
+            fn_, cyc_, refs_, late_, wm_, cdir_, n_on = inflight.pop(0)
+            opens = ray.get(refs_)
+            still_open = (pd.concat(opens, ignore_index=True)
+                          if opens else _empty_summaries())
+            still_open, closed_count = self._finish_open_closed(
+                still_open, cdir_)
+            results.append(self._commit_cycle(
+                state, fn_, cyc_, still_open, closed_count, late_,
+                wm_, n_on))
+
+        while True:
+            pending = [
+                f for f in sorted(os.listdir(self.input_dir))
+                if f.endswith(".parquet") and f not in done
+            ]
+            if not pending:
+                break
+            fname = pending[0]
+            done.add(fname)
+            path = os.path.join(self.input_dir, fname)
+            nrows = pads.dataset(path).count_rows()
+            if nrows <= self.RAY_CYCLE_THRESHOLD:
+                # small cycle → pandas path needs materialized carry
+                # state: drain, run through the committed path, resync
+                while inflight:
+                    commit_oldest()
+                r = self.run_cycle()
+                if r is None:
+                    break
+                results.append(r)
+                state = self.cp.load()
+                wm = int(state.get("watermark_us", 0))
+                cycle = int(state.get("cycles", 0))
+                prev = self._split_summaries(
+                    self.cp.load_open_sessions(state), nb)
+                continue
+
+            if len(pending) > 1:
+                self._start_prefetch(pending[1])
+            raw, late_count, new_wm = self._cycle_prelude(path, fname, wm)
+            refs = raw.to_arrow_refs()
+            shards = [split_fn.options(num_returns=nb).remote(r, wm, nb)
+                      for r in refs]
+            work = self._make_grouped_cycle_work(cycle)
+            closed_dir = self._prepare_closed_dir(cycle)
+            open_refs = [
+                reduce_fn.remote(b, new_wm, self.gap_s, closed_dir,
+                                 work, prev[b], *[s[b] for s in shards])
+                for b in range(nb)
+            ]
+            inflight.append((fname, cycle, open_refs, late_count, new_wm,
+                             closed_dir, nrows - late_count))
+            prev = open_refs  # chain per-bucket refs into the next cycle
+            wm = new_wm
+            cycle += 1
+            while len(inflight) >= self.PIPELINE_DEPTH:
+                commit_oldest()
+
+        while inflight:
+            commit_oldest()
+        return results
 
     def flush(self) -> pd.DataFrame:
         """End-of-stream: close all remaining open sessions (watermark →

@@ -10,10 +10,42 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
-def pr_df(ray_session):
+def pr_run(ray_session):
+    """Run pagerank ONCE with a Dataset.to_pandas spy installed, so the
+    no-driver-materialization contract is pinned on the same run the
+    value tests consume."""
+    import ray.data as rd
+
     from imagor_ray.pipelines.graph import pagerank
 
-    return pagerank(SF)
+    calls = []
+    orig = rd.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = orig(self, *a, **k)
+        calls.append(len(df))
+        return df
+
+    rd.Dataset.to_pandas = spy
+    try:
+        out = pagerank(SF)
+    finally:
+        rd.Dataset.to_pandas = orig
+    return out, calls
+
+
+@pytest.fixture(scope="module")
+def pr_df(pr_run):
+    return pr_run[0]
+
+
+def test_no_driver_state_inside_round_loop(pr_run):
+    """Round-4 verdict item 2: degrees ride the _nb exchange as tagged
+    rows — the only driver collect is the final result, never the node
+    table inside the loop (previously 2 extra full-state to_pandas)."""
+    out, calls = pr_run
+    assert len(calls) == 1, calls
+    assert calls[0] == len(out)
 
 
 def test_mass_conserved(pr_df):

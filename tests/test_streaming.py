@@ -562,3 +562,126 @@ class TestTasksEngineCycle:
         with pytest.raises(ValueError):
             StreamingSessionJob(str(tmp_path), str(tmp_path / "st"),
                                 cycle_engine="spark")
+
+
+class TestPipelinedCycles:
+    """``run_all`` on the tasks engine pipelines consecutive cycles:
+    reducer (N, b)'s output ObjectRef feeds reducer (N+1, b) directly
+    and checkpoints commit strictly in cycle order with PIPELINE_DEPTH
+    cycles in flight. Byte-identity with the dataset/pandas engines is
+    already asserted by TestTasksEngineCycle (run_all routes tasks
+    through the pipelined loop); here: session chains spanning more
+    cycles than the pipeline depth, a mid-pipeline crash, and the
+    small-cycle drain/fallback."""
+
+    @staticmethod
+    def _mk_batches(n_cycles: int = 6):
+        base = pd.Timestamp("2024-01-01")
+        batches = []
+        for c in range(n_cycles):
+            t0 = base + pd.Timedelta(hours=3 * c)
+            batches.append([
+                ("a", str(t0)),
+                (f"c{c}", str(t0 + pd.Timedelta(minutes=1))),
+                (f"c{c}", str(t0 + pd.Timedelta(minutes=5))),
+            ])
+        return batches
+
+    def _run(self, tmp_path, name, stream, depth, threshold=0,
+             engine="tasks"):
+        from imagor_ray.pipelines.streaming import (
+            StreamingFlagshipJob, StreamingSessionJob,
+        )
+
+        old_t = StreamingSessionJob.RAY_CYCLE_THRESHOLD
+        old_d = StreamingSessionJob.PIPELINE_DEPTH
+        try:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = threshold
+            StreamingSessionJob.PIPELINE_DEPTH = depth
+            j = StreamingFlagshipJob(stream, str(tmp_path / name),
+                                     gap_s=1800, num_buckets=2,
+                                     cycle_engine=engine)
+            r = j.run_all()
+            j.flush()
+            return j, r
+        finally:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = old_t
+            StreamingSessionJob.PIPELINE_DEPTH = old_d
+
+    def test_deep_stream_matches_unpipelined(self, ray_session, tmp_path):
+        stream = write_stream(tmp_path, self._mk_batches(6))
+        j1, r1 = self._run(tmp_path, "pipe", stream, depth=2)
+        j2, r2 = self._run(tmp_path, "nopipe", stream, depth=1)
+        assert r1 == r2
+        assert j1.processed_sha1() == j2.processed_sha1()
+        key = ["conv_id", "session_start"]
+        pd.testing.assert_frame_equal(
+            j1.closed_sessions().sort_values(key).reset_index(drop=True),
+            j2.closed_sessions().sort_values(key).reset_index(drop=True))
+
+    def test_crash_mid_pipeline_resumes_byte_identically(
+            self, ray_session, tmp_path):
+        """Kill the driver after cycle 1's COMMIT while cycles 2-3 are
+        in flight (their sink/closed partitions may be partially on
+        disk, their checkpoints are not): the resume must replay the
+        uncommitted cycles over the partial output and converge to the
+        reference bytes."""
+        from imagor_ray.pipelines.streaming import (
+            StreamingFlagshipJob, StreamingSessionJob,
+        )
+
+        stream = write_stream(tmp_path, self._mk_batches(6))
+        ref, _ = self._run(tmp_path, "ref", stream, depth=2)
+        want = ref.processed_sha1()
+
+        old_t = StreamingSessionJob.RAY_CYCLE_THRESHOLD
+        orig_commit = StreamingSessionJob._commit_cycle
+        calls = {"n": 0}
+
+        def bomb(self, *a, **k):
+            out = orig_commit(self, *a, **k)
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected driver kill")
+            return out
+
+        try:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = 0
+            StreamingSessionJob._commit_cycle = bomb
+            j1 = StreamingFlagshipJob(stream, str(tmp_path / "crash"),
+                                      gap_s=1800, num_buckets=2,
+                                      cycle_engine="tasks")
+            with pytest.raises(RuntimeError, match="injected"):
+                j1.run_all()
+            del j1
+        finally:
+            StreamingSessionJob._commit_cycle = orig_commit
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = old_t
+
+        # exactly two cycles committed; later cycles' partial output is
+        # on disk awaiting replay
+        j2, r2 = self._run(tmp_path, "crash", stream, depth=2)
+        assert len(r2) == 4  # resumes from cycle 2
+        assert j2.processed_sha1() == want
+        key = ["conv_id", "session_start"]
+        pd.testing.assert_frame_equal(
+            j2.closed_sessions().sort_values(key).reset_index(drop=True),
+            ref.closed_sessions().sort_values(key).reset_index(drop=True))
+
+    def test_mixed_small_and_large_cycles(self, ray_session, tmp_path):
+        """Small cycles drain the pipeline and take the pandas path;
+        the stream's outputs still match an all-pandas run."""
+        batches = self._mk_batches(5)
+        batches[1] = batches[1][:1]   # 1-row cycle → pandas path
+        batches[3] = batches[3][:2]   # 2-row cycle → pandas path
+        stream = write_stream(tmp_path, batches)
+        # threshold 2: 3-row cycles go through the pipelined exchange
+        jm, rm = self._run(tmp_path, "mixed", stream, depth=2, threshold=2)
+        jp, rp = self._run(tmp_path, "allpd", stream, depth=2,
+                           threshold=10**9, engine="tasks")
+        assert rm == rp
+        assert jm.processed_sha1() == jp.processed_sha1()
+        key = ["conv_id", "session_start"]
+        pd.testing.assert_frame_equal(
+            jm.closed_sessions().sort_values(key).reset_index(drop=True),
+            jp.closed_sessions().sort_values(key).reset_index(drop=True))

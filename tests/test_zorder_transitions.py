@@ -92,3 +92,96 @@ def test_skyline_of_skylines_partition_invariance(ray_session):
                            for part in parts])
     merged = set(surv[_local_skyline(p[surv], d[surv], k[surv])].tolist())
     assert merged == whole
+
+
+class TestSkylineDistributedFold:
+    """Round-4 verdict item 3: the global front is folded via a
+    price-range-bucketed intermediate pass; the driver sees only
+    unioned bucket-fronts. Pinned on both front shapes: anti-correlated
+    (front = O(n), the adversarial memory case) and correlated
+    (front tiny — the driver collect must stay front-sized, not
+    batch-survivor-union-sized)."""
+
+    @staticmethod
+    def _write_orders(tmp_path, price_m, day):
+        import pandas as pd
+
+        n = len(price_m)
+        df = pd.DataFrame({
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": np.arange(n, dtype="int64") % 97,
+            "o_orderdate": pd.Timestamp("2020-01-01")
+            + pd.to_timedelta(day, unit="D"),
+            "o_totalprice": price_m / 1000.0,
+        })
+        d = tmp_path / "orders_fixture"
+        d.mkdir()
+        df.to_parquet(d / "orders.parquet", index=False)
+        return str(d)
+
+    @staticmethod
+    def _oracle(sf_dir):
+        import duckdb
+
+        from imagor_ray.pipelines.analytics import SKYLINE_SQL
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS FROM '{sf_dir}/orders.parquet'")
+        return (con.execute(SKYLINE_SQL).df()
+                .sort_values("o_orderkey").reset_index(drop=True))
+
+    def test_anticorrelated_front_is_whole_set(self, ray_session, tmp_path):
+        # strictly anti-correlated: every point is on the front
+        from imagor_ray.pipelines.analytics import skyline_orders
+
+        n = 5000
+        price_m = np.arange(n, dtype="int64") * 1000
+        day = (n - 1 - np.arange(n)).astype("int64")
+        sf = self._write_orders(tmp_path, price_m, day)
+        got = skyline_orders(sf)
+        assert len(got) == n  # the adversarial O(n)-front shape
+        want = self._oracle(sf)
+        import pandas as pd
+        pd.testing.assert_frame_equal(
+            got.astype({"o_orderdate": "datetime64[us]"}),
+            want.astype({"o_orderdate": "datetime64[us]",
+                         "o_orderkey": "int64", "price_m": "int64"})
+            [got.columns.tolist()])
+
+    def test_correlated_driver_collect_is_front_sized(
+            self, ray_session, tmp_path, monkeypatch):
+        import pandas as pd
+        import ray.data as rd
+
+        from imagor_ray.pipelines.analytics import skyline_orders
+
+        rng = np.random.default_rng(7)
+        n = 20000
+        base = rng.integers(0, 1_000_000, size=n).astype("int64")
+        # correlated: cheap orders are also early → tiny front
+        price_m = base * 500
+        day = (base // 100 + rng.integers(0, 50, size=n)).astype("int64")
+        sf = self._write_orders(tmp_path, price_m, day)
+
+        sizes = []
+        orig = rd.Dataset.to_pandas
+
+        def spy(self, *a, **k):
+            df = orig(self, *a, **k)
+            sizes.append(len(df))
+            return df
+
+        monkeypatch.setattr(rd.Dataset, "to_pandas", spy)
+        got = skyline_orders(sf)
+        monkeypatch.undo()
+        want = self._oracle(sf)
+        pd.testing.assert_frame_equal(
+            got.astype({"o_orderdate": "datetime64[us]"}),
+            want.astype({"o_orderdate": "datetime64[us]",
+                         "o_orderkey": "int64", "price_m": "int64"})
+            [got.columns.tolist()])
+        # ONE driver collect, and it is bucket-front-sized (≪ n), not
+        # the raw per-batch survivor union
+        assert len(sizes) == 1
+        assert sizes[0] < n // 10, sizes
