@@ -342,15 +342,22 @@ def run_stream_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best(ncpu: int) -> dict:
-        trials = [one(ncpu) for _ in range(
-            int(os.environ.get("GRAFT_BENCH_TRIALS", "3")))]
-        return min(trials, key=lambda d: d["value"])
-
     n_lo = int(os.environ.get("GRAFT_BENCH_CPUS_LO", "4"))
     n_hi = int(os.environ.get("GRAFT_BENCH_CPUS_HI", str(n_lo * 4)))
-    lo, hi = best(n_lo), best(n_hi)
+    # INTERLEAVED trials, exactly like run_scaling: the host's degraded
+    # windows outlast a whole leg's back-to-back trials (BENCH.md
+    # finding 23), so alternating spreads both legs across windows and
+    # best-of-leg samples clean weather for BOTH sides.
+    n_trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+    lo_trials, hi_trials = [], []
+    for _ in range(n_trials):
+        lo_trials.append(one(n_lo))
+        hi_trials.append(one(n_hi))
+    lo = min(lo_trials, key=lambda d: d["value"])
+    hi = min(hi_trials, key=lambda d: d["value"])
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (n_hi / n_lo)
+    paired = [round((h["turns_per_sec"] / l["turns_per_sec"]) / (n_hi / n_lo), 3)
+              for l, h in zip(lo_trials, hi_trials)]
     return {
         "metric": "streaming_scaling_efficiency",
         "value": round(eff, 3),
@@ -361,6 +368,7 @@ def run_stream_scaling() -> dict:
         "turns_per_sec_hi": hi["turns_per_sec"],
         "sec_lo": lo["value"],
         "sec_hi": hi["value"],
+        "paired_efficiencies": paired,
         "n_turns": lo["n_turns"],
         "sf": lo["sf"],
     }

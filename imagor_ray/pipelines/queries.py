@@ -1467,6 +1467,12 @@ def _q_media_png_roundtrip(sf_dir: str):
     return media_png_roundtrip(sf_dir)
 
 
+def _q_media_jpeg_progressive_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_jpeg_progressive_roundtrip
+
+    return media_jpeg_progressive_roundtrip(sf_dir)
+
+
 def _q_media_jpeg_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_jpeg_roundtrip
 
@@ -2376,6 +2382,7 @@ QUERIES = {
     "media_real_decode": _q_media_real_decode,  # rows-only: real WAV/BMP/PNG codecs
     "media_png_roundtrip": _q_media_png_roundtrip,
     "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
+    "media_jpeg_progressive_roundtrip": _q_media_jpeg_progressive_roundtrip,
     "media_gif_roundtrip": _q_media_gif_roundtrip,
     "media_mp4_roundtrip": _q_media_mp4_roundtrip,
     "media_mkv_roundtrip": _q_media_mkv_roundtrip,
@@ -2638,6 +2645,7 @@ ORACLES = {
     # q=100 (DC-only => bit-exact through the lossy pipeline) and reads
     # it back — the oracle recomputes the digest directly
     "media_jpeg_roundtrip": _JPEG_ROUNDTRIP_SQL,
+    "media_jpeg_progressive_roundtrip": _JPEG_ROUNDTRIP_SQL,
     # animated GIF round trip recovers the exact utf-8 bytes across
     # LZW frames, same raw-text-hash oracle as PNG
     "media_gif_roundtrip": _MEDIA_HASHES_SQL,

@@ -179,6 +179,7 @@ class StreamingSessionJob:
         allowed_lateness_s: int = 0,
         ray_cycle_threshold: int | None = None,
         cycle_engine: str = "dataset",
+        pipeline_depth: int | None = None,
     ):
         self.input_dir = input_dir
         self.cp = Checkpoint(state_dir)
@@ -186,6 +187,12 @@ class StreamingSessionJob:
         self.lateness_us = allowed_lateness_s * 1_000_000
         if cycle_engine not in ("dataset", "tasks"):
             raise ValueError(f"unknown cycle_engine: {cycle_engine!r}")
+        if pipeline_depth is not None:
+            self.PIPELINE_DEPTH = pipeline_depth
+        elif os.environ.get("IMAGOR_RAY_PIPELINE_DEPTH"):
+            # env fallback mirrors the flag > IMAGOR_RAY_* > default
+            # resolution the other knobs get via EngineConfig
+            self.PIPELINE_DEPTH = int(os.environ["IMAGOR_RAY_PIPELINE_DEPTH"])
         #: large-cycle execution engine: 'dataset' = fused
         #: groupby.map_groups shuffle; 'tasks' = raw two-stage hash
         #: exchange (same outputs, no per-cycle sort machinery)

@@ -49,6 +49,7 @@ __all__ = [
     "encode_bmp",
     "encode_png",
     "encode_jpeg",
+    "encode_jpeg_progressive",
     "encode_gif",
     "encode_tiff",
     "encode_mp4",
@@ -56,7 +57,7 @@ __all__ = [
     "brightest_region",
 ]
 
-from .jpeg import JpegCodec, encode_jpeg  # noqa: E402  (round-4: real baseline JPEG)
+from .jpeg import JpegCodec, encode_jpeg, encode_jpeg_progressive  # noqa: E402  (round-4 baseline + round-5 progressive JPEG)
 from .gif import GifCodec, encode_gif    # noqa: E402  (round-4: real animated GIF)
 from .tiff import TiffCodec, encode_tiff  # noqa: E402  (round-4: real baseline TIFF)
 from .mp4 import Mp4Codec, encode_mp4    # noqa: E402  (round-4: real ISO BMFF demux/mux)

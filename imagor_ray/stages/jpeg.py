@@ -485,6 +485,287 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder
+
+# Flat 9-bit AC huffman table for progressive scans: the Annex K
+# baseline AC tables lack the EOBn symbols (run<<4, run>0) progressive
+# AC passes emit, so progressive scans ship a custom DHT — every symbol
+# at code length 9 (canonical, 176 ≪ 511 codes, all-ones never reached).
+# Deliberately simple over optimal: correctness artifact, bytes stay
+# deterministic.
+def _flat_ac_table() -> _HuffTable:
+    syms = sorted(
+        {r << 4 for r in range(15)}              # EOB0..EOB14
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {0xF0}                                 # ZRL
+    )
+    bits = [0] * 16
+    bits[8] = len(syms)                          # all codes length 9
+    return _HuffTable(bits, syms)
+
+
+_AC_PROG = _flat_ac_table()
+
+
+class _ProgWriter(_BitWriter):
+    """BitWriter + the EOB-run / buffered-correction-bit machinery of
+    progressive AC passes (T.81 G.1.2.2-3): EOBn symbols carry a run of
+    all-zero (in this pass) blocks, and the correction bits observed
+    while the run was open are flushed right after it."""
+
+    def __init__(self, ac: _HuffTable):
+        super().__init__()
+        self.ac = ac
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def sym(self, s: int) -> None:
+        code, ln = self.ac.codes[s]
+        self.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.write(b, 1)
+        self.pending = []
+
+
+def _encode_dc_scan(out: bytearray, comp_zz, comps, sel_ids, geom,
+                    al: int, ah: int, gray: bool) -> None:
+    mcux, mcuy = geom["mcux"], geom["mcuy"]
+    w = _BitWriter()
+    if len(sel_ids) > 1:
+        units = mcux * mcuy
+    else:
+        duw, duh = geom["dus"][sel_ids[0]]
+        units = duw * duh
+    preds = {ci: 0 for ci in sel_ids}
+    for m in range(units):
+        for ci in sel_ids:
+            hs, vs = comps[ci][0], comps[ci][1]
+            row_w = mcux * hs
+            if len(sel_ids) > 1:
+                my, mx = divmod(m, mcux)
+                blocks = [(my * vs + by) * row_w + (mx * hs + bx)
+                          for by in range(vs) for bx in range(hs)]
+            else:
+                duw, _ = geom["dus"][ci]
+                r_, q_ = divmod(m, duw)
+                blocks = [r_ * row_w + q_]
+            dc_tab = _DC_TABLES[0 if ci == 0 else 1]
+            for bi in blocks:
+                v = int(comp_zz[ci][bi, 0])
+                if ah == 0:
+                    t = v >> al                    # arithmetic shift
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    cat = _category(diff)
+                    code, ln = dc_tab.codes[cat]
+                    w.write(code, ln)
+                    if cat:
+                        w.write(diff if diff > 0 else diff + (1 << cat) - 1,
+                                cat)
+                else:
+                    w.write((v >> al) & 1, 1)
+    w.pad_to_byte()
+    ns = len(sel_ids)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for ci in sel_ids:
+        td = 0 if ci == 0 else 1
+        out += bytes([ci + 1, td << 4 | 0])
+    out += bytes([0, 0, (ah << 4) | al])
+    out += w.buf
+
+
+def _encode_ac_scan(out: bytearray, comp_zz, comps, ci: int, geom,
+                    ss: int, se: int, al: int, ah: int) -> None:
+    mcux = geom["mcux"]
+    hs, vs = comps[ci][0], comps[ci][1]
+    row_w = mcux * hs
+    duw, duh = geom["dus"][ci]
+    w = _ProgWriter(_AC_PROG)
+    for m in range(duw * duh):
+        r_, q_ = divmod(m, duw)
+        zz = comp_zz[ci][r_ * row_w + q_]
+        if ah == 0:
+            # first pass over the band: magnitude shift toward zero
+            vals = [int(v) for v in zz[ss : se + 1]]
+            tmp = [(v >> al) if v >= 0 else -((-v) >> al) for v in vals]
+            nzi = [i for i, v in enumerate(tmp) if v != 0]
+            if not nzi:
+                w.eobrun += 1
+                if w.eobrun == 0x7FFF:
+                    w.flush_eobrun()
+                continue
+            w.flush_eobrun()
+            last = -1
+            for i in nzi:
+                run = i - last - 1
+                while run >= 16:
+                    w.sym(0xF0)
+                    run -= 16
+                v = tmp[i]
+                cat = _category(v)
+                w.sym((run << 4) | cat)
+                w.write(v if v > 0 else v + (1 << cat) - 1, cat)
+                last = i
+            if last < se - ss:
+                w.eobrun += 1
+                if w.eobrun == 0x7FFF:
+                    w.flush_eobrun()
+        else:
+            # refinement pass (G.1.2.3 / the classic IJG control flow)
+            vals = [int(v) for v in zz[ss : se + 1]]
+            absv = [(v if v >= 0 else -v) >> al for v in vals]
+            eob = 0
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    w.flush_eobrun()
+                    w.sym(0xF0)
+                    r -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                if a > 1:
+                    br.append(a & 1)               # correction bit
+                    continue
+                w.flush_eobrun()
+                w.sym((r << 4) | 1)
+                w.write(1 if vals[i] > 0 else 0, 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                w.eobrun += 1
+                w.pending.extend(br)
+                if w.eobrun == 0x7FFF:
+                    w.flush_eobrun()
+    w.flush_eobrun()
+    w.pad_to_byte()
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([ci + 1, 0 << 4 | 2])             # AC table slot 2
+    out += bytes([ss, se, (ah << 4) | al])
+    out += w.buf
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 75,
+                            subsample: bool = False) -> bytes:
+    """Encode as PROGRESSIVE (SOF2) JPEG: DC first at Al=1 + DC
+    refinement, then per-component AC spectral bands (1-5, 6-63) at
+    Al=1 + full-band refinements — every scan kind of T.81 §G in one
+    stream. Quantized coefficients are IDENTICAL to
+    :func:`encode_jpeg` at the same quality (shared fdct/quant), so
+    progressive-decode == baseline-decode bit-for-bit — the
+    differential witness the tests pin. Deterministic bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty image")
+    if nch not in (1, 3):
+        raise ValueError("jpeg: expected 1 or 3 channels")
+    gray = nch == 1
+
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+
+    if gray:
+        comps = [(1, 1, 0)]
+        planes = [px[:, :, 0]]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            eh, ew = h + (h % 2), w + (w % 2)
+            def _even(p):
+                out = np.empty((eh, ew), dtype=np.float64)
+                out[:h, :w] = p
+                if eh > h:
+                    out[h:, :w] = p[-1:, :]
+                if ew > w:
+                    out[:, w:] = out[:, w - 1 : w]
+                return out
+            cb = np.clip(np.round(
+                _even(cb).reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            ), 0, 255).astype(np.uint8)
+            cr = np.clip(np.round(
+                _even(cr).reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            ), 0, 255).astype(np.uint8)
+            comps = [(2, 2, 0), (1, 1, 1), (1, 1, 1)]
+        else:
+            comps = [(1, 1, 0), (1, 1, 1), (1, 1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geom = {"mcux": mcux, "mcuy": mcuy, "dus": []}
+    for hs, vs, _tq in comps:
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        geom["dus"].append((-(-cw // 8), -(-ch // 8)))
+
+    comp_zz = []
+    for (hs, vs, tq), plane in zip(comps, planes):
+        bw, bh = mcux * hs, mcuy * vs
+        blocks = _blockify(plane, bh, bw)
+        comp_zz.append(_fdct_quant(blocks, ql if tq == 0 else qc))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(
+        ql.reshape(64)[_ZZ].astype(np.uint8).tolist())
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + bytes(
+            qc.reshape(64)[_ZZ].astype(np.uint8).tolist())
+    nc = len(comps)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i, (hs, vs, tq) in enumerate(comps):
+        out += bytes([i + 1, hs << 4 | vs, tq])
+    out += b"\xff\xc4" + struct.pack(
+        ">H", 2 + len(_dht_payload(0, 0, _DC_TABLES[0]))
+    ) + _dht_payload(0, 0, _DC_TABLES[0])
+    if not gray:
+        out += b"\xff\xc4" + struct.pack(
+            ">H", 2 + len(_dht_payload(0, 1, _DC_TABLES[1]))
+        ) + _dht_payload(0, 1, _DC_TABLES[1])
+    out += b"\xff\xc4" + struct.pack(
+        ">H", 2 + len(_dht_payload(1, 2, _AC_PROG))
+    ) + _dht_payload(1, 2, _AC_PROG)
+
+    sel_all = list(range(nc))
+    _encode_dc_scan(out, comp_zz, comps, sel_all, geom, al=1, ah=0,
+                    gray=gray)
+    for ci in range(nc):
+        _encode_ac_scan(out, comp_zz, comps, ci, geom, 1, 5, al=1, ah=0)
+        _encode_ac_scan(out, comp_zz, comps, ci, geom, 6, 63, al=1, ah=0)
+    _encode_dc_scan(out, comp_zz, comps, sel_all, geom, al=0, ah=1,
+                    gray=gray)
+    for ci in range(nc):
+        _encode_ac_scan(out, comp_zz, comps, ci, geom, 1, 5, al=0, ah=1)
+        _encode_ac_scan(out, comp_zz, comps, ci, geom, 6, 63, al=0, ah=1)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 
 def _parse_segments(payload: bytes) -> dict:
@@ -527,9 +808,16 @@ def _parse_segments(payload: bytes) -> dict:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             st.update(h=h, w=w, comps=comps)
-        elif m == 0xC2:
-            raise NotImplementedError(
-                "jpeg: progressive (SOF2) not supported — baseline only")
+        elif m == 0xC2:                            # SOF2 progressive
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
+                struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            st.update(h=h, w=w, comps=comps, progressive=True)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"jpeg: unsupported SOF marker 0x{m:02x}")
         elif m == 0xC4:                            # DHT (possibly several)
@@ -550,6 +838,12 @@ def _parse_segments(payload: bytes) -> dict:
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF})
             st["scan"] = sel
+            # progressive scan parameters (baseline ignores them):
+            # spectral band [Ss, Se], successive-approximation Ah/Al
+            st["ss"] = seg[1 + 2 * ns]
+            st["se"] = seg[2 + 2 * ns]
+            st["ah"] = seg[3 + 2 * ns] >> 4
+            st["al"] = seg[3 + 2 * ns] & 0xF
             st["scan_start"] = i + length
             return st
         # APPn / COM / others: skip
@@ -557,8 +851,9 @@ def _parse_segments(payload: bytes) -> dict:
     raise ValueError("jpeg: no SOS marker")
 
 
-def _split_scan(payload: bytes, start: int) -> list[bytes]:
-    """De-stuff the entropy-coded data and split at restart markers."""
+def _split_scan_ex(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """De-stuff the entropy-coded data and split at restart markers;
+    also return the index of the terminating marker's 0xFF (or EOF)."""
     segments: list[bytes] = []
     cur = bytearray()
     i, n = start, len(payload)
@@ -581,11 +876,249 @@ def _split_scan(payload: bytes, start: int) -> list[bytes]:
         cur.append(b)
         i += 1
     segments.append(bytes(cur))
-    return segments
+    return segments, i
+
+
+def _split_scan(payload: bytes, start: int) -> list[bytes]:
+    return _split_scan_ex(payload, start)[0]
+
+
+def _collect_scans(payload: bytes, st: dict) -> list[dict]:
+    """Progressive streams carry MULTIPLE scans with inter-scan DHT/DRI
+    redefinitions. Walk from the first SOS to EOI, snapshotting each
+    scan's header, entropy segments and the table state it sees."""
+    scans = []
+    hdr = {
+        "sel": st["scan"], "ss": st["ss"], "se": st["se"],
+        "ah": st["ah"], "al": st["al"],
+        "dc": dict(st["dc"]), "ac": dict(st["ac"]), "dri": st["dri"],
+    }
+    i = st["scan_start"]
+    n = len(payload)
+    while True:
+        segments, i = _split_scan_ex(payload, i)
+        scans.append({**hdr, "segments": segments})
+        # marker walk until the next SOS (or EOI / EOF)
+        found_sos = False
+        while i + 1 < n and not found_sos:
+            if payload[i] != 0xFF:
+                raise ValueError("jpeg: expected marker between scans")
+            m = payload[i + 1]
+            i += 2
+            if m == 0xD9 or m == 0x01 or 0xD0 <= m <= 0xD7:
+                if m == 0xD9:
+                    return scans
+                continue
+            length = struct.unpack(">H", payload[i : i + 2])[0]
+            seg = payload[i + 2 : i + length]
+            if m == 0xC4:
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0xF
+                    bits = list(seg[p + 1 : p + 17])
+                    nv = sum(bits)
+                    vals = list(seg[p + 17 : p + 17 + nv])
+                    (st["ac"] if tc else st["dc"])[th] = _HuffTable(bits, vals)
+                    p += 17 + nv
+            elif m == 0xDD:
+                st["dri"] = struct.unpack(">H", seg[:2])[0]
+            elif m == 0xDA:
+                ns = seg[0]
+                sel = [{"cs": seg[1 + 2 * c], "td": seg[2 + 2 * c] >> 4,
+                        "ta": seg[2 + 2 * c] & 0xF} for c in range(ns)]
+                hdr = {
+                    "sel": sel, "ss": seg[1 + 2 * ns], "se": seg[2 + 2 * ns],
+                    "ah": seg[3 + 2 * ns] >> 4, "al": seg[3 + 2 * ns] & 0xF,
+                    "dc": dict(st["dc"]), "ac": dict(st["ac"]),
+                    "dri": st["dri"],
+                }
+                found_sos = True
+            i += length
+        if not found_sos:
+            return scans
+
+
+def _comp_geometry(st: dict) -> dict:
+    comps = st["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-st["w"] // (8 * hmax))
+    mcuy = -(-st["h"] // (8 * vmax))
+    # per-component NON-interleaved data-unit grid (T.81 A.2.2): blocks
+    # covering ceil(w·h_i/hmax) × ceil(h·v_i/vmax) samples — smaller
+    # than the MCU-padded storage grid when dims aren't MCU-aligned
+    dus = []
+    for c in comps:
+        cw = -(-st["w"] * c["h"] // hmax)
+        ch = -(-st["h"] * c["v"] // vmax)
+        dus.append((-(-cw // 8), -(-ch // 8)))
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            "dus": dus}
+
+
+def _decode_progressive_coeffs(payload: bytes, st: dict) -> list[np.ndarray]:
+    """Progressive (SOF2) entropy decode — spectral selection +
+    successive approximation per ITU T.81 §G.1.2 (public spec).
+    Coefficients accumulate across scans into the MCU-padded per-
+    component arrays the shared reconstruction tail expects."""
+    g = _comp_geometry(st)
+    comps = st["comps"]
+    mcux, mcuy = g["mcux"], g["mcuy"]
+    comp_zz = [
+        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+    id2ci = {c["id"]: i for i, c in enumerate(comps)}
+
+    for scan in _collect_scans(payload, st):
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        sel = scan["sel"]
+        dri = scan["dri"]
+        segments = scan["segments"]
+        reader = _BitReader(segments[0])
+        seg_idx = 0
+        eobrun = 0
+        preds = {s["cs"]: 0 for s in sel}
+
+        def restart(m):
+            nonlocal reader, seg_idx, eobrun, preds
+            if dri and m and m % dri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("jpeg: missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                eobrun = 0
+                preds = {s["cs"]: 0 for s in sel}
+
+        if ss == 0:
+            # ---- DC scan (first pass or refinement) -------------------
+            if se != 0:
+                raise ValueError("jpeg: DC scan with Se != 0")
+            if len(sel) > 1:
+                units = mcux * mcuy          # interleaved MCU order
+            else:
+                duw, duh = g["dus"][id2ci[sel[0]["cs"]]]
+                units = duw * duh            # single-component raster
+            for m in range(units):
+                restart(m)
+                for s in sel:
+                    ci = id2ci[s["cs"]]
+                    c = comps[ci]
+                    row_w = mcux * c["h"]
+                    if len(sel) > 1:
+                        my, mx = divmod(m, mcux)
+                        blocks = [
+                            (my * c["v"] + by) * row_w + (mx * c["h"] + bx)
+                            for by in range(c["v"]) for bx in range(c["h"])
+                        ]
+                    else:
+                        duw, _duh = g["dus"][ci]
+                        r, q = divmod(m, duw)
+                        blocks = [r * row_w + q]
+                    zz = comp_zz[ci]
+                    if ah == 0:
+                        dct = scan["dc"][s["td"]]
+                        for bi in blocks:
+                            cat = dct.decode(reader)
+                            diff = _extend(reader.bits(cat), cat) if cat else 0
+                            preds[s["cs"]] += diff
+                            zz[bi, 0] = preds[s["cs"]] << al
+                    else:
+                        for bi in blocks:
+                            if reader.bits(1):
+                                zz[bi, 0] |= 1 << al
+            continue
+
+        # ---- AC scan: single component, data-unit raster --------------
+        if len(sel) != 1:
+            raise ValueError("jpeg: interleaved AC scan is illegal")
+        ci = id2ci[sel[0]["cs"]]
+        c = comps[ci]
+        act = scan["ac"][sel[0]["ta"]]
+        duw, duh = g["dus"][ci]
+        row_w = mcux * c["h"]
+        zzc = comp_zz[ci]
+        p1 = 1 << al
+        m1 = -(1 << al)
+        for m in range(duw * duh):
+            restart(m)
+            r_, q_ = divmod(m, duw)
+            bi = r_ * row_w + q_
+            coef = zzc[bi]
+            if ah == 0:
+                # first pass over this spectral band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = act.decode(reader)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:               # EOBn: run of (1<<r)+bits
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += 16                  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: coefficient overrun")
+                        coef[k] = _extend(reader.bits(s), s) << al
+                        k += 1
+            else:
+                # refinement pass (T.81 G.1.2.3): correction bits on
+                # already-nonzero coefficients; new ±(1<<Al) insertions
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = act.decode(reader)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: refinement size != 1")
+                            val = p1 if reader.bits(1) else m1
+                        while k <= se:
+                            if coef[k] != 0:
+                                if reader.bits(1) and not (coef[k] & p1):
+                                    coef[k] += p1 if coef[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            coef[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # inside an EOB run: correction bits only, for the
+                    # remaining nonzero coefficients of this block
+                    while k <= se:
+                        if coef[k] != 0:
+                            if reader.bits(1) and not (coef[k] & p1):
+                                coef[k] += p1 if coef[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return comp_zz
 
 
 class JpegCodec:
-    """Baseline JPEG decode — the same surface shape as PngCodec."""
+    """Baseline + progressive JPEG decode — the same surface shape as
+    PngCodec. Baseline (SOF0/SOF1) decodes single-scan huffman;
+    progressive (SOF2) accumulates spectral-selection / successive-
+    approximation scans into the same coefficient arrays before ONE
+    shared dequant+IDCT reconstruction, so both paths are bit-identical
+    for equal coefficients (pinned by the differential tests)."""
 
     @staticmethod
     def decode_meta(payload: bytes) -> dict:
@@ -601,6 +1134,9 @@ class JpegCodec:
     def decode_pixels(payload: bytes) -> np.ndarray:
         """(h, w, 1) gray or (h, w, 3) RGB uint8."""
         st = _parse_segments(payload)
+        if st.get("progressive"):
+            comp_zz = _decode_progressive_coeffs(payload, st)
+            return JpegCodec._reconstruct(st, comp_zz)
         h, w, comps = st["h"], st["w"], st["comps"]
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
@@ -654,6 +1190,17 @@ class JpegCodec:
                         bi = (my * c["v"] + by) * (mcux * c["h"]) + (mx * c["h"] + bx)
                         comp_zz[ci][bi] = zz
 
+        return JpegCodec._reconstruct(st, comp_zz)
+
+    @staticmethod
+    def _reconstruct(st: dict, comp_zz: list[np.ndarray]) -> np.ndarray:
+        """Shared dequant + IDCT + upsample + color tail (baseline and
+        progressive feed it identical coefficient arrays)."""
+        h, w, comps = st["h"], st["w"], st["comps"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
         planes = []
         for ci, c in enumerate(comps):
             quant = st["quant"][c["tq"]]

@@ -46,6 +46,7 @@ __all__ = [
     "media_real_decode",
     "media_png_roundtrip",
     "media_jpeg_roundtrip",
+    "media_jpeg_progressive_roundtrip",
     "media_gif_roundtrip",
     "media_mp4_roundtrip",
     "media_mkv_roundtrip",
@@ -541,6 +542,54 @@ def media_jpeg_roundtrip(sf_dir: str) -> rd.Dataset:
             tiles = vals.reshape(4, 16)                       # 16 tiles/row
             img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
             payloads.append(encode_jpeg(img, quality=100))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        shas = []
+        for p in batch["payload"].to_pylist():
+            px = JpegCodec.decode_pixels(p)[:, :, 0]
+            shas.append(px[::8, ::8].reshape(-1).tobytes().decode("ascii"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "recovered_sha": pa.array(shas, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
+def media_jpeg_progressive_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED entry for PROGRESSIVE (SOF2) JPEG — the
+    reference decodes progressive scans via libvips (its golden corpus
+    ``processor/vipsprocessor/testdata/`` includes progressive inputs);
+    here the same DC-only q=100 witness as ``media_jpeg_roundtrip``
+    rides a multi-scan progressive stream: DC first pass at Al=1, DC
+    refinement, per-band AC first passes (pure EOB runs for constant
+    tiles) and AC refinements (stages/jpeg.py §G machinery). Value
+    equality against ``sha256(text)`` certifies spectral-selection +
+    successive-approximation decode end to end.
+
+    Output: doc_id, recovered_sha.
+    """
+    import hashlib
+
+    from .codecs import JpegCodec, encode_jpeg_progressive
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            digest = hashlib.sha256(t.encode("utf-8")).hexdigest()
+            vals = np.frombuffer(digest.encode("ascii"), dtype=np.uint8)
+            tiles = vals.reshape(4, 16)
+            img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+            payloads.append(encode_jpeg_progressive(img, quality=100))
         return pa.table({
             "doc_id": batch["doc_id"],
             "payload": pa.array(payloads, pa.binary()),

@@ -20,7 +20,9 @@ import hashlib
 import numpy as np
 import pytest
 
-from imagor_ray.stages.codecs import JpegCodec, encode_jpeg, sniff_media
+from imagor_ray.stages.codecs import (
+    JpegCodec, encode_jpeg, encode_jpeg_progressive, sniff_media,
+)
 from imagor_ray.stages import jpeg as J
 
 
@@ -136,12 +138,15 @@ class TestRobustness:
         with pytest.raises(ValueError):
             JpegCodec.decode_meta(b"\x00\x01\x02\x03")
 
-    def test_progressive_gate(self):
+    def test_relabeled_baseline_as_sof2_rejected(self):
+        # a baseline stream relabeled SOF2 is MALFORMED progressive
+        # (its single scan has Ss=0, Se=63 — a progressive DC scan must
+        # have Se=0), not merely unsupported
         data = bytearray(encode_jpeg(_smooth(16, 16), 90))
         i = data.find(b"\xff\xc0")
         data[i + 1] = 0xC2                      # rewrite SOF0 -> SOF2
-        with pytest.raises(NotImplementedError, match="progressive"):
-            JpegCodec.decode_meta(bytes(data))
+        with pytest.raises(ValueError, match="Se"):
+            JpegCodec.decode_pixels(bytes(data))
 
     def test_sniff(self):
         assert sniff_media(encode_jpeg(_smooth(8, 8), 75)) == "jpeg"
@@ -206,3 +211,64 @@ class TestRayIntegration:
             f"FROM '{sf}/documents.parquet' ORDER BY doc_id"
         ).df()
         assert got["recovered_sha"].tolist() == exp["recovered_sha"].tolist()
+
+
+class TestProgressive:
+    """SOF2 progressive decode (spectral selection + successive
+    approximation, T.81 §G). The witness: quantized coefficients are
+    shared with the baseline encoder, so progressive-decode ==
+    baseline-decode BIT-FOR-BIT at the same quality — every scan kind
+    (DC first/refine at Al=1, AC band first/refine with EOB runs) is on
+    the path for any nontrivial image."""
+
+    def _px(self, h, w, ch, seed=0, smooth=False):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+        if smooth:
+            px = (px.astype(np.int64) // 4 + 96).astype(np.uint8)
+        return px
+
+    @pytest.mark.parametrize("h,w,ch,sub,q", [
+        (16, 16, 1, False, 75),
+        (24, 17, 3, False, 50),
+        (33, 41, 3, True, 75),
+        (13, 9, 1, False, 30),
+        (21, 35, 3, True, 10),      # low q → long EOB runs
+        (7, 7, 3, False, 100),
+    ])
+    def test_matches_baseline_decode(self, h, w, ch, sub, q):
+        px = self._px(h, w, ch, seed=h * w + q, smooth=(q < 60))
+        base = JpegCodec.decode_pixels(encode_jpeg(px, quality=q,
+                                                   subsample=sub))
+        prog = JpegCodec.decode_pixels(
+            encode_jpeg_progressive(px, quality=q, subsample=sub))
+        np.testing.assert_array_equal(base, prog)
+
+    def test_constant_tiles_q100_exact(self):
+        # the oracle witness, progressive edition: GRAY constant 8x8
+        # tiles at q=100 are DC-only and decode losslessly (gray — the
+        # RGB<->YCbCr rounding is outside the witness, as in
+        # TestLosslessWitness)
+        rng = np.random.default_rng(3)
+        tiles = rng.integers(0, 256, size=(3, 4)).astype(np.uint8)
+        px = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+        out = JpegCodec.decode_pixels(
+            encode_jpeg_progressive(px, 100))[:, :, 0]
+        np.testing.assert_array_equal(px, out)
+
+    def test_meta_reports_progressive_dims(self):
+        px = self._px(19, 23, 3, seed=9)
+        meta = JpegCodec.decode_meta(encode_jpeg_progressive(px, 80))
+        assert (meta["width"], meta["height"]) == (23, 19)
+
+    def test_eob_runs_span_blocks(self):
+        # constant image → every AC band empty in every block → the AC
+        # first pass is a single EOBn run covering all blocks; decode
+        # must still be exact
+        px = np.full((40, 40, 3), 130, dtype=np.uint8)
+        out = JpegCodec.decode_pixels(encode_jpeg_progressive(px, 100))
+        np.testing.assert_array_equal(px, out)
+
+    def test_sniffs_as_jpeg(self):
+        data = encode_jpeg_progressive(self._px(8, 8, 1), 75)
+        assert sniff_media(data) == "jpeg"
