@@ -1509,6 +1509,12 @@ def _q_media_png_paeth(sf_dir: str):
     return media_png_paeth_roundtrip(sf_dir)
 
 
+def _q_media_png_adam7(sf_dir: str):
+    from ..stages.multimodal import media_png_adam7_roundtrip
+
+    return media_png_adam7_roundtrip(sf_dir)
+
+
 def _q_media_mjpeg_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_mjpeg_roundtrip
 
@@ -2388,6 +2394,7 @@ QUERIES = {
     "media_mkv_roundtrip": _q_media_mkv_roundtrip,
     "media_tiff_roundtrip": _q_media_tiff_roundtrip,
     "media_png_paeth_roundtrip": _q_media_png_paeth,
+    "media_png_adam7_roundtrip": _q_media_png_adam7,
     "media_mjpeg_roundtrip": _q_media_mjpeg_roundtrip,
     "media_g711_roundtrip": _q_media_g711_roundtrip,
     "conv_stats": _q_conv_stats,
@@ -2665,6 +2672,7 @@ ORACLES = {
     # Paeth-predicted PNG: lossless spatial prediction + inverse
     # reconstruction under the same raw-text-hash oracle
     "media_png_paeth_roundtrip": _MEDIA_HASHES_SQL,
+    "media_png_adam7_roundtrip": _MEDIA_HASHES_SQL,
     # G.711: the document bytes ARE the A-law code stream of a real
     # compressed-audio WAV; expand→compand is a bijection on all 256
     # codes, so the raw-text hash certifies RIFF framing + both tables

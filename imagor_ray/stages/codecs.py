@@ -366,10 +366,12 @@ class BmpCodec:
 # The reference treats PNG as a core blob type (blob.go:163-211 magic
 # tables; export map processor/vipsprocessor/process.go:16-30). Scope
 # here: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette), 4
-# (gray+alpha), 6 (RGBA), non-interlaced — decode handles ALL FIVE
-# scanline filters of the spec (None/Sub/Up/Average/Paeth); the encoder
-# emits filter 0 rows by default, opt-in Paeth (filter 4). 16-bit depth
-# and Adam7 interlacing raise NotImplementedError with a clear message.
+# (gray+alpha), 6 (RGBA) — decode handles ALL FIVE scanline filters of
+# the spec (None/Sub/Up/Average/Paeth) AND Adam7 interlacing (7
+# independent filtered sub-image passes, spec §8.2); the encoder emits
+# filter 0 rows by default, opt-in Paeth (filter 4) and opt-in Adam7
+# (interlace=True). 16-bit depth raises NotImplementedError with a
+# clear message.
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -390,21 +392,16 @@ def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode_png(pixels: np.ndarray, *, paeth: bool = False) -> bytes:
-    """PNG bytes from a uint8 array: (h, w) → grayscale, (h, w, 2) →
-    gray+alpha, (h, w, 3) → RGB, (h, w, 4) → RGBA. Deterministic output
-    for a given input. Default emits filter-0 scanlines (the byte-stable
-    contract earlier rounds pinned); ``paeth=True`` opts into filter-4
-    PREDICTIVE coding on every row — the spec's spatial predictor,
-    lossless, exercising the decoder's full reconstruction path."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, c = px.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
-    if color_type is None:
-        raise ValueError(f"unsupported channel count {c}")
-    flat = px.reshape(h, w * c)
+# Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _filter_rows(flat: np.ndarray, h: int, w: int, c: int,
+                 paeth: bool) -> np.ndarray:
+    """(h, w*c) samples → (h, 1 + w*c) filtered scanlines (filter 0 or
+    filter 4 on every row) — shared by the sequential and per-Adam7-pass
+    encoders."""
     raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
     if paeth:
         raw[:, 0] = 4
@@ -419,9 +416,42 @@ def encode_png(pixels: np.ndarray, *, paeth: bool = False) -> bytes:
         raw[:, 1:] = flat - _paeth_predict(left, up, upleft)
     else:
         raw[:, 1:] = flat
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def encode_png(pixels: np.ndarray, *, paeth: bool = False,
+               interlace: bool = False) -> bytes:
+    """PNG bytes from a uint8 array: (h, w) → grayscale, (h, w, 2) →
+    gray+alpha, (h, w, 3) → RGB, (h, w, 4) → RGBA. Deterministic output
+    for a given input. Default emits filter-0 scanlines (the byte-stable
+    contract earlier rounds pinned); ``paeth=True`` opts into filter-4
+    PREDICTIVE coding on every row — the spec's spatial predictor,
+    lossless, exercising the decoder's full reconstruction path.
+    ``interlace=True`` emits ADAM7 (7 sub-image passes, spec §8.2);
+    filters reset and apply within each pass independently."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {c}")
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue                  # empty pass: no bytes at all
+            parts.append(_filter_rows(sub.reshape(ph, pw * c), ph, pw, c,
+                                      paeth).tobytes())
+        body = b"".join(parts)
+    else:
+        body = _filter_rows(px.reshape(h, w * c), h, w, c, paeth).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IDAT", zlib.compress(body, 6))
             + _png_chunk(b"IEND", b""))
 
 
@@ -487,22 +517,59 @@ class PngCodec:
                 if depth != 8:
                     raise NotImplementedError(
                         f"only 8-bit PNG decoded here (got {depth}-bit)")
-                if interlace:
-                    raise NotImplementedError(
-                        "Adam7-interlaced PNG not decoded here")
+                if interlace not in (0, 1):
+                    raise ValueError("invalid PNG interlace method")
                 if comp != 0 or filt != 0:
                     raise ValueError("invalid PNG compression/filter method")
                 if color not in _PNG_CHANNELS:
                     raise ValueError(f"unknown PNG color type {color}")
-                meta = (w, h, color, _PNG_CHANNELS[color])
+                meta = (w, h, color, _PNG_CHANNELS[color], bool(interlace))
             elif ctype == b"PLTE":
                 plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
             elif ctype == b"IDAT":
                 idat.append(data)
         if meta is None:
             raise ValueError("PNG missing IHDR")
-        w, h, color, c = meta
+        w, h, color, c, interlaced = meta
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        if interlaced:
+            # Adam7 (spec §8.2): the inflated stream is 7 independent
+            # filtered sub-images (filters reset per pass; empty passes
+            # contribute zero bytes); unfilter each, scatter by stride
+            px = np.zeros((h, w, c), dtype=np.uint8)
+            off = 0
+            for x0, y0, xs, ys in _ADAM7:
+                pw = (w - x0 + xs - 1) // xs
+                ph = (h - y0 + ys - 1) // ys
+                if pw == 0 or ph == 0:
+                    continue
+                nbytes = ph * (1 + pw * c)
+                sub = PngCodec._unfilter(raw[off : off + nbytes], ph, pw, c)
+                off += nbytes
+                px[y0::ys, x0::xs] = sub.reshape(ph, pw, c)
+            if off != len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            if color == 3:
+                if plte is None:
+                    raise ValueError("palette PNG missing PLTE chunk")
+                px = plte[px[:, :, 0]]
+            return px
+        rb = w * c
+        if len(raw) != h * (1 + rb):
+            raise ValueError("PNG pixel data length mismatch")
+        recon = PngCodec._unfilter(raw, h, w, c)
+        px = recon.reshape(h, w, c)
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            px = plte[px[:, :, 0]]
+        return px
+
+    @staticmethod
+    def _unfilter(raw: np.ndarray, h: int, w: int, c: int) -> np.ndarray:
+        """Five-filter scanline reconstruction of one (sub-)image:
+        ``raw`` is ``h`` rows of ``1 + w*c`` bytes (filter byte + line).
+        Returns (h, w*c) uint8 samples."""
         rb = w * c
         if len(raw) != h * (1 + rb):
             raise ValueError("PNG pixel data length mismatch")
@@ -551,12 +618,7 @@ class PngCodec:
                 raise ValueError(f"unknown PNG filter type {f}")
             recon[r] = out
             prev = recon[r]
-        px = recon.reshape(h, w, c)
-        if color == 3:
-            if plte is None:
-                raise ValueError("palette PNG missing PLTE chunk")
-            px = plte[px[:, :, 0]]
-        return px
+        return recon
 
     @staticmethod
     def decode_rgb(payload: bytes) -> np.ndarray:

@@ -52,6 +52,7 @@ __all__ = [
     "media_mkv_roundtrip",
     "media_tiff_roundtrip",
     "media_png_paeth_roundtrip",
+    "media_png_adam7_roundtrip",
     "MediaDetectStage",
     "MediaConvertStage",
     "frame_sample",
@@ -1119,6 +1120,56 @@ class MediaDetectStage:
         ).append_column("det_w", pa.array(ws, pa.int32())
         ).append_column("det_h", pa.array(hs, pa.int32())
         ).append_column("det_score", pa.array(scores, pa.float64()))
+
+
+def media_png_adam7_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED INTERLACED entry: the media_png_roundtrip grid
+    encoded as ADAM7 (PNG spec §8.2 — 7 filtered sub-image passes,
+    Paeth within each pass) — the reference decodes interlaced PNG via
+    libvips. A green row certifies pass geometry, per-pass filter
+    reset, empty-pass byte accounting and the strided scatter jointly.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .codecs import PngCodec, encode_png
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    width = 128
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            h = -(-len(body) // width)
+            grid = np.zeros(h * width, dtype=np.uint8)
+            grid[: len(body)] = np.frombuffer(body, dtype=np.uint8)
+            payloads.append(encode_png(grid.reshape(h, width),
+                                       paeth=True, interlace=True))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            flat = PngCodec.decode_pixels(p).reshape(-1).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
 
 
 def media_png_paeth_roundtrip(sf_dir: str) -> rd.Dataset:

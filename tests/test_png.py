@@ -188,19 +188,93 @@ def test_not_png_rejected():
         PngCodec.decode_meta(b"JFIF not a png")
 
 
-def test_16bit_and_interlace_gated():
+def test_16bit_gated():
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     p16 = (_PNG_SIG + _png_chunk(b"IHDR", ihdr16)
            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (4 * (1 + 4 * 6))))
            + _png_chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError, match="8-bit"):
         PngCodec.decode_pixels(p16)
-    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
-    p_i = (_PNG_SIG + _png_chunk(b"IHDR", ihdr_i)
-           + _png_chunk(b"IDAT", zlib.compress(b""))
-           + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="interlace"):
-        PngCodec.decode_pixels(p_i)
+
+
+class TestAdam7:
+    """Adam7 interlacing (spec §8.2): 7 independent filtered sub-image
+    passes, empty passes contributing zero bytes, scattered back by
+    (x0, y0, xstep, ystep)."""
+
+    @pytest.mark.parametrize("h,w,c", [
+        (16, 16, 3), (13, 11, 1), (9, 21, 4), (5, 3, 2),
+        (1, 1, 3),            # only pass 1 non-empty
+        (2, 2, 1),            # passes 1, 6(?), 7... tiny-dim edge cases
+        (8, 3, 3),
+    ])
+    def test_roundtrip(self, h, w, c):
+        px = _rand_px(h, w, c, seed=h * 31 + w * 7 + c)
+        data = encode_png(px, interlace=True)
+        assert PngCodec.decode_meta(data)["interlaced"]
+        want = px[:, :, None] if c == 1 else px
+        np.testing.assert_array_equal(PngCodec.decode_pixels(data), want)
+
+    def test_roundtrip_paeth_filtered_passes(self):
+        px = _rand_px(20, 17, 3, seed=5)
+        data = encode_png(px, interlace=True, paeth=True)
+        np.testing.assert_array_equal(PngCodec.decode_pixels(data), px)
+
+    def test_hand_built_mixed_filters_per_pass(self):
+        # hand-build the IDAT stream: each pass filtered with a
+        # DIFFERENT filter type (None/Sub/Up cycling), proving filters
+        # reset and unfilter per pass, not per global scanline
+        from imagor_ray.stages.codecs import _ADAM7
+
+        h, w, ch = 12, 14, 3
+        px = _rand_px(h, w, ch, seed=9)
+        parts = []
+        fcycle = [0, 1, 2, 0, 1, 2, 0]
+        for (x0, y0, xs, ys), f in zip(_ADAM7, fcycle):
+            sub = px[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * ch).astype(np.int16)
+            rows = np.zeros((ph, 1 + pw * ch), dtype=np.uint8)
+            rows[:, 0] = f
+            if f == 0:
+                rows[:, 1:] = flat
+            elif f == 1:   # Sub: subtract left neighbour (per channel)
+                left = np.zeros_like(flat)
+                left[:, ch:] = flat[:, :-ch]
+                rows[:, 1:] = (flat - left) & 0xFF
+            else:          # Up: subtract previous row of the SAME pass
+                up = np.zeros_like(flat)
+                up[1:] = flat[:-1]
+                rows[:, 1:] = (flat - up) & 0xFF
+            parts.append(rows.tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        data = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+                + _png_chunk(b"IEND", b""))
+        np.testing.assert_array_equal(PngCodec.decode_pixels(data), px)
+
+    def test_truncated_interlaced_rejected(self):
+        px = _rand_px(16, 16, 3, seed=2)
+        data = bytearray(encode_png(px, interlace=True))
+        # corrupt: drop the last pass by shrinking the zlib body
+        import zlib as _z
+        # rebuild with a short stream
+        from imagor_ray.stages.codecs import _ADAM7
+        parts = []
+        for x0, y0, xs, ys in _ADAM7[:-1]:    # omit pass 7 entirely
+            sub = px[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            rows = np.zeros((ph, 1 + pw * 3), dtype=np.uint8)
+            rows[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(rows.tobytes())
+        ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 1)
+        bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", _z.compress(b"".join(parts)))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            PngCodec.decode_pixels(bad)
 
 
 # ---------------------------------------------------------------------------
