@@ -272,22 +272,42 @@ class ExactlyOnceSink:
                 st.remove(tmp)
             except OSError:
                 pass
-            if committed_sha is None:
-                # also drop the manifest this call may have just written
-                # (e.g. the directory fsync failed after the manifest
-                # rename) — a manifest must never outlive its data file
-                for path in (final, mpath, mpath + ".tmp"):
-                    try:
-                        st.remove(path)
-                    except OSError:
-                        pass
-            elif replaced:
-                for path in (final, mpath, mpath + ".tmp"):
+            if replaced:
+                # THIS call swapped the data file in; drop the swap and
+                # any manifest this call may have just written (e.g. the
+                # directory fsync failed after the manifest rename) — a
+                # manifest must never outlive its data file. The bucket
+                # reverts to uncommitted and a replay rewrites it.
+                # EXCEPT: if the on-disk (data, manifest) pair VERIFIES
+                # (manifest sha1 == current data bytes), someone owns a
+                # consistent commit — this call's swap may have been
+                # superseded by a concurrent replay whose commit we must
+                # not destroy (tests/test_storage_race.py); deleting a
+                # verified pair is never required for safety, only the
+                # inconsistent halves are.
+                keep = False
+                try:
+                    with st.open(mpath, "r") as f:
+                        m_sha = json.load(f).get("sha1")
+                    with st.open(final, "rb") as f:
+                        keep = hashlib.sha1(
+                            f.read()).hexdigest() == m_sha
+                except Exception:
+                    keep = False
+                paths = ((mpath + ".tmp",) if keep
+                         else (final, mpath, mpath + ".tmp"))
+                for path in paths:
                     try:
                         st.remove(path)
                     except OSError:
                         pass
             else:
+                # never swapped ⇒ this call cannot have committed a
+                # manifest either: clean only its own staging file.
+                # Deleting final/mpath here would destroy a CONCURRENT
+                # replay's committed bucket (two replays share the tmp
+                # name, so the slower one can fail exactly here —
+                # tests/test_storage_race.py pins this).
                 try:
                     st.remove(mpath + ".tmp")
                 except OSError:

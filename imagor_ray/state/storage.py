@@ -14,13 +14,17 @@ two implementations:
 Atomic-rename semantics per backend (documented, load-bearing):
 
 - local: ``os.replace`` is atomic; fsync is real.
-- object stores / memory: rename is delete-then-move — NOT atomic. The
-  sink's commit protocol tolerates this by ordering: the data file is
-  swapped before the manifest, and the manifest file IS the commit
-  point, so a crash between the delete and the move of either file
-  leaves at worst a missing file with no manifest — exactly the state
-  replay repairs (an uncommitted bucket is rewritten). A manifest can
-  never exist without its data file having been fully written first.
+- object stores / memory: rename is OVERWRITE-MOVE (one mv; object
+  stores overwrite dst per PUT/copy — no missing-dst window), falling
+  back to delete-then-move only for backends whose mv refuses
+  overwrite. Neither is atomic; the sink's commit protocol tolerates
+  both by ordering: the data file is swapped before the manifest, and
+  the manifest file IS the commit point, so a failure mid-rename
+  leaves at worst a missing/previous file with no NEW manifest —
+  exactly the state replay repairs (an uncommitted bucket is
+  rewritten). A manifest can never exist without its data file having
+  been fully written first; racing replays of the same bucket are
+  pinned boundary-by-boundary in tests/test_storage_race.py.
   fsync is a no-op (object stores are durable on close).
 
 ``memory://`` is per-process: suitable for driving the sink's commit
@@ -85,8 +89,9 @@ class LocalStorage:
 class FsspecStorage:
     """fsspec-backed storage (memory://, s3://, gcs://, …).
 
-    Rename is delete-then-move (see module docstring for why the sink's
-    commit ordering makes that safe); fsync is a no-op.
+    Rename is overwrite-move with a delete-then-move fallback (see
+    module docstring for why the sink's commit ordering makes both
+    safe); fsync is a no-op.
     """
 
     is_local = False
@@ -126,10 +131,20 @@ class FsspecStorage:
         self.fs.rm(p)
 
     def replace(self, src: str, dst: str) -> None:
+        """Overwrite-move: object stores overwrite dst atomically per
+        PUT/copy (S3 copy-object, memory cp_file), so mv directly —
+        dst transitions old→new with no missing-file window, and a
+        failed mv (src stolen by a racing replay) leaves dst's previous
+        commit INTACT (tests/test_storage_race.py). Backends whose mv
+        refuses to overwrite fall back to delete-then-move — the wider
+        non-atomic window the sink's data-before-manifest ordering
+        already tolerates."""
         s, d = self._strip(src), self._strip(dst)
-        if self.fs.exists(d):
+        try:
+            self.fs.mv(s, d)
+        except FileExistsError:
             self.fs.rm(d)
-        self.fs.mv(s, d)
+            self.fs.mv(s, d)
 
     def getsize(self, path: str) -> int:
         return int(self.fs.size(self._strip(path)))
