@@ -1473,6 +1473,12 @@ def _q_media_jpeg_progressive_roundtrip(sf_dir: str):
     return media_jpeg_progressive_roundtrip(sf_dir)
 
 
+def _q_media_webp_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_webp_roundtrip
+
+    return media_webp_roundtrip(sf_dir)
+
+
 def _q_media_jpeg_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_jpeg_roundtrip
 
@@ -2389,6 +2395,7 @@ QUERIES = {
     "media_png_roundtrip": _q_media_png_roundtrip,
     "media_jpeg_roundtrip": _q_media_jpeg_roundtrip,
     "media_jpeg_progressive_roundtrip": _q_media_jpeg_progressive_roundtrip,
+    "media_webp_roundtrip": _q_media_webp_roundtrip,
     "media_gif_roundtrip": _q_media_gif_roundtrip,
     "media_mp4_roundtrip": _q_media_mp4_roundtrip,
     "media_mkv_roundtrip": _q_media_mkv_roundtrip,
@@ -2653,6 +2660,7 @@ ORACLES = {
     # it back — the oracle recomputes the digest directly
     "media_jpeg_roundtrip": _JPEG_ROUNDTRIP_SQL,
     "media_jpeg_progressive_roundtrip": _JPEG_ROUNDTRIP_SQL,
+    "media_webp_roundtrip": _JPEG_ROUNDTRIP_SQL,
     # animated GIF round trip recovers the exact utf-8 bytes across
     # LZW frames, same raw-text-hash oracle as PNG
     "media_gif_roundtrip": _MEDIA_HASHES_SQL,

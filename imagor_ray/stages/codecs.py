@@ -40,6 +40,7 @@ __all__ = [
     "TiffCodec",
     "Mp4Codec",
     "MkvCodec",
+    "WebpCodec",
     "encode_wav",
     "encode_wav_g711",
     "ulaw_encode",
@@ -54,6 +55,7 @@ __all__ = [
     "encode_tiff",
     "encode_mp4",
     "encode_mkv",
+    "encode_webp",
     "brightest_region",
 ]
 
@@ -62,6 +64,7 @@ from .gif import GifCodec, encode_gif    # noqa: E402  (round-4: real animated G
 from .tiff import TiffCodec, encode_tiff  # noqa: E402  (round-4: real baseline TIFF)
 from .mp4 import Mp4Codec, encode_mp4    # noqa: E402  (round-4: real ISO BMFF demux/mux)
 from .mkv import MkvCodec, encode_mkv    # noqa: E402  (round-4: real Matroska/WebM demux/mux)
+from .webp import WebpCodec, encode_webp  # noqa: E402  (round-5: real VP8L lossless WebP)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -73,6 +76,8 @@ def sniff_media(payload: bytes) -> str:
     'unknown'."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if len(payload) >= 2 and payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == _PNG_SIG:

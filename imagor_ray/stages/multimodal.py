@@ -47,6 +47,7 @@ __all__ = [
     "media_png_roundtrip",
     "media_jpeg_roundtrip",
     "media_jpeg_progressive_roundtrip",
+    "media_webp_roundtrip",
     "media_gif_roundtrip",
     "media_mp4_roundtrip",
     "media_mkv_roundtrip",
@@ -137,7 +138,7 @@ class MediaDecodeStage:
         if self._codec == "auto":
             from .codecs import (
                 BmpCodec, GifCodec, JpegCodec, MkvCodec, Mp4Codec,
-                PngCodec, TiffCodec, WavCodec, sniff_media,
+                PngCodec, TiffCodec, WavCodec, WebpCodec, sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -161,6 +162,10 @@ class MediaDecodeStage:
                 m = GifCodec.decode_meta(payload)
                 return (m["width"], m["height"], m["n_frames"], 3,
                         m["width"] * m["height"] * 3 * m["n_frames"])
+            if kind == "webp":
+                m = WebpCodec.decode_meta(payload)
+                return (m["width"], m["height"], 1, m["channels"],
+                        m["width"] * m["height"] * m["channels"])
             if kind == "tiff":
                 m = TiffCodec.decode_meta(payload)
                 return (m["width"], m["height"], 1, m["channels"],
@@ -287,6 +292,10 @@ class MediaResizeStage:
                 m = GifCodec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
                 return GifCodec.resize(payload, nw, nh)   # every frame
+            if kind == "webp":
+                m = WebpCodec.decode_meta(payload)
+                return (m["width"], m["height"], 1, m["channels"],
+                        m["width"] * m["height"] * m["channels"])
             if kind == "tiff":
                 m = TiffCodec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
@@ -601,6 +610,51 @@ def media_jpeg_progressive_roundtrip(sf_dir: str) -> rd.Dataset:
         for p in batch["payload"].to_pylist():
             px = JpegCodec.decode_pixels(p)[:, :, 0]
             shas.append(px[::8, ::8].reshape(-1).tobytes().decode("ascii"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "recovered_sha": pa.array(shas, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
+def media_webp_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED entry for VP8L lossless WebP — the reference's
+    headline modern format (magic table ``blob.go:24-47``; benchmark
+    row ``docs/docs/benchmarks.mdx:208``): each document's sha256 hex
+    digest (64 ASCII bytes) becomes a 4×16 gray pixel grid encoded as a
+    REAL VP8L stream (stages/webp.py — LSB-first bitstream, canonical
+    prefix codes, RIFF framing), decoded back and re-read. Lossless by
+    construction, so the DuckDB oracle is ``sha256(text)`` and value
+    equality certifies the whole bitstream layer end to end.
+
+    Output: doc_id, recovered_sha.
+    """
+    import hashlib
+
+    from .codecs import WebpCodec, encode_webp
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            digest = hashlib.sha256(t.encode("utf-8")).hexdigest()
+            vals = np.frombuffer(digest.encode("ascii"), dtype=np.uint8)
+            payloads.append(encode_webp(vals.reshape(4, 16)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        shas = []
+        for p in batch["payload"].to_pylist():
+            px = WebpCodec.decode_pixels(p)[:, :, 1]   # green == gray
+            shas.append(px.reshape(-1).tobytes().decode("ascii"))
         return pa.table({
             "doc_id": batch["doc_id"],
             "recovered_sha": pa.array(shas, pa.string()),
