@@ -163,7 +163,8 @@ class HTTPTransport:
 
         return urllib.request.build_opener(GuardedRedirect())
 
-    def _open(self, key: str, method: str):
+    def _open(self, key: str, method: str, extra_headers: dict | None = None,
+              allow_not_modified: bool = False):
         import urllib.error
         import urllib.request
 
@@ -173,12 +174,16 @@ class HTTPTransport:
         headers = {"User-Agent": self.user_agent}
         if self.accept_gzip and method == "GET":
             headers["Accept-Encoding"] = "gzip"
+        if extra_headers:
+            headers.update(extra_headers)
         req = urllib.request.Request(url, headers=headers, method=method)
         try:
             return self._opener.open(req, timeout=self.timeout)
         except FileNotFoundError:
             raise  # redirect-to-disallowed-host from the handler
         except urllib.error.HTTPError as e:
+            if allow_not_modified and e.code == 304:
+                return None                       # conditional-GET hit
             if e.code in (404, 410):
                 raise FileNotFoundError(key) from e
             raise TransientFetchError(f"HTTP {e.code} for {key}") from e
@@ -195,18 +200,217 @@ class HTTPTransport:
             resp.close()
         return int(length) if length is not None else None
 
-    def get(self, key: str) -> bytes:
-        resp = self._open(key, "GET")
-        try:
-            body = resp.read()
-            encoding = (resp.headers.get("Content-Encoding") or "").lower()
-        finally:
-            resp.close()
-        if encoding == "gzip":
+    @staticmethod
+    def _read_body(resp) -> bytes:
+        body = resp.read()
+        if (resp.headers.get("Content-Encoding") or "").lower() == "gzip":
             import gzip
 
             body = gzip.decompress(body)
         return body
+
+    @staticmethod
+    def _cache_control(headers) -> tuple["float | None", "float | None"]:
+        """(max_age, stale_while_revalidate) from Cache-Control —
+        imagor.go:886-1006's TTL/SWR response semantics."""
+        max_age = swr = None
+        for part in (headers.get("Cache-Control") or "").split(","):
+            part = part.strip()
+            if part.startswith("max-age="):
+                try:
+                    max_age = float(part[8:])
+                except ValueError:
+                    pass
+            elif part.startswith("stale-while-revalidate="):
+                try:
+                    swr = float(part[23:])
+                except ValueError:
+                    pass
+        return max_age, swr
+
+    def get(self, key: str) -> bytes:
+        resp = self._open(key, "GET")
+        try:
+            return self._read_body(resp)
+        finally:
+            resp.close()
+
+    def get_with_meta(self, key: str) -> tuple[bytes, dict]:
+        """GET returning (body, {etag?, max_age?, swr?}) — feeds the
+        :class:`CachingTransport` tier's per-entry response policy."""
+        resp = self._open(key, "GET")
+        try:
+            body = self._read_body(resp)
+            meta: dict = {}
+            etag = resp.headers.get("ETag")
+            if etag:
+                meta["etag"] = etag
+            max_age, swr = self._cache_control(resp.headers)
+            if max_age is not None:
+                meta["max_age"] = max_age
+            if swr is not None:
+                meta["swr"] = swr
+        finally:
+            resp.close()
+        return body, meta
+
+    def get_conditional(self, key: str, etag: str):
+        """Conditional GET with If-None-Match. Returns
+        ``(body | None, etag, max_age, swr)`` — a None body means
+        304 Not Modified (the cache entry is still valid)."""
+        resp = self._open(key, "GET", extra_headers={"If-None-Match": etag},
+                          allow_not_modified=True)
+        if resp is None:
+            return None, etag, None, None
+        try:
+            body = self._read_body(resp)
+            new_etag = resp.headers.get("ETag") or etag
+            max_age, swr = self._cache_control(resp.headers)
+        finally:
+            resp.close()
+        return body, new_etag, max_age, swr
+
+
+class CachingTransport:
+    """HTTP response-layer semantics as a transport tier — the engine's
+    mapping of the reference's ETag / If-None-Match 304 and
+    Cache-Control TTL / stale-while-revalidate handling
+    (``imagor.go:886-1006``) onto the loader chain:
+
+    - **ETag**: prefers the inner transport's server ETag (via
+      ``get_with_meta``); transports without one get a strong
+      content-digest ETag (sha1 of the body — the reference derives
+      its ETag from the blob digest the same way);
+    - **TTL (max-age)**: a cached body younger than its TTL serves
+      without touching the inner transport at all; a response-supplied
+      ``Cache-Control: max-age`` overrides the configured default
+      per entry;
+    - **SWR (stale-while-revalidate)**: a body older than TTL but
+      inside the SWR window serves IMMEDIATELY from cache and enqueues
+      a revalidation; the batch engine's deterministic analogue of
+      async SWR is a deferred queue the owner drains OFF the row
+      latency path (``flush_revalidations()`` — the loader stage calls
+      it at batch end);
+    - **revalidation**: a conditional fetch with ``If-None-Match``;
+      304 Not Modified refreshes the entry's clock WITHOUT moving the
+      body (``conditional_304s`` counts these); a changed ETag swaps
+      the body in.
+
+    Byte-bounded LRU (the ristretto-result-cache shape); per-actor
+    state like every stateful tier (build it in ``__init__``).
+    """
+
+    def __init__(self, inner, ttl_s: float = 60.0, swr_s: float = 0.0,
+                 max_bytes: int = 64 << 20, clock=None):
+        import collections
+        import time as _time
+
+        self.inner = inner
+        self.ttl_s = float(ttl_s)
+        self.swr_s = float(swr_s)
+        self.max_bytes = max_bytes
+        self._clock = clock or _time.monotonic
+        #: key -> [body, etag, fetched_at, ttl_s, swr_s]
+        self._cache: "collections.OrderedDict[str, list]" = (
+            collections.OrderedDict())
+        self._bytes = 0
+        self._pending: list[str] = []
+        # observability counters (metrics tier + tests)
+        self.fresh_hits = 0
+        self.stale_served = 0
+        self.conditional_304s = 0
+        self.refetches = 0
+
+    # -- inner-transport adapters -------------------------------------
+
+    @staticmethod
+    def _content_etag(body: bytes) -> str:
+        import hashlib
+
+        return '"' + hashlib.sha1(body).hexdigest() + '"'
+
+    def _fetch(self, key: str) -> tuple[bytes, str, float, float]:
+        """(body, etag, ttl, swr) from the inner transport."""
+        if hasattr(self.inner, "get_with_meta"):
+            body, meta = self.inner.get_with_meta(key)
+            etag = meta.get("etag") or self._content_etag(body)
+            ttl = meta.get("max_age", self.ttl_s)
+            swr = meta.get("swr", self.swr_s)
+            return body, etag, float(ttl), float(swr)
+        body = self.inner.get(key)
+        return body, self._content_etag(body), self.ttl_s, self.swr_s
+
+    def _revalidate(self, key: str) -> None:
+        ent = self._cache.get(key)
+        if ent is None:
+            return
+        if hasattr(self.inner, "get_conditional"):
+            body, etag, ttl, swr = self.inner.get_conditional(key, ent[1])
+            if body is None:                       # 304 Not Modified
+                self.conditional_304s += 1
+                ent[2] = self._clock()
+                if ttl is not None:
+                    ent[3] = float(ttl)
+                if swr is not None:
+                    ent[4] = float(swr)
+                return
+        else:
+            body, etag, ttl, swr = self._fetch(key)
+            if etag == ent[1]:                     # digest unchanged
+                self.conditional_304s += 1
+                ent[2] = self._clock()
+                return
+        self.refetches += 1
+        self._bytes += len(body) - len(ent[0])
+        self._cache[key] = [body, etag, self._clock(),
+                            float(ttl if ttl is not None else self.ttl_s),
+                            float(swr if swr is not None else self.swr_s)]
+        self._evict()
+
+    def _evict(self) -> None:
+        while self._bytes > self.max_bytes and len(self._cache) > 1:
+            _, ent = self._cache.popitem(last=False)
+            self._bytes -= len(ent[0])
+
+    # -- Transport protocol -------------------------------------------
+
+    def stat(self, key: str) -> "int | None":
+        ent = self._cache.get(key)
+        if ent is not None and self._clock() - ent[2] <= ent[3]:
+            return len(ent[0])
+        return self.inner.stat(key)
+
+    def get(self, key: str) -> bytes:
+        now = self._clock()
+        ent = self._cache.get(key)
+        if ent is not None:
+            age = now - ent[2]
+            if age <= ent[3]:                      # fresh
+                self.fresh_hits += 1
+                self._cache.move_to_end(key)
+                return ent[0]
+            if age <= ent[3] + ent[4]:             # stale-while-revalidate
+                self.stale_served += 1
+                self._pending.append(key)
+                self._cache.move_to_end(key)
+                return ent[0]
+            # expired beyond SWR: blocking revalidation (conditional)
+            self._revalidate(key)
+            return self._cache[key][0]
+        body, etag, ttl, swr = self._fetch(key)
+        self.refetches += 1
+        self._cache[key] = [body, etag, now, ttl, swr]
+        self._bytes += len(body)
+        self._evict()
+        return body
+
+    def flush_revalidations(self) -> int:
+        """Drain the SWR queue (batch-end hook): conditional fetches
+        off the row path. Returns how many keys were revalidated."""
+        keys, self._pending = list(dict.fromkeys(self._pending)), []
+        for k in keys:
+            self._revalidate(k)
+        return len(keys)
 
 
 class FlakyTransport:
@@ -368,6 +572,11 @@ class GuardedLoaderStage:
         batch["size"] = pd.Series([r[1] for r in results], dtype="int64").to_numpy()
         batch["content_type"] = [r[2] for r in results]
         batch["error_code"] = [r[3] for r in results]
+        # batch-end SWR drain: stale bodies were served off the row
+        # path; their conditional revalidations run here, once per
+        # batch (CachingTransport's deterministic async-SWR analogue)
+        if hasattr(self.transport, "flush_revalidations"):
+            self.transport.flush_revalidations()
         return batch
 
 
