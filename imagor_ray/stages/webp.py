@@ -11,11 +11,12 @@ Scope:
   LZ77 backward references, meta-prefix (entropy image) group lookup,
   and ALL FOUR inverse transforms (predictor's 14 modes, color
   transform, subtract-green, color-indexing incl. sub-byte pixel
-  packing). One documented gate: LZ77 "close neighborhood" distance
-  codes (dist_code ≤ 120) raise ``NotImplementedError`` — their 120
-  (dx, dy) table is spec-lookup material this offline build cannot
-  re-verify, and our encoder always emits plain distances
-  (``code = distance + 120``); everything else decodes for real.
+  packing). LZ77 "close neighborhood" distance codes (dist_code ≤ 120)
+  map through the spec's 120-entry (dx, dy) table — regenerated here
+  from its ordering rule (squared distance, then dy desc, then dx
+  desc) with the published first/last rows pinned in tests; codes
+  > 120 are plain distances (``code = distance + 120``). Everything
+  decodes for real; our encoder always emits plain distances.
 - **Encoder**: a correct minimal subset — no transforms, no cache,
   one prefix group, all-8-bit literal codes (Kraft-complete by
   construction), single-symbol simple code for the unused distance
@@ -42,6 +43,22 @@ _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
 _GREEN_BASE = 256      # literal green values
 _N_LENGTH = 24         # LZ77 length prefix codes
 _N_DIST = 40           # distance prefix alphabet
+
+
+def _dist_map() -> list[tuple[int, int]]:
+    """The spec's 120-entry close-neighborhood (dx, dy) table
+    (§"Distance Mapping"): dy ∈ 0..7 with dx ∈ 1..8 on the current
+    row and dx ∈ -7..8 above it, ordered by squared Euclidean
+    distance, ties by larger dy first, then larger dx (positive
+    before negative). The published table is exactly this
+    enumeration — tests pin its literal first and last rows."""
+    cand = [(x, 0) for x in range(1, 9)]
+    cand += [(x, y) for y in range(1, 8) for x in range(-7, 9)]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return cand
+
+
+_DIST_MAP = _dist_map()
 
 
 # ---------------------------------------------------------------------------
@@ -284,11 +301,11 @@ def _decode_image(br: _LsbReader, w: int, h: int,
         elif s < _GREEN_BASE + _N_LENGTH:           # backward reference
             length = _prefix_value(s - _GREEN_BASE, br)
             dist_code = _prefix_value(g[4].read(br), br)
-            if dist_code <= 120:
-                raise NotImplementedError(
-                    "vp8l: close-neighborhood distance codes (≤120) not "
-                    "decoded — plain distances (code = dist + 120) only")
-            dist = dist_code - 120
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:                  # close-neighborhood (dx, dy) mapping
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = max(dx + dy * w, 1)
             if dist > pos:
                 raise ValueError("vp8l: backward reference before start")
             for _ in range(length):

@@ -332,7 +332,60 @@ class TestEntropyFeatures:
         want = np.tile(np.array([42, 0, 43], dtype=np.uint8), (1, 3, 1))
         np.testing.assert_array_equal(out, want)
 
-    def test_close_neighborhood_distances_gated(self):
+    def test_dist_map_pins_spec_table(self):
+        # the published table's first row, a mid-table row and the last
+        # entries, verbatim from the spec's §"Distance Mapping" listing
+        from imagor_ray.stages.webp import _DIST_MAP
+
+        assert len(_DIST_MAP) == 120
+        assert _DIST_MAP[:8] == [(0, 1), (1, 0), (1, 1), (-1, 1),
+                                 (0, 2), (2, 0), (1, 2), (-1, 2)]
+        assert _DIST_MAP[34:40] == [(0, 5), (3, 4), (-3, 4), (4, 3),
+                                    (-4, 3), (5, 0)]
+        assert _DIST_MAP[96] == (8, 0)
+        assert _DIST_MAP[-4:] == [(7, 7), (-7, 7), (8, 6), (8, 7)]
+
+    def test_close_neighborhood_row_above(self):
+        # dist_code 1 = (0, 1): copy the pixel directly above. Row 0 is
+        # three literals; row 1 is one length-3 backref at dist = w.
+        w, h = 3, 2
+        bw = _LsbWriter()
+        _header(bw, w, h)
+        bw.bits(0, 1)                       # no transforms
+        bw.bits(0, 1); bw.bits(0, 1)        # no cache, no meta
+        self._green_two_symbol_code(bw, 258)  # length-prefix code 2 → 3
+        _write_single_symbol_code(bw, 42)   # red
+        _write_single_symbol_code(bw, 43)   # blue
+        _write_single_symbol_code(bw, 255)  # alpha
+        _write_single_symbol_code(bw, 0)    # dist prefix 0 → dist_code 1
+        bw.code(0, 1); bw.code(0, 1); bw.code(0, 1)   # row-0 literals
+        bw.code(1, 1)                       # green 258 → length 3
+        out = WebpCodec.decode_pixels(_wrap(bw.done()))
+        want = np.tile(np.array([42, 0, 43], dtype=np.uint8), (2, 3, 1))
+        np.testing.assert_array_equal(out, want)
+
+    def test_close_neighborhood_prev_pixel(self):
+        # dist_code 2 = (1, 0) = the previous pixel — same output as
+        # test_lz77_plain_distance's dist_code 121 (dist 1)
+        w, h = 3, 1
+        bw = _LsbWriter()
+        _header(bw, w, h)
+        bw.bits(0, 1)
+        bw.bits(0, 1); bw.bits(0, 1)
+        self._green_two_symbol_code(bw, 257)   # length-prefix 1 → 2
+        _write_single_symbol_code(bw, 42)
+        _write_single_symbol_code(bw, 43)
+        _write_single_symbol_code(bw, 255)
+        _write_single_symbol_code(bw, 1)    # dist prefix 1 → dist_code 2
+        bw.code(0, 1)                       # literal
+        bw.code(1, 1)                       # length 2
+        out = WebpCodec.decode_pixels(_wrap(bw.done()))
+        want = np.tile(np.array([42, 0, 43], dtype=np.uint8), (1, 3, 1))
+        np.testing.assert_array_equal(out, want)
+
+    def test_close_neighborhood_negative_dx_clamps(self):
+        # dist_code 80 = (-7, 1): on a 3-wide image dist = 3 - 7 = -4,
+        # which the spec clamps to 1 → behaves as previous-pixel
         w, h = 3, 1
         bw = _LsbWriter()
         _header(bw, w, h)
@@ -342,11 +395,13 @@ class TestEntropyFeatures:
         _write_single_symbol_code(bw, 42)
         _write_single_symbol_code(bw, 43)
         _write_single_symbol_code(bw, 255)
-        _write_single_symbol_code(bw, 0)    # distance prefix 0 → dist 1
+        _write_single_symbol_code(bw, 12)   # dist prefix 12: 65 + 5 bits
         bw.code(0, 1)
         bw.code(1, 1)
-        with pytest.raises(NotImplementedError, match="neighborhood"):
-            WebpCodec.decode_pixels(_wrap(bw.done()))
+        bw.bits(15, 5)                      # 64 + 15 + 1 = dist_code 80
+        out = WebpCodec.decode_pixels(_wrap(bw.done()))
+        want = np.tile(np.array([42, 0, 43], dtype=np.uint8), (1, 3, 1))
+        np.testing.assert_array_equal(out, want)
 
     def test_meta_prefix_group_switching(self):
         # 8×4 image, meta_bits=2 → 2×1 entropy image routing the left
