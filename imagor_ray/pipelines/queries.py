@@ -59,6 +59,13 @@ from .pii import (CORPUS_CLEAN_SQL, PII_REDACT_SQL, PII_SCAN_SQL,
                   corpus_clean, pii_redact, pii_scan)
 from .sampling import (dataset_split, deterministic_sample, group_sample,
                        stratified_sample)
+from .tpch_extra import (Q4_SQL, Q6_SQL, Q7_SQL, Q13_SQL, Q15_SQL,
+                         Q17_SQL, Q19_SQL, Q21_SQL, Q22_SQL,
+                         q4_priority_semi, q6_forecast_revenue,
+                         q7_nation_volume, q13_customer_distribution,
+                         q15_top_supplier, q17_small_qty_revenue,
+                         q19_disjunctive_revenue, q21_waiting_suppliers,
+                         q22_dormant_customers)
 from .textstats import (
     BPE_PATTERN, STOPWORDS, collocations, curriculum_order,
     doc_dup_fraction, doc_oov, doc_repetition, doc_sketches, doc_quality,
@@ -2473,6 +2480,15 @@ QUERIES = {
     "q10_returned_items": _q_q10,
     "q14_promo_revenue": _q_q14,
     "q18_large_orders": _q_q18,
+    "q4_priority_semi": q4_priority_semi,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_nation_volume": q7_nation_volume,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_dormant_customers": q22_dormant_customers,
     "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
@@ -2629,6 +2645,15 @@ ORACLES = {
     "q10_returned_items": _Q10_SQL,
     "q14_promo_revenue": _Q14_SQL,
     "q18_large_orders": _Q18_SQL,
+    "q4_priority_semi": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_qty_revenue": Q17_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
+    "q22_dormant_customers": Q22_SQL,
     "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "cube_revenue": _CUBE_SQL,
