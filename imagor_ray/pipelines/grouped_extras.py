@@ -1,0 +1,245 @@
+"""Holistic grouped aggregates the catalog lacked: ordered string
+aggregation, exact per-group mode, pivot (crosstab), and a set-op
+(intersect/except) summary. Each is a distinct AGGREGATE SHAPE:
+
+- string_agg — order-sensitive holistic agg whose output size is the
+  group itself (the journey string); the canonical "can't combine from
+  partials" aggregate, so the rows ride ONE user-bucket shuffle and
+  concatenate inside the co-group.
+- mode — holistic but SKETCHABLE: (user, type) partial counts combine
+  associatively map-side, the argmax happens after one bucket fold.
+- pivot — wide/crosstab output; per-batch 2-D partials (hour × type
+  grid, bounded 24×5) merge in a single tiny fold, never a shuffle of
+  row-level data.
+- intersect summary — DISTINCT-set algebra over two predicates folded
+  into per-user boolean flags (MAX per flag combines), then a scalar
+  fold; no set is ever materialized anywhere.
+
+Money/count math is integer end-to-end; string outputs are built with
+the identical ordering clause on both engines (ts, event_id tie-break)
+so the DuckDB oracle hash-matches. Reference semantics: SURVEY.md §2.6
+aggregation-family mandate (the reference's own aggregate surface is
+avgcolor/blurhash-style; these are the LLM-data-pipeline analogues).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+
+def _events(sf_dir: str, columns):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _global_fold(ds, merge):
+    return (ds.map_batches(lambda b: b.assign(_k=0), batch_format="pandas")
+            .groupby("_k")
+            .map_groups(lambda g: merge(g.drop(columns=["_k"])),
+                        batch_format="pandas"))
+
+
+# ------------------------------------------------------ string_agg
+
+def user_journey(sf_dir: str):
+    """Per-user event-type journey string: event types concatenated
+    with '>' in (ts, event_id) order — the order-sensitive holistic
+    aggregate. Rows ride one user-bucket shuffle; the in-group sort +
+    concat is the aggregate's inherent cost (its OUTPUT is the ordered
+    group), so there is nothing to pre-combine; n_events comes along
+    for free."""
+    import numpy as np
+
+    ev = _events(sf_dir, ["user_id", "event_type", "ts", "event_id"])
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_b=(b["user_id"] % 64).astype("int32"))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = g.groupby("user_id", sort=True)["event_type"].agg(
+            [(">".join), "size"])
+        out.columns = ["journey", "n_events"]
+        out = out.reset_index()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (ev.map_batches(route, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(lambda g: per_user(g.drop(columns=["_b"])),
+                        batch_format="pandas"))
+
+
+USER_JOURNEY_SQL = """
+SELECT user_id,
+       STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS journey,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------ mode
+
+def mode_event_type(sf_dir: str):
+    """Per-user MODE (most frequent event type, lexicographic
+    tie-break) — holistic but sketchable: (user, type) counts combine
+    associatively in per-batch partials, one user-bucket fold merges
+    them, and the argmax is a vectorized sort + drop_duplicates."""
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby(["user_id", "event_type"], sort=False)
+               .size().rename("n").reset_index())
+        out["_b"] = (out["user_id"] % 64).astype("int32")
+        return out
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby(["user_id", "event_type"], sort=False)["n"]
+             .sum().reset_index())
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = c.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy().astype("int64"),
+            "mode_type": out["event_type"].to_numpy(),
+            "n_events": out["n"].to_numpy().astype("int64"),
+        }).sort_values("user_id").reset_index(drop=True)
+
+    return (ev.map_batches(partial, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(lambda g: pick(g.drop(columns=["_b"])),
+                        batch_format="pandas"))
+
+
+MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, n AS n_events
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# ----------------------------------------------------------- pivot
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_hour_type(sf_dir: str):
+    """PIVOT/crosstab: events counted per (hour-of-day × event type),
+    one WIDE row per hour with a column per type. Per-batch partials
+    are the full bounded grid (24 × 5 ints), so the fold is one tiny
+    single-group merge — row-level data never shuffles."""
+    import numpy as np
+
+    ev = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hour = b["ts"].dt.hour.to_numpy()
+        out = pd.DataFrame({"hour": hour, "event_type": b["event_type"]})
+        g = (out.groupby(["hour", "event_type"], sort=False)
+             .size().rename("n").reset_index())
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["hour", "event_type"], sort=False)["n"].sum()
+        wide = c.unstack(fill_value=0)
+        wide = wide.reindex(columns=list(_PIVOT_TYPES), fill_value=0)
+        wide.columns = [f"n_{t}" for t in _PIVOT_TYPES]
+        wide = wide.reset_index()
+        wide["hour"] = wide["hour"].astype("int64")
+        for t in _PIVOT_TYPES:
+            wide[f"n_{t}"] = wide[f"n_{t}"].astype("int64")
+        return wide.sort_values("hour").reset_index(drop=True)
+
+    return _global_fold(ev.map_batches(partial, batch_format="pandas"),
+                        merge)
+
+
+PIVOT_SQL = """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS n_view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------- set-op summary
+
+def purchase_periods_setop(sf_dir: str):
+    """INTERSECT / EXCEPT summary without materializing either set:
+    distinct purchasers of the month's first half vs second half,
+    reported as |A∩B|, |A∖B|, |B∖A|. Per-user membership flags fold
+    with MAX (associative), so the two DISTINCT sets exist only as
+    two bit-columns on user-grain rows; the final fold is scalar."""
+    import numpy as np
+
+    t0 = pd.Timestamp("2024-01-16")
+    ev = _events(sf_dir, ["user_id", "event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "purchase"]
+        first = (b["ts"] < t0).to_numpy().astype("int64")
+        out = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy().astype("int64"),
+            "in_a": first, "in_b": 1 - first,
+        })
+        out = out.groupby("user_id", sort=False).max().reset_index()
+        out["_b"] = (out["user_id"] % 64).astype("int32")
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id", sort=False)[["in_a", "in_b"]].max()
+        a, b = f["in_a"].to_numpy(), f["in_b"].to_numpy()
+        return pd.DataFrame({
+            "n_both": [int((a & b).sum())],
+            "n_only_first": [int((a & (1 - b)).sum())],
+            "n_only_second": [int(((1 - a) & b).sum())],
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_both": pd.array([int(g["n_both"].sum())], dtype="int64"),
+            "n_only_first": pd.array([int(g["n_only_first"].sum())],
+                                     dtype="int64"),
+            "n_only_second": pd.array([int(g["n_only_second"].sum())],
+                                      dtype="int64"),
+        })
+
+    folded = (ev.map_batches(partial, batch_format="pandas")
+              .groupby("_b")
+              .map_groups(lambda g: fold(g.drop(columns=["_b"])),
+                          batch_format="pandas"))
+    return _global_fold(folded, merge)
+
+
+SETOP_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MAX(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           AS in_a,
+         MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           AS in_b
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM(in_a * in_b), 0) AS BIGINT) AS n_both,
+       CAST(COALESCE(SUM(in_a * (1 - in_b)), 0) AS BIGINT)
+         AS n_only_first,
+       CAST(COALESCE(SUM((1 - in_a) * in_b), 0) AS BIGINT)
+         AS n_only_second
+FROM f
+"""

@@ -59,6 +59,14 @@ from .pii import (CORPUS_CLEAN_SQL, PII_REDACT_SQL, PII_SCAN_SQL,
                   corpus_clean, pii_redact, pii_scan)
 from .sampling import (dataset_split, deterministic_sample, group_sample,
                        stratified_sample)
+from .grouped_extras import (MODE_SQL, PIVOT_SQL, SETOP_SQL,
+                             USER_JOURNEY_SQL, mode_event_type,
+                             pivot_hour_type, purchase_periods_setop,
+                             user_journey)
+from .window_extras import (SLIDING_DISTINCT_SQL, STREAKS_SQL,
+                            TIME_WEIGHTED_SQL, activity_streaks,
+                            sliding_distinct_users, time_weighted_value)
+from .heavy_hitters import HEAVY_HITTERS_SQL, heavy_hitter_tokens
 from .tpch_extra import (Q4_SQL, Q6_SQL, Q7_SQL, Q13_SQL, Q15_SQL,
                          Q17_SQL, Q19_SQL, Q21_SQL, Q22_SQL,
                          q4_priority_semi, q6_forecast_revenue,
@@ -2489,6 +2497,14 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
+    "user_journey": user_journey,
+    "mode_event_type": mode_event_type,
+    "pivot_hour_type": pivot_hour_type,
+    "purchase_periods_setop": purchase_periods_setop,
+    "sliding_distinct_users": sliding_distinct_users,
+    "time_weighted_value": time_weighted_value,
+    "activity_streaks": activity_streaks,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
     "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
@@ -2654,6 +2670,14 @@ ORACLES = {
     "q19_disjunctive_revenue": Q19_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
+    "user_journey": USER_JOURNEY_SQL,
+    "mode_event_type": MODE_SQL,
+    "pivot_hour_type": PIVOT_SQL,
+    "purchase_periods_setop": SETOP_SQL,
+    "sliding_distinct_users": SLIDING_DISTINCT_SQL,
+    "time_weighted_value": TIME_WEIGHTED_SQL,
+    "activity_streaks": STREAKS_SQL,
+    "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
     "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "cube_revenue": _CUBE_SQL,

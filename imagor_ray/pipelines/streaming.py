@@ -193,6 +193,9 @@ class StreamingSessionJob:
             # env fallback mirrors the flag > IMAGOR_RAY_* > default
             # resolution the other knobs get via EngineConfig
             self.PIPELINE_DEPTH = int(os.environ["IMAGOR_RAY_PIPELINE_DEPTH"])
+        if os.environ.get("IMAGOR_RAY_PIPELINE_ROW_MAX"):
+            self.PIPELINE_ROW_MAX = int(
+                os.environ["IMAGOR_RAY_PIPELINE_ROW_MAX"])
         #: large-cycle execution engine: 'dataset' = fused
         #: groupby.map_groups shuffle; 'tasks' = raw two-stage hash
         #: exchange (same outputs, no per-cycle sort machinery)
@@ -865,6 +868,17 @@ class StreamingSessionJob:
     #: add object-store pressure since per-bucket reducers chain anyway.
     PIPELINE_DEPTH = 2
 
+    #: pipelining pays only while the per-cycle FIXED cost (prelude,
+    #: split launch, reduce ramp) is a real fraction of the cycle —
+    #: measured A/B at 16 CPUs (same window, interleaved): 1M-row
+    #: cycles depth2/depth1 = 506k/386k t/s (+31%), 4M-row cycles
+    #: 134k/243k and 220k/267k t/s (depth 2 LOSES 15-45%: a saturated
+    #: cycle has no idle gaps to fill, so overlap only doubles the
+    #: object-store working set). Cycles above this row count drain
+    #: the pipeline and run the unpipelined committed path — same
+    #: footer-only dispatch idiom as flagship_write(engine='auto').
+    PIPELINE_ROW_MAX = 2_000_000
+
     def run_all(self) -> list[dict]:
         if self.cycle_engine == "tasks" and self.PIPELINE_DEPTH > 1:
             return self._run_all_pipelined()
@@ -906,9 +920,11 @@ class StreamingSessionJob:
           per-bucket renames + committed-bucket sink skip absorb the
           partially-written work) — same guarantee, same commit point.
 
-        Small cycles (≤ RAY_CYCLE_THRESHOLD) drain the pipeline and run
-        through the standard committed path; outputs stay byte-identical
-        to the unpipelined engines (asserted in tests).
+        Small cycles (≤ RAY_CYCLE_THRESHOLD) and giant cycles
+        (> PIPELINE_ROW_MAX, where overlap measured net-negative — see
+        that attribute) drain the pipeline and run through the standard
+        committed path; outputs stay byte-identical to the unpipelined
+        engines (asserted in tests).
         """
         import ray
         import pyarrow.dataset as pads
@@ -946,9 +962,12 @@ class StreamingSessionJob:
             done.add(fname)
             path = os.path.join(self.input_dir, fname)
             nrows = pads.dataset(path).count_rows()
-            if nrows <= self.RAY_CYCLE_THRESHOLD:
+            if (nrows <= self.RAY_CYCLE_THRESHOLD
+                    or nrows > self.PIPELINE_ROW_MAX):
                 # small cycle → pandas path needs materialized carry
-                # state: drain, run through the committed path, resync
+                # state; GIANT cycle → pipelining measured net-negative
+                # (see PIPELINE_ROW_MAX): drain, run through the
+                # committed unpipelined path, resync
                 while inflight:
                     commit_oldest()
                 r = self.run_cycle()

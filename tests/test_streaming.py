@@ -685,3 +685,41 @@ class TestPipelinedCycles:
         pd.testing.assert_frame_equal(
             jm.closed_sessions().sort_values(key).reset_index(drop=True),
             jp.closed_sessions().sort_values(key).reset_index(drop=True))
+
+    def test_giant_cycles_drain_to_unpipelined(self, ray_session, tmp_path):
+        """Cycles above PIPELINE_ROW_MAX (pipelining measured
+        net-negative for saturated cycles) drain the pipeline and run
+        through the committed unpipelined path — pinned by spying on
+        run_cycle — and the stream's bytes still match a fully
+        pipelined run."""
+        from imagor_ray.pipelines.streaming import (
+            StreamingFlagshipJob, StreamingSessionJob,
+        )
+
+        stream = write_stream(tmp_path, self._mk_batches(5))
+        ref, rr = self._run(tmp_path, "piperef", stream, depth=2)
+
+        old_m = StreamingSessionJob.PIPELINE_ROW_MAX
+        orig_rc = StreamingSessionJob.run_cycle
+        calls = {"n": 0}
+
+        def spy_rc(self, *a, **k):
+            calls["n"] += 1
+            return orig_rc(self, *a, **k)
+
+        try:
+            # every 3-row cycle is now "giant" → all drain to run_cycle
+            StreamingSessionJob.PIPELINE_ROW_MAX = 2
+            StreamingSessionJob.run_cycle = spy_rc
+            jg, rg = self._run(tmp_path, "giant", stream, depth=2)
+        finally:
+            StreamingSessionJob.PIPELINE_ROW_MAX = old_m
+            StreamingSessionJob.run_cycle = orig_rc
+
+        assert calls["n"] == 5  # each giant cycle took the drained path
+        assert rg == rr
+        assert jg.processed_sha1() == ref.processed_sha1()
+        key = ["conv_id", "session_start"]
+        pd.testing.assert_frame_equal(
+            jg.closed_sessions().sort_values(key).reset_index(drop=True),
+            ref.closed_sessions().sort_values(key).reset_index(drop=True))
