@@ -204,7 +204,10 @@ class StreamingSessionJob:
             # instance override of the class default (config-bound knob)
             self.RAY_CYCLE_THRESHOLD = ray_cycle_threshold
         #: (fname, thread, holder) of an in-flight next-cycle raw read
-        self._prefetch = None
+        self._prefetch: dict = {}
+        if os.environ.get("IMAGOR_RAY_PREFETCH_DEPTH"):
+            self.PREFETCH_DEPTH = int(
+                os.environ["IMAGOR_RAY_PREFETCH_DEPTH"])
         self.closed_dir = os.path.join(state_dir, "closed")
         self.late_dir = os.path.join(state_dir, "late")
         os.makedirs(self.closed_dir, exist_ok=True)
@@ -819,15 +822,26 @@ class StreamingSessionJob:
 
     # -- read prefetch (pipelined cycles) ----------------------------------
 
+    #: how many upcoming cycle files to pin ahead of the running cycle.
+    #: One file is enough at LOW parallelism (cycle walls are long, the
+    #: single prefetch always finishes in the shadow); at HIGH
+    #: parallelism cycles are short and a single slot leaves the read
+    #: on the critical path about every other cycle — depth 2 keeps the
+    #: reader ahead at the cost of one extra pinned cycle in the object
+    #: store (spills gracefully). Env: IMAGOR_RAY_PREFETCH_DEPTH.
+    PREFETCH_DEPTH = 2
+
     def _start_prefetch(self, fname: str) -> None:
-        """Pin the NEXT cycle's raw parquet blocks in a background
+        """Pin an upcoming cycle's raw parquet blocks in a background
         thread while the current cycle's shuffle runs — bounded
-        pipelining (one file in flight), read-only, so replay semantics
-        are untouched. Only worthwhile for dataset-path cycles."""
+        pipelining (PREFETCH_DEPTH files in flight), read-only, so
+        replay semantics are untouched."""
         import threading
 
         import pyarrow.dataset as pads
 
+        if fname in self._prefetch:
+            return
         path = os.path.join(self.input_dir, fname)
         try:
             if pads.dataset(path).count_rows() <= self.RAY_CYCLE_THRESHOLD:
@@ -850,14 +864,19 @@ class StreamingSessionJob:
 
         t = threading.Thread(target=work, daemon=True)
         t.start()
-        self._prefetch = (fname, t, holder)
+        self._prefetch[fname] = (t, holder)
+
+    def _start_prefetches(self, pending: list[str]) -> None:
+        """Prefetch the next PREFETCH_DEPTH files beyond the current."""
+        for f in pending[1:1 + self.PREFETCH_DEPTH]:
+            self._start_prefetch(f)
 
     def _take_prefetched(self, fname: str):
-        if self._prefetch is None or self._prefetch[0] != fname:
+        ent = self._prefetch.pop(fname, None)
+        if ent is None:
             return None
-        _, t, holder = self._prefetch
+        t, holder = ent
         t.join()
-        self._prefetch = None
         return holder.get("ds")
 
     #: max cycles in flight under the pipelined tasks-engine loop (the
@@ -888,7 +907,7 @@ class StreamingSessionJob:
             if not pending:
                 break
             if len(pending) > 1:
-                self._start_prefetch(pending[1])
+                self._start_prefetches(pending)
             r = self.run_cycle()
             if r is None:
                 break
@@ -982,7 +1001,7 @@ class StreamingSessionJob:
                 continue
 
             if len(pending) > 1:
-                self._start_prefetch(pending[1])
+                self._start_prefetches(pending)
             raw, late_count, new_wm = self._cycle_prelude(path, fname, wm)
             refs = raw.to_arrow_refs()
             shards = [split_fn.options(num_returns=nb).remote(r, wm, nb)
