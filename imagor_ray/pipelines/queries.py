@@ -2548,7 +2548,7 @@ _DRIVER_WINDOW = [
     "contamination",
     # text analysis
     "text_stats", "vocabulary", "sequence_pack", "inverted_index",
-    "tfidf_top_terms", "lang_id", "collocations", "doc_sketches",
+    "q17_small_qty_revenue", "lang_id", "collocations", "doc_sketches",
     # quality / curriculum
     "doc_quality", "quality_filter", "quality_percentile",
     "curriculum_order",
@@ -2567,9 +2567,9 @@ _DRIVER_WINDOW = [
     # join variants
     "asof_events_orders", "anti_join_events_urgent",
     # window analytics
-    "group_sample", "rolling_user_stats", "error_context",
-    "topk_orders_per_customer", "latest_event_per_user",
-    "event_transitions", "attribution_last_touch",
+    "group_sample", "q13_customer_distribution", "error_context",
+    "topk_orders_per_customer", "time_weighted_value",
+    "heavy_hitter_tokens", "attribution_last_touch",
     "running_customer_revenue",
     # profiling / IVM
     "profile_events", "incremental_user_counts",
