@@ -57,8 +57,9 @@ from .kmeans import (EMBEDDING_GRAM_SQL, KMEANS_ASSIGN_SQL, KMEANS_ITER_SQL,
                      kmeans_train_sql, pca_power_iter, pca_power_iter_sql)
 from .pii import (CORPUS_CLEAN_SQL, PII_REDACT_SQL, PII_SCAN_SQL,
                   corpus_clean, pii_redact, pii_scan)
-from .sampling import (dataset_split, deterministic_sample, group_sample,
-                       stratified_sample)
+from .sampling import (WEIGHTED_SAMPLE_SQL, dataset_split,
+                       deterministic_sample, group_sample,
+                       stratified_sample, weighted_sample)
 from .grouped_extras import (MODE_SQL, PIVOT_SQL, SETOP_SQL,
                              USER_JOURNEY_SQL, mode_event_type,
                              pivot_hour_type, purchase_periods_setop,
@@ -2505,6 +2506,7 @@ QUERIES = {
     "time_weighted_value": time_weighted_value,
     "activity_streaks": activity_streaks,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "weighted_sample": weighted_sample,
     "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
@@ -2678,6 +2680,7 @@ ORACLES = {
     "time_weighted_value": TIME_WEIGHTED_SQL,
     "activity_streaks": STREAKS_SQL,
     "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
+    "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "cube_revenue": _CUBE_SQL,

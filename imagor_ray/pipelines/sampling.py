@@ -157,3 +157,45 @@ def group_sample(sf_dir: str, k: int = 25) -> rd.Dataset:
     return (ev.map_batches(add_hash, batch_format="pandas")
             .groupby("event_type")
             .map_groups(finish, batch_format="pandas"))
+
+
+def weighted_sample(sf_dir: str, denom: int = 1000,
+                    weight_cap: int = 900) -> rd.Dataset:
+    """WEIGHT-PROPORTIONAL deterministic sampling: document i survives
+    with probability min(n_chars, cap)/denom — longer documents are
+    proportionally likelier, the standard size-biased corpus draw —
+    decided by the doc's OWN hash, never an RNG (rerun-stable, no
+    state crosses tasks; same tape idiom as deterministic_sample).
+    Acceptance rule, identical on both engines:
+        u32 = int(md5(str(doc_id))[:8], 16)      # uniform 32-bit
+        keep  ⟺  u32 % denom < min(n_chars, cap)
+    Pure predicate map over a 2-column pruned read — the embarrassing
+    100 TB shape; nothing shuffles.
+
+    Output: doc_id, n_chars (kept rows).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        u = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+             for i in ids), dtype="int64", count=len(ids))
+        w = np.minimum(b["n_chars"].to_numpy().astype("int64"), weight_cap)
+        m = (u % denom) < w
+        return pd.DataFrame({
+            "doc_id": ids.to_numpy()[m],
+            "n_chars": b["n_chars"].to_numpy().astype("int64")[m],
+        })
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 1000 < LEAST(n_chars, 900)
+ORDER BY doc_id
+"""
