@@ -243,3 +243,61 @@ SELECT CAST(COALESCE(SUM(in_a * in_b), 0) AS BIGINT) AS n_both,
          AS n_only_second
 FROM f
 """
+
+
+# ------------------------------------------------- moments / corr
+
+def group_moments(sf_dir: str):
+    """Distributed MOMENTS: per return-flag the exact integer
+    (n, Σx, Σy, Σx², Σy², Σxy) over (quantity, whole-dollar price) —
+    the one-pass mergeable-sufficient-statistics pattern behind
+    covariance / correlation / regression at 100 TB (each batch emits
+    ≤ |groups| rows; the driver-side corr is then two multiplies and a
+    sqrt away, done by the CALLER because sqrt breaks integer hash
+    equality). Whole-dollar y keeps Σy² inside int64 at bench scale;
+    a 100 TB run would widen these to float128/hugeint partials.
+
+    Output: l_returnflag, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy.
+    """
+    import numpy as np
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_returnflag", "l_quantity",
+                                    "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["l_quantity"].to_numpy().astype("int64")
+        y = np.floor(b["l_extendedprice"].to_numpy()).astype("int64")
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "n": np.int64(1), "sum_x": x, "sum_y": y,
+            "sum_xx": x * x, "sum_yy": y * y, "sum_xy": x * y,
+        })
+        return (df.groupby("l_returnflag", sort=False)
+                .sum().reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_returnflag", sort=True).sum().reset_index()
+        for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return _global_fold(line.map_batches(partial, batch_format="pandas"),
+                        merge)
+
+
+GROUP_MOMENTS_SQL = """
+WITH b AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy
+FROM b GROUP BY 1 ORDER BY 1
+"""

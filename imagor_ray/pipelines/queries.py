@@ -60,10 +60,10 @@ from .pii import (CORPUS_CLEAN_SQL, PII_REDACT_SQL, PII_SCAN_SQL,
 from .sampling import (WEIGHTED_SAMPLE_SQL, dataset_split,
                        deterministic_sample, group_sample,
                        stratified_sample, weighted_sample)
-from .grouped_extras import (MODE_SQL, PIVOT_SQL, SETOP_SQL,
-                             USER_JOURNEY_SQL, mode_event_type,
-                             pivot_hour_type, purchase_periods_setop,
-                             user_journey)
+from .grouped_extras import (GROUP_MOMENTS_SQL, MODE_SQL, PIVOT_SQL,
+                             SETOP_SQL, USER_JOURNEY_SQL, group_moments,
+                             mode_event_type, pivot_hour_type,
+                             purchase_periods_setop, user_journey)
 from .window_extras import (SLIDING_DISTINCT_SQL, STREAKS_SQL,
                             TIME_WEIGHTED_SQL, activity_streaks,
                             sliding_distinct_users, time_weighted_value)
@@ -2507,6 +2507,7 @@ QUERIES = {
     "activity_streaks": activity_streaks,
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "weighted_sample": weighted_sample,
+    "group_moments": group_moments,
     "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
@@ -2681,6 +2682,7 @@ ORACLES = {
     "activity_streaks": STREAKS_SQL,
     "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "group_moments": GROUP_MOMENTS_SQL,
     "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "cube_revenue": _CUBE_SQL,
