@@ -75,6 +75,7 @@ from .tpch_extra import (Q4_SQL, Q6_SQL, Q7_SQL, Q13_SQL, Q15_SQL,
                          q15_top_supplier, q17_small_qty_revenue,
                          q19_disjunctive_revenue, q21_waiting_suppliers,
                          q22_dormant_customers)
+from .textstats import (LEXICAL_DIVERSITY_SQL, lexical_diversity)
 from .textstats import (
     BPE_PATTERN, STOPWORDS, collocations, curriculum_order,
     doc_dup_fraction, doc_oov, doc_repetition, doc_sketches, doc_quality,
@@ -2508,6 +2509,7 @@ QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "weighted_sample": weighted_sample,
     "group_moments": group_moments,
+    "lexical_diversity": lexical_diversity,
     "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
@@ -2683,6 +2685,7 @@ ORACLES = {
     "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "group_moments": GROUP_MOMENTS_SQL,
+    "lexical_diversity": LEXICAL_DIVERSITY_SQL,
     "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
     "cube_revenue": _CUBE_SQL,

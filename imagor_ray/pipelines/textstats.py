@@ -777,3 +777,80 @@ def quality_percentile(sf_dir: str) -> rd.Dataset:
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def lexical_diversity(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Per-source lexical diversity: token count, DISTINCT token count
+    and hapax-legomena count (tokens seen exactly once in that source)
+    — the exact type/token-ratio inputs, integer end-to-end (the ratio
+    itself is the caller's division; emitting it would break integer
+    hash equality).
+
+    Scale shape: the vocabulary topology (textstats.vocabulary) with a
+    per-source dimension — per-batch (source, token) Counter partials,
+    ONE shuffle on crc32(token) % num_buckets, bucket-local exact
+    merge; because a token lives in exactly one bucket, each bucket's
+    per-source (distinct, hapax, total) triples are disjoint and the
+    final per-source fold is a sum over ≤ num_buckets tiny rows.
+    Tokenization matches the repo convention (split(' '), empties
+    kept ↔ DuckDB string_split).
+
+    Output: source, n_tokens, n_distinct, n_hapax.
+    """
+    from ..functions.hashing import crc32_bucket
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for src, t in zip(b["source"].tolist(), b["text"].tolist()):
+            for tok in t.split(" "):
+                c[(src, tok)] += 1
+        keys = list(c.keys())
+        toks = [k[1] for k in keys]
+        return pd.DataFrame({
+            "source": [k[0] for k in keys],
+            "token": toks,
+            "n": np.fromiter(c.values(), dtype="int64", count=len(c)),
+            "_tb": crc32_bucket(toks, num_buckets),
+        })
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["source", "token"], sort=False)["n"].sum()
+        per = s.reset_index().groupby("source", sort=False)["n"].agg(
+            n_tokens="sum", n_distinct="size",
+            n_hapax=lambda v: int((v == 1).sum()))
+        return per.reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", sort=True).sum().reset_index()
+        for c in ("n_tokens", "n_distinct", "n_hapax"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_tb")
+            .map_groups(lambda g: reduce_bucket(g.drop(columns=["_tb"])),
+                        batch_format="pandas")
+            .map_batches(lambda b: b.assign(_k=0), batch_format="pandas")
+            .groupby("_k")
+            .map_groups(lambda g: merge(g.drop(columns=["_k"])),
+                        batch_format="pandas"))
+
+
+LEXICAL_DIVERSITY_SQL = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax
+FROM c GROUP BY 1 ORDER BY 1
+"""
