@@ -61,13 +61,18 @@ def _global_fold(ds, merge):
 def q4_priority_semi(sf_dir: str):
     """Q4-shaped order-priority checking: count orders per priority in
     one quarter having AT LEAST ONE returned ('R') lineitem — an EXISTS
-    semi-join (dedup the probe side so the join cannot multiply).
+    semi-join (dedup the probe side so the semi-join cannot multiply).
 
     Scale shape: lineitem collapses to distinct R-orderkeys map-side
-    (per-batch unique), one hash-bucket shuffle dedups globally, then a
-    native hash join against the date-pruned orders; counts fold from
-    per-batch partials. Nothing wider than the distinct-key exchange.
-    """
+    (per-batch unique) and the date-pruned orders tag along as kind-0
+    rows through the SAME orderkey-bucket exchange (the engine's
+    tagged-union co-group idiom, q13/q22); each co-group keeps orders
+    whose key appears among its kind-1 probe rows and emits per-priority
+    count partials. One shuffle carrying only (orderkey, tag[, priority])
+    rows — chosen over ``Dataset.join`` because a selective date prune
+    leaves most hash partitions of the build side EMPTY and Ray's join
+    aggregator loses the schema of empty partitions (reproduced at 32
+    CPUs / sf0.001); the co-group is CPU-count-invariant."""
     import numpy as np
 
     lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
@@ -77,15 +82,13 @@ def q4_priority_semi(sf_dir: str):
 
     def r_keys(b: pd.DataFrame) -> pd.DataFrame:
         k = b.loc[b["l_returnflag"] == "R", "l_orderkey"].unique()
-        out = pd.DataFrame({"l_orderkey": k.astype("int64")})
-        out["_b"] = (out["l_orderkey"] % 64).astype("int32")
+        out = pd.DataFrame({
+            "okey": k.astype("int64"),
+            "o_orderpriority": "",
+            "kind": np.int8(1),
+        })
+        out["_b"] = (out["okey"] % 64).astype("int32")
         return out
-
-    rkeys = (line.map_batches(r_keys, batch_format="pandas")
-             .groupby("_b")
-             .map_groups(lambda g: g.drop(columns=["_b"])
-                         .drop_duplicates("l_orderkey"),
-                         batch_format="pandas"))
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -93,15 +96,30 @@ def q4_priority_semi(sf_dir: str):
 
     def prune(b: pd.DataFrame) -> pd.DataFrame:
         b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
-        return b[["o_orderkey", "o_orderpriority"]]
+        out = pd.DataFrame({
+            "okey": b["o_orderkey"].to_numpy().astype("int64"),
+            "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            "kind": np.int8(0),
+        })
+        out["_b"] = (out["okey"] % 64).astype("int32")
+        return out
 
-    joined = orders.map_batches(prune, batch_format="pandas").join(
-        rkeys, "inner", num_partitions=_ncpu(),
-        on=("o_orderkey",), right_on=("l_orderkey",))
+    tagged = (line.map_batches(r_keys, batch_format="pandas")
+              .union(orders.map_batches(prune, batch_format="pandas")))
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        probe = set(g.loc[g["kind"] == 1, "okey"])
+        o = g[(g["kind"] == 0) & g["okey"].isin(probe)]
+        return (o.groupby("o_orderpriority", sort=False)
+                .size().rename("order_count").reset_index())
+
+    joined = (tagged.groupby("_b")
+              .map_groups(lambda g: semi(g.drop(columns=["_b"])),
+                          batch_format="pandas"))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return (b.groupby("o_orderpriority", sort=False)
-                .size().rename("order_count").reset_index())
+                ["order_count"].sum().reset_index())
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.groupby("o_orderpriority", sort=True)["order_count"]
