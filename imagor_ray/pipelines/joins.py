@@ -26,7 +26,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["asof_join_events_orders", "error_context_window"]
+__all__ = ["asof_join_events_orders", "error_context_window",
+           "anti_join_events_urgent", "range_join_repeat_orders"]
 
 
 def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -314,5 +315,166 @@ def anti_join_events_urgent(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     return (
         tagged.groupby("_jb")
         .map_groups(lambda g: _anti_bucket(g.drop(columns=["_jb"])),
+                    batch_format="pandas")
+    )
+
+
+_90D_US = 90 * 24 * 3600 * 1_000_000
+
+
+def _range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-(customer, grain)-bucket interval probe: for every interval
+    replica, count/sum the bucket's point rows of the same customer
+    inside [lo, hi) with two ``searchsorted`` probes against the points
+    sorted by (key-rank, time-rank) plus one prefix-sum — O((n+m)·log)
+    and NO merge blowup when a hot customer has many overlapping
+    windows (the per-key point×interval cross product is never
+    materialized)."""
+    ev = g[g["side"] == 0]
+    iv = g[g["side"] == 1]
+    empty = pd.DataFrame({
+        "order_key": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+        "v": pd.Series([], dtype="int64"),
+    })
+    if not len(ev) or not len(iv):
+        return empty
+    ek = ev["key"].to_numpy().astype(np.int64)
+    et = ev["time"].to_numpy().astype(np.int64)
+    evm = ev["vm"].to_numpy().astype(np.int64)
+    ik = iv["key"].to_numpy().astype(np.int64)
+    lo = iv["time"].to_numpy().astype(np.int64)
+    hi = iv["hi"].to_numpy().astype(np.int64)
+    okey = iv["order_key"].to_numpy().astype(np.int64)
+
+    # dense (key-rank, time-rank) composite — same int64-bounding move
+    # as _asof_bucket (rank products bounded by bucket_rows², never
+    # raw µs × keys)
+    uniq_k = np.unique(np.concatenate([ek, ik]))
+    uniq_t = np.unique(et)
+    m = np.int64(len(uniq_t) + 1)
+    comp_e = (np.searchsorted(uniq_k, ek).astype(np.int64) * m
+              + np.searchsorted(uniq_t, et))
+    order = np.argsort(comp_e, kind="stable")
+    comp_e = comp_e[order]
+    csum = np.concatenate([[0], np.cumsum(evm[order])])
+
+    rk_i = np.searchsorted(uniq_k, ik).astype(np.int64)
+    p_lo = np.searchsorted(comp_e, rk_i * m + np.searchsorted(uniq_t, lo))
+    p_hi = np.searchsorted(comp_e, rk_i * m + np.searchsorted(uniq_t, hi))
+    n = (p_hi - p_lo).astype(np.int64)
+    keep = n > 0
+    if not keep.any():
+        return empty
+    return pd.DataFrame({
+        "order_key": okey[keep],
+        "n": n[keep],
+        "v": (csum[p_hi] - csum[p_lo])[keep].astype(np.int64),
+    })
+
+
+def range_join_repeat_orders(sf_dir: str, num_buckets: int = 32,
+                             window_us: int = _90D_US) -> rd.Dataset:
+    """Distributed RANGE (interval) self-join — the SURVEY §2
+    custom-operator family's non-equi member: every order opens a
+    90-day follow-up window (o_orderdate, o_orderdate + 90d) and
+    matches the SAME customer's strictly-later orders inside it (the
+    repeat-purchase shape); output is the per-anchor match aggregate
+    (order_key, n_follow, follow_value_milli — integer milli-units so
+    the DuckDB mirror is bitwise). Timestamps are integer µs, so the
+    strict lower bound is the inclusive probe at start+1 — no
+    exclusivity flags anywhere downstream.
+
+    Partitioning (the documented scale assumption): BOTH sides hash on
+    (customer, time-grain) where the grain equals the window length,
+    so a window overlaps at most TWO grains — each interval row is
+    replicated to its ≤2 covering grains with its bounds CLAMPED to
+    that grain (replicas can never double-count), while every point
+    row routes to exactly one cell. Unlike the as-of join's user-only
+    bucketing, a hot customer's history is spread across time cells,
+    so no single reducer ever holds a whole key at 100-TB scale.
+    Matches per replica are partial (order_key, n, v) rows — ≤2 tiny
+    rows per anchor — folded by a second, trivially small order-bucket
+    shuffle.
+    """
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    nb = np.int64(num_buckets)
+    w = np.int64(window_us)
+
+    def cell(key: np.ndarray, grain: np.ndarray) -> np.ndarray:
+        # deterministic (customer, grain) cell hash; int64 wraparound
+        # is fine (both sides compute it with the same numpy arithmetic)
+        comp = key * np.int64(1_000_003) + grain
+        return ((comp % nb + nb) % nb).astype(np.int32)
+
+    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["o_custkey"].to_numpy().astype(np.int64)
+        t = (b["o_orderdate"].astype("datetime64[us]")
+             .astype("int64").to_numpy())
+        return pd.DataFrame({
+            "key": key, "time": t,
+            "side": np.zeros(len(b), dtype=np.int8),
+            "hi": np.zeros(len(b), dtype=np.int64),
+            "order_key": np.full(len(b), -1, dtype=np.int64),
+            "vm": np.floor(
+                b["o_totalprice"].to_numpy() * 1000).astype("int64"),
+            "_jb": cell(key, t // w),
+        })
+
+    def tag_anchors(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["o_custkey"].to_numpy().astype(np.int64)
+        t = (b["o_orderdate"].astype("datetime64[us]")
+             .astype("int64").to_numpy())
+        s = t + 1          # strict ">" as an inclusive integer-µs bound
+        e = t + w
+        okey = b["o_orderkey"].to_numpy().astype(np.int64)
+        parts = []
+        g0 = s // w
+        g1 = (e - 1) // w
+        for g in (g0, g1):
+            sel = np.ones(len(b), dtype=bool) if g is g0 else (g1 != g0)
+            gg = g[sel]
+            parts.append(pd.DataFrame({
+                "key": key[sel],
+                # clamp the replica's bounds into its grain so the ≤2
+                # replicas of one interval partition its time span
+                "time": np.maximum(s[sel], gg * w),
+                "side": np.ones(int(sel.sum()), dtype=np.int8),
+                "hi": np.minimum(e[sel], (gg + 1) * w),
+                "order_key": okey[sel],
+                "vm": np.zeros(int(sel.sum()), dtype=np.int64),
+                "_jb": cell(key[sel], gg),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    tagged = orders.map_batches(tag_points, batch_format="pandas").union(
+        orders.map_batches(tag_anchors, batch_format="pandas")
+    )
+    partial = (
+        tagged.groupby("_jb")
+        .map_groups(lambda g: _range_bucket(g.drop(columns=["_jb"])),
+                    batch_format="pandas")
+    )
+
+    def tag_fold(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_ob"] = (b["order_key"].to_numpy() % num_buckets).astype(np.int32)
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("order_key", sort=False)[["n", "v"]].sum()
+        return pd.DataFrame({
+            "order_key": s.index.to_numpy(dtype="int64"),
+            "n_follow": s["n"].to_numpy(dtype="int64"),
+            "follow_value_milli": s["v"].to_numpy(dtype="int64"),
+        })
+
+    return (
+        partial.map_batches(tag_fold, batch_format="pandas")
+        .groupby("_ob")
+        .map_groups(lambda g: fold(g.drop(columns=["_ob"])),
                     batch_format="pandas")
     )

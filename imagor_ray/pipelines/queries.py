@@ -1336,6 +1336,28 @@ def _q_asof(sf_dir: str):
     return asof_join_events_orders(sf_dir)
 
 
+def _q_range_join(sf_dir: str):
+    from .joins import range_join_repeat_orders
+    return range_join_repeat_orders(sf_dir)
+
+
+# strictly-later same-customer orders inside a 90-day follow-up window;
+# integer milli-unit value sums so the engine/oracle hash is bitwise
+_RANGE_JOIN_SQL = """
+SELECT a.o_orderkey AS order_key,
+       CAST(COUNT(*) AS BIGINT) AS n_follow,
+       CAST(SUM(CAST(floor(b.o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+         AS follow_value_milli
+FROM orders a
+JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+ORDER BY order_key
+"""
+
+
 _Q5_SQL = """
 SELECT n.n_name,
        CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_m
@@ -2514,6 +2536,7 @@ QUERIES = {
     "rollup_revenue": rollup_revenue,
     "cube_revenue": cube_revenue,
     "asof_events_orders": _q_asof,
+    "range_join_repeat_orders": _q_range_join,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2569,8 +2592,9 @@ _DRIVER_WINDOW = [
     "supplier_balance_by_nation",
     # OLAP grouping sets
     "rollup_revenue", "cube_revenue",
-    # join variants
-    "asof_events_orders", "anti_join_events_urgent",
+    # join variants (anti_join_events_urgent stays sweep-verified; the
+    # round-5 range join takes the window slot — newest shape first)
+    "asof_events_orders", "range_join_repeat_orders",
     # window analytics
     "group_sample", "q13_customer_distribution", "error_context",
     "topk_orders_per_customer", "time_weighted_value",
@@ -2690,6 +2714,7 @@ ORACLES = {
     "rollup_revenue": _ROLLUP_SQL,
     "cube_revenue": _CUBE_SQL,
     "asof_events_orders": _ASOF_SQL,
+    "range_join_repeat_orders": _RANGE_JOIN_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,

@@ -244,3 +244,84 @@ class TestIntervalJoinCap:
             g[c] = g[c].astype("datetime64[us]")
             w[c] = w[c].astype("datetime64[us]")
         pd.testing.assert_frame_equal(g, w[g.columns], check_dtype=False)
+
+
+class TestRangeJoinRepeatOrders:
+    """Grain-replication invariants of the distributed interval join:
+    a window spanning two grains counts each follow-up exactly once
+    (clamped replicas partition its time span), the lower bound is
+    strictly exclusive (self never matches), and the upper bound is
+    half-open."""
+
+    def _run(self, rows, tmp_path, window_us=100):
+        df = pd.DataFrame(rows, columns=[
+            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        df["o_orderdate"] = pd.to_datetime(df["o_orderdate"], unit="us")
+        d = tmp_path / "rj"
+        d.mkdir()
+        df.to_parquet(d / "orders.parquet", index=False)
+        from imagor_ray.pipelines.joins import range_join_repeat_orders
+        out = range_join_repeat_orders(str(d), window_us=window_us)
+        got = out.to_pandas()
+        if not len(got):   # schemaless empty Dataset -> typed empty frame
+            got = pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                ("order_key", "n_follow",
+                                 "follow_value_milli")})
+        return got.sort_values("order_key").reset_index(drop=True)
+
+    def test_grain_spanning_window_counts_once(self, ray_session, tmp_path):
+        # anchor at t=95, window (95, 195) spans grains [0,100) and
+        # [100,200); follow-ups at 96 (grain 0), 100 (exactly on the
+        # grain boundary — must count once, in the clamped g1 replica),
+        # 150 (grain 1); 95 is self (strict bound), 195 is the
+        # exclusive end
+        rows = [
+            (1, 7, 95, 1.0),
+            (2, 7, 96, 2.0),
+            (3, 7, 100, 3.0),
+            (4, 7, 150, 4.0),
+            (5, 7, 195, 5.0),
+        ]
+        got = self._run(rows, tmp_path)
+        a1 = got[got["order_key"] == 1].iloc[0]
+        assert a1["n_follow"] == 3
+        assert a1["follow_value_milli"] == 2000 + 3000 + 4000
+        # order 5 at 195: no later orders -> absent (inner semantics)
+        assert 5 not in set(got["order_key"])
+
+    def test_self_and_other_customers_excluded(self, ray_session, tmp_path):
+        rows = [
+            (1, 7, 50, 1.0),
+            (2, 8, 60, 2.0),   # other customer inside the window
+            (3, 7, 60, 3.0),
+        ]
+        got = self._run(rows, tmp_path)
+        assert list(got["order_key"]) == [1]
+        assert got.iloc[0]["n_follow"] == 1
+        assert got.iloc[0]["follow_value_milli"] == 3000
+
+    def test_same_date_ties_are_not_followups(self, ray_session, tmp_path):
+        # strictly-later semantics: equal o_orderdate never matches
+        rows = [(1, 7, 50, 1.0), (2, 7, 50, 2.0)]
+        got = self._run(rows, tmp_path)
+        assert len(got) == 0
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        # randomized cross-check against the O(n²) definition
+        rng = np.random.RandomState(7)
+        n = 200
+        rows = [(i, int(rng.randint(0, 8)), int(rng.randint(0, 1000)),
+                 float(rng.randint(1, 100))) for i in range(n)]
+        got = self._run(rows, tmp_path, window_us=137)
+        df = pd.DataFrame(rows, columns=["k", "c", "t", "p"])
+        want = []
+        for _, a in df.iterrows():
+            m = df[(df["c"] == a["c"]) & (df["t"] > a["t"])
+                   & (df["t"] < a["t"] + 137)]
+            if len(m):
+                want.append((a["k"], len(m), int((m["p"] * 1000).sum())))
+        want = (pd.DataFrame(want, columns=[
+            "order_key", "n_follow", "follow_value_milli"])
+            .astype("int64").sort_values("order_key")
+            .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
