@@ -1341,6 +1341,14 @@ def _q_range_join(sf_dir: str):
     return range_join_repeat_orders(sf_dir)
 
 
+def _q_butterflies(sf_dir: str):
+    from .graph import butterfly_count
+    return butterfly_count(sf_dir)
+
+
+from .graph import BUTTERFLY_SQL as _BUTTERFLY_SQL_REF  # noqa: E402
+
+
 # strictly-later same-customer orders inside a 90-day follow-up window;
 # integer milli-unit value sums so the engine/oracle hash is bitwise
 _RANGE_JOIN_SQL = """
@@ -2537,6 +2545,7 @@ QUERIES = {
     "cube_revenue": cube_revenue,
     "asof_events_orders": _q_asof,
     "range_join_repeat_orders": _q_range_join,
+    "butterfly_count": _q_butterflies,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2715,6 +2724,7 @@ ORACLES = {
     "cube_revenue": _CUBE_SQL,
     "asof_events_orders": _ASOF_SQL,
     "range_join_repeat_orders": _RANGE_JOIN_SQL,
+    "butterfly_count": _BUTTERFLY_SQL_REF,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,

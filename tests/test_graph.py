@@ -72,3 +72,47 @@ def test_suppliers_outrank_customers(pr_df):
     customer pr."""
     m = pr_df.groupby("node_type")["pr"].mean()
     assert m["supplier"] > m["customer"]
+
+
+class TestButterflyCount:
+    """Hand-built bipartite graphs with counts known in closed form."""
+
+    def _run(self, pairs, tmp_path):
+        import pandas as pd
+
+        # one order per (cust, supp) edge; lineitem carries the supplier
+        od = pd.DataFrame({
+            "o_orderkey": range(len(pairs)),
+            "o_custkey": [p[0] for p in pairs],
+        })
+        li = pd.DataFrame({
+            "l_orderkey": range(len(pairs)),
+            "l_suppkey": [p[1] for p in pairs],
+        })
+        d = tmp_path / "bf"
+        d.mkdir()
+        od.to_parquet(d / "orders.parquet", index=False)
+        li.to_parquet(d / "lineitem.parquet", index=False)
+        from imagor_ray.pipelines.graph import butterfly_count
+        out = butterfly_count(str(d)).to_pandas()
+        return int(out["n_wedges"].iloc[0]), int(out["n_butterflies"].iloc[0])
+
+    def test_complete_k22_is_one_butterfly(self, ray_session, tmp_path):
+        # two customers × two suppliers fully connected: each supplier
+        # contributes one wedge; the pair shares w=2 -> C(2,2)=1
+        w, b = self._run([(1, 10), (1, 11), (2, 10), (2, 11)], tmp_path)
+        assert (w, b) == (2, 1)
+
+    def test_complete_k33(self, ray_session, tmp_path):
+        # K_{3,3}: wedges = 3 suppliers × C(3,2) = 9; every customer
+        # pair shares w=3 -> 3 pairs × C(3,2) = 9 butterflies
+        pairs = [(c, s) for c in (1, 2, 3) for s in (10, 11, 12)]
+        w, b = self._run(pairs, tmp_path)
+        assert (w, b) == (9, 9)
+
+    def test_duplicate_edges_collapse(self, ray_session, tmp_path):
+        # repeated purchases are ONE edge (distinct (c, s)); a star
+        # with one supplier has wedges but no butterfly
+        pairs = [(1, 10), (1, 10), (2, 10), (3, 10), (3, 10)]
+        w, b = self._run(pairs, tmp_path)
+        assert (w, b) == (3, 0)
