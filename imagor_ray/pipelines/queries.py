@@ -1346,6 +1346,61 @@ def _q_butterflies(sf_dir: str):
     return butterfly_count(sf_dir)
 
 
+def _q_stream_stream_join(sf_dir: str):
+    """Stream-stream windowed join driven end-to-end: the events table
+    is staged as per-day micro-batch files (written DISTRIBUTED, one
+    grouped task per day), then the watermark-bounded join loop runs
+    cycle by cycle — matches that straddle day boundaries come from
+    checkpointed state, and the batch SQL oracle must reproduce the
+    union of all per-cycle emissions exactly (the day files are
+    event-time-partitioned, so no rows are late and inner-join
+    completeness holds)."""
+    import os
+    import tempfile
+
+    from .stream_join import StreamingJoinJob
+
+    d = tempfile.mkdtemp(prefix="imray_sjoin_")
+    input_dir = os.path.join(d, "in")
+    os.makedirs(input_dir, exist_ok=True)
+
+    def add_day(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_day"] = b["ts"].astype("datetime64[us]").dt.strftime("%Y%m%d")
+        return b
+
+    def write_day(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["_day"].iloc[0]
+        (g.drop(columns=["_day"])
+         .sort_values("event_id", kind="mergesort")
+         .to_parquet(os.path.join(input_dir, f"batch-{day}.parquet"),
+                     index=False))
+        return pd.DataFrame({"day": [day], "rows": [len(g)]})
+
+    (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_day, batch_format="pandas")
+        .groupby("_day")
+        .map_groups(write_day, batch_format="pandas")
+        .count()
+    )
+    job = StreamingJoinJob(input_dir, os.path.join(d, "state"))
+    job.run_all()
+    return rd.read_parquet(job.matched_dir)
+
+
+_STREAM_JOIN_SQL = """
+SELECT a.event_id AS req_id, b.event_id AS resp_id, a.user_id,
+       a.ts AS req_ts, b.ts AS resp_ts
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+ORDER BY req_id, resp_id
+"""
+
+
 from .graph import BUTTERFLY_SQL as _BUTTERFLY_SQL_REF  # noqa: E402
 
 
@@ -2546,6 +2601,7 @@ QUERIES = {
     "asof_events_orders": _q_asof,
     "range_join_repeat_orders": _q_range_join,
     "butterfly_count": _q_butterflies,
+    "stream_stream_join": _q_stream_stream_join,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2725,6 +2781,7 @@ ORACLES = {
     "asof_events_orders": _ASOF_SQL,
     "range_join_repeat_orders": _RANGE_JOIN_SQL,
     "butterfly_count": _BUTTERFLY_SQL_REF,
+    "stream_stream_join": _STREAM_JOIN_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,

@@ -1,0 +1,384 @@
+"""Stream-stream windowed JOIN over the micro-batch event stream —
+the structured-streaming feature the north rule names that the engine
+previously covered only in stream-TABLE form (``enriched_tool_stats``'s
+broadcast dimension join): both sides arrive as streams, a match can
+straddle cycle boundaries, and the join state is bounded by the
+watermark (Spark's stream-stream inner-join semantics; reference
+analogue: imagor's loader→result-storage rendezvous where a result can
+only pair with a request still inside its TTL).
+
+Semantics: each LEFT event (default ``click``) matches every RIGHT
+event (default ``purchase``) of the SAME user with
+``left.ts < right.ts <= left.ts + window``. Pairs are emitted in the
+first cycle where both sides have arrived; unmatched rows wait in
+checkpoint state until the watermark proves no future match exists:
+
+- LEFT rows evict when ``ts + window < watermark`` (every future
+  on-time right row has ``ts >= watermark``);
+- RIGHT rows evict when ``ts <= watermark`` (a future left row needs
+  ``right.ts > left.ts >= watermark``).
+
+So state is O(events within one window horizon of the watermark) —
+never the stream. Late rows (``ts < watermark`` at arrival) are routed
+to the late output, mirroring :class:`StreamingSessionJob`.
+
+Exactly-once: matched pairs land in per-cycle (per-bucket, on the
+dataset path) parquet files written BEFORE the checkpoint commits;
+a crash between the write and the commit replays the cycle against the
+committed pre-cycle state and overwrites the same files with identical
+bytes (rows are sorted (req_id, resp_id) before write, and the cycle's
+inputs + state are identical on replay). The cycle-versioned state
+snapshot rides the same single-commit-point discipline as the session
+job (``Checkpoint.stage_open_sessions`` + ``save``).
+
+Scale shape: the per-cycle match is the (user, new×state) band join;
+above ``RAY_CYCLE_THRESHOLD`` rows it runs as ONE user-bucket
+``groupby().map_groups`` over the union of the cycle's tagged rows and
+the (small, watermark-bounded) state rows — matched pairs are written
+per bucket inside the grouped task and only per-bucket summaries plus
+next-cycle state rows return to the driver. Below it, driver pandas
+with the same vectorized kernel is faster (Ray per-stage overhead
+dominates tiny cycles); both paths are byte-equal by test.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..state.checkpoint import Checkpoint
+
+__all__ = ["StreamingJoinJob"]
+
+_PAIR_COLS = ["req_id", "resp_id", "user_id", "req_ts", "resp_ts"]
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({
+        "req_id": pd.Series([], dtype="int64"),
+        "resp_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "req_ts": pd.Series([], dtype="datetime64[us]"),
+        "resp_ts": pd.Series([], dtype="datetime64[us]"),
+    })
+
+
+def _empty_state() -> pd.DataFrame:
+    return pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts_us": pd.Series([], dtype="int64"),
+        "side": pd.Series([], dtype="int8"),   # 0 = left, 1 = right
+    })
+
+
+def _match(l_uid: np.ndarray, l_us: np.ndarray, l_id: np.ndarray,
+           r_uid: np.ndarray, r_us: np.ndarray, r_id: np.ndarray,
+           window_us: int) -> pd.DataFrame:
+    """Vectorized band-join kernel: all (left, right) pairs of the same
+    user with ``l.ts < r.ts <= l.ts + window``. Two ``searchsorted``
+    probes position every left row against the (user-rank, ts) sorted
+    right side; the repeat/arange construction expands [lo, hi) spans
+    into pair rows — no Python loop, no per-user groupby."""
+    if not len(l_uid) or not len(r_uid):
+        return _empty_pairs()
+    uniq_u = np.unique(np.concatenate([l_uid, r_uid]))
+    base = np.int64(min(l_us.min(), r_us.min())) - 1
+    # composite = user_rank * K + (ts - base): keeps products bounded by
+    # the stream's time SPAN, not raw epoch-µs (int64-overflow guard)
+    k = np.int64(max(l_us.max(), r_us.max()) - base + window_us + 2)
+    r_rank = np.searchsorted(uniq_u, r_uid).astype(np.int64)
+    comp_r = r_rank * k + (r_us - base)
+    order = np.argsort(comp_r, kind="stable")
+    comp_r = comp_r[order]
+    r_us_s, r_id_s = r_us[order], r_id[order]
+
+    l_rank = np.searchsorted(uniq_u, l_uid).astype(np.int64)
+    lo = np.searchsorted(comp_r, l_rank * k + (l_us + 1 - base), "left")
+    hi = np.searchsorted(comp_r, l_rank * k + (l_us + window_us - base),
+                         "right")
+    reps = hi - lo
+    total = int(reps.sum())
+    if total == 0:
+        return _empty_pairs()
+    li = np.repeat(np.arange(len(l_uid)), reps)
+    starts = np.repeat(lo, reps)
+    bsum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    rj = starts + (np.arange(total) - np.repeat(bsum, reps))
+    return pd.DataFrame({
+        "req_id": l_id[li],
+        "resp_id": r_id_s[rj],
+        "user_id": l_uid[li],
+        "req_ts": pd.Series(l_us[li]).astype("datetime64[us]"),
+        "resp_ts": pd.Series(r_us_s[rj]).astype("datetime64[us]"),
+    })
+
+
+def _cycle_match(new_l: pd.DataFrame, new_r: pd.DataFrame,
+                 st: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """All pairs completed by this cycle's arrivals:
+    new_left × (state_right ∪ new_right)  ∪  state_left × new_right
+    (new×new rides the first term only — never double-emitted)."""
+    st_l = st[st["side"] == 0]
+    st_r = st[st["side"] == 1]
+    r_all_uid = np.concatenate([st_r["user_id"].to_numpy(dtype="int64"),
+                                new_r["user_id"].to_numpy(dtype="int64")])
+    r_all_us = np.concatenate([st_r["ts_us"].to_numpy(dtype="int64"),
+                               new_r["ts_us"].to_numpy(dtype="int64")])
+    r_all_id = np.concatenate([st_r["event_id"].to_numpy(dtype="int64"),
+                               new_r["event_id"].to_numpy(dtype="int64")])
+    out = [
+        _match(new_l["user_id"].to_numpy(dtype="int64"),
+               new_l["ts_us"].to_numpy(dtype="int64"),
+               new_l["event_id"].to_numpy(dtype="int64"),
+               r_all_uid, r_all_us, r_all_id, window_us),
+        _match(st_l["user_id"].to_numpy(dtype="int64"),
+               st_l["ts_us"].to_numpy(dtype="int64"),
+               st_l["event_id"].to_numpy(dtype="int64"),
+               new_r["user_id"].to_numpy(dtype="int64"),
+               new_r["ts_us"].to_numpy(dtype="int64"),
+               new_r["event_id"].to_numpy(dtype="int64"), window_us),
+    ]
+    return pd.concat(out, ignore_index=True)
+
+
+class StreamingJoinJob:
+    """Micro-batch stream-stream inner join with watermark-bounded
+    state (module docstring has the full semantics)."""
+
+    #: above this many footer rows the cycle runs as one user-bucket
+    #: groupby with in-task per-bucket output writes
+    RAY_CYCLE_THRESHOLD = 150_000
+
+    def __init__(self, input_dir: str, state_dir: str,
+                 left_type: str = "click", right_type: str = "purchase",
+                 window_s: int = 21600, allowed_lateness_s: int = 0,
+                 num_buckets: int = 32,
+                 ray_cycle_threshold: int | None = None):
+        self.input_dir = input_dir
+        self.cp = Checkpoint(state_dir)
+        self.left_type = left_type
+        self.right_type = right_type
+        self.window_us = window_s * 1_000_000
+        self.lateness_us = allowed_lateness_s * 1_000_000
+        self.num_buckets = num_buckets
+        if ray_cycle_threshold is not None:
+            self.RAY_CYCLE_THRESHOLD = ray_cycle_threshold
+        self.matched_dir = os.path.join(state_dir, "matched")
+        self.late_dir = os.path.join(state_dir, "late")
+        os.makedirs(self.matched_dir, exist_ok=True)
+        os.makedirs(self.late_dir, exist_ok=True)
+
+    # -- plumbing shared with the session job ------------------------------
+
+    def pending_files(self) -> list[str]:
+        state = self.cp.load()
+        done = set(state.get("processed", []))
+        return [f for f in sorted(os.listdir(self.input_dir))
+                if f.endswith(".parquet") and f not in done]
+
+    def _load_state(self, state: dict) -> pd.DataFrame:
+        st = self.cp.load_open_sessions(state)
+        return _empty_state() if st is None else st
+
+    @staticmethod
+    def _file_max_ts(path: str) -> int:
+        """Max event time of the whole file: parquet row-group zone maps
+        (the session job's exact-footer pattern) with a ts-only column
+        scan as the stats-less fallback; -1 for an empty file."""
+        from .streaming import StreamingSessionJob
+
+        _, total, max_us = StreamingSessionJob._footer_late_stats(path, 0)
+        if max_us is not None:
+            return int(max_us)
+        import pyarrow.dataset as pads
+        t = pads.dataset(path).to_table(columns=["ts"])
+        if t.num_rows == 0:
+            return -1
+        import pyarrow.compute as pc
+        v = pc.max(t.column("ts")).as_py()
+        return int(pd.Timestamp(v).value // 1000)
+
+    @staticmethod
+    def _write_sorted(df: pd.DataFrame, path: str) -> None:
+        """Byte-stable parquet: deterministic row order + atomic rename
+        (replay overwrites with identical bytes)."""
+        df = (df.sort_values(["req_id", "resp_id"], kind="mergesort")
+              .reset_index(drop=True))
+        tmp = path + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+
+    # -- one cycle ----------------------------------------------------------
+
+    def run_cycle(self) -> dict | None:
+        pending = self.pending_files()
+        if not pending:
+            return None
+        fname = pending[0]
+        state = self.cp.load()
+        wm = int(state.get("watermark_us", 0))
+        cycle = int(state.get("cycles", 0))
+        path = os.path.join(self.input_dir, fname)
+        st = self._load_state(state)
+
+        import pyarrow.dataset as pads
+        nrows = pads.dataset(path).count_rows()
+        runner = (self._cycle_dataset if nrows > self.RAY_CYCLE_THRESHOLD
+                  else self._cycle_pandas)
+        n_matched, n_late, new_st = runner(path, fname, wm, cycle, st)
+
+        # watermark advances on the FULL file's max ts (zone maps when
+        # present, one driver-side ts-column scan otherwise) so both
+        # execution paths share one watermark source — the dataset path
+        # prunes non-join event types before the shuffle and must not
+        # let that pruning move event time
+        max_ts = self._file_max_ts(path)
+        new_wm = max(wm, max_ts - self.lateness_us) if max_ts >= 0 else wm
+        # watermark-driven eviction: provably-unmatchable rows leave state
+        keep_l = ((new_st["side"] == 0)
+                  & (new_st["ts_us"] + self.window_us >= new_wm))
+        keep_r = (new_st["side"] == 1) & (new_st["ts_us"] > new_wm)
+        # canonical snapshot order: byte-stable across replays AND
+        # across the pandas/dataset execution paths
+        new_st = (new_st[keep_l | keep_r]
+                  .sort_values(["side", "event_id"], kind="mergesort")
+                  .reset_index(drop=True))
+
+        open_fname = self.cp.stage_open_sessions(new_st, cycle)
+        state["open_sessions_file"] = open_fname
+        state["watermark_us"] = int(new_wm)
+        state["processed"] = list(state.get("processed", [])) + [fname]
+        state["late_rows"] = int(state.get("late_rows", 0)) + int(n_late)
+        state["cycles"] = cycle + 1
+        result = {"file": fname, "watermark_us": int(new_wm),
+                  "matched": int(n_matched), "late": int(n_late),
+                  "state_rows": int(len(new_st))}
+        state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
+                                  + [result])
+        self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
+        return result
+
+    def run_all(self) -> dict:
+        totals = {"cycles": 0, "matched": 0, "late": 0}
+        while (r := self.run_cycle()) is not None:
+            totals["cycles"] += 1
+            totals["matched"] += r["matched"]
+            totals["late"] += r["late"]
+        return totals
+
+    # -- execution paths ----------------------------------------------------
+
+    def _split_sides(self, df: pd.DataFrame, wm: int):
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        late = us < wm
+        on = df[~late]
+        on_us = us[~late]
+        max_ts = int(us.max()) if len(us) else -1
+        tl = on["event_type"].to_numpy() == self.left_type
+        tr = on["event_type"].to_numpy() == self.right_type
+        mk = lambda sel, side: pd.DataFrame({   # noqa: E731
+            "event_id": on["event_id"].to_numpy(dtype="int64")[sel],
+            "user_id": on["user_id"].to_numpy(dtype="int64")[sel],
+            "ts_us": on_us[sel],
+            "side": np.full(int(sel.sum()), side, dtype=np.int8),
+        })
+        return mk(tl, 0), mk(tr, 1), int(late.sum()), max_ts
+
+    def _cycle_pandas(self, path: str, fname: str, wm: int, cycle: int,
+                      st: pd.DataFrame):
+        df = pd.read_parquet(
+            path, columns=["event_id", "ts", "user_id", "event_type"])
+        new_l, new_r, n_late, _ = self._split_sides(df, wm)
+        pairs = _cycle_match(new_l, new_r, st, self.window_us)
+        self._write_sorted(
+            pairs, os.path.join(self.matched_dir,
+                                f"matched-{cycle:05d}.parquet"))
+        new_st = pd.concat([st, new_l, new_r], ignore_index=True)
+        return len(pairs), n_late, new_st
+
+    def _cycle_dataset(self, path: str, fname: str, wm: int, cycle: int,
+                       st: pd.DataFrame):
+        """One user-bucket groupby over (cycle rows ∪ state rows); the
+        grouped task matches and WRITES its bucket's pairs, returning
+        only a summary row + the bucket's next-cycle state rows (state
+        is watermark-bounded, so what crosses the driver is O(window
+        horizon), never the stream)."""
+        import ray.data as rd
+
+        nb = self.num_buckets
+        wus = self.window_us
+        lt, rt = self.left_type, self.right_type
+        mdir = self.matched_dir
+        write_sorted = self._write_sorted
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            t = b["event_type"].to_numpy()
+            keep = (t == lt) | (t == rt) | (us < wm)
+            out = pd.DataFrame({
+                "event_id": b["event_id"].to_numpy(dtype="int64")[keep],
+                "user_id": b["user_id"].to_numpy(dtype="int64")[keep],
+                "ts_us": us[keep],
+                "side": np.where(t[keep] == lt, 0, 1).astype(np.int8),
+                "is_state": np.zeros(int(keep.sum()), dtype=np.int8),
+            })
+            out["_ub"] = (out["user_id"].to_numpy() % nb).astype(np.int32)
+            return out
+
+        st_t = st.copy()
+        st_t["is_state"] = np.int8(1)
+        st_t["_ub"] = (st_t["user_id"].to_numpy(dtype="int64")
+                       % nb).astype(np.int32)
+
+        def bucket(g: pd.DataFrame) -> pd.DataFrame:
+            """Returns state rows (kind=0) plus exactly ONE summary row
+            (kind=1, sentinel ids) carrying the bucket's counts."""
+            ub = int(g["_ub"].iloc[0])
+            g = g.drop(columns=["_ub"])
+            stp = g[g["is_state"] == 1]
+            new = g[g["is_state"] == 0]
+            us = new["ts_us"].to_numpy(dtype="int64")
+            late = us < wm
+            on = new[~late]
+            new_l = on[on["side"] == 0]
+            new_r = on[on["side"] == 1]
+            pairs = _cycle_match(new_l, new_r, stp, wus)
+            write_sorted(pairs, os.path.join(
+                mdir, f"matched-{cycle:05d}-{ub:02d}.parquet"))
+            nxt = pd.concat([
+                stp[["event_id", "user_id", "ts_us", "side"]],
+                new_l[["event_id", "user_id", "ts_us", "side"]],
+                new_r[["event_id", "user_id", "ts_us", "side"]],
+            ], ignore_index=True)
+            nxt["kind"] = np.int8(0)
+            nxt["n_matched"] = np.int64(0)
+            nxt["n_late"] = np.int64(0)
+            summ = pd.DataFrame({
+                "event_id": [np.int64(-1)], "user_id": [np.int64(-1)],
+                "ts_us": [np.int64(-1)], "side": [np.int8(-1)],
+                "kind": [np.int8(1)],
+                "n_matched": [np.int64(len(pairs))],
+                "n_late": [np.int64(late.sum())],
+            })
+            return pd.concat([nxt, summ], ignore_index=True)
+
+        ds = rd.read_parquet(
+            path, columns=["event_id", "ts", "user_id", "event_type"])
+        tagged = ds.map_batches(tag, batch_format="pandas")
+        if len(st_t):
+            tagged = tagged.union(rd.from_pandas(st_t))
+        out = (tagged.groupby("_ub")
+               .map_groups(bucket, batch_format="pandas")
+               .to_pandas())
+        if not len(out):
+            return 0, 0, _empty_state()
+        summ = out[out["kind"] == 1]
+        new_st = (out[out["kind"] == 0]
+                  [["event_id", "user_id", "ts_us", "side"]]
+                  .reset_index(drop=True))
+        return (int(summ["n_matched"].sum()), int(summ["n_late"].sum()),
+                new_st)

@@ -1,0 +1,217 @@
+"""Stream-stream windowed join: cross-cycle matching, watermark state
+eviction, resume byte-identity, pandas/dataset path equivalence, and
+late-row routing — beyond the DuckDB parity row (test_oracle_parity
+covers value equality of the full staged run)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _stage(tmp_path, batches):
+    """Write a list of event-row lists as ordered micro-batch files.
+    Rows: (event_id, ts_us, user_id, event_type)."""
+    d = tmp_path / "in"
+    d.mkdir(parents=True, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        df.to_parquet(d / f"batch-{i:03d}.parquet", index=False)
+    return str(d)
+
+
+def _matched(job) -> pd.DataFrame:
+    parts = []
+    for f in sorted(os.listdir(job.matched_dir)):
+        parts.append(pd.read_parquet(os.path.join(job.matched_dir, f)))
+    if not parts:
+        return pd.DataFrame()
+    out = pd.concat(parts, ignore_index=True)
+    return (out.sort_values(["req_id", "resp_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _sha(job) -> str:
+    h = hashlib.sha1()
+    for f in sorted(os.listdir(job.matched_dir)):
+        with open(os.path.join(job.matched_dir, f), "rb") as fh:
+            h.update(f.encode())
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def _job(tmp_path, input_dir, name, **kw):
+    from imagor_ray.pipelines.stream_join import StreamingJoinJob
+    return StreamingJoinJob(input_dir, str(tmp_path / name),
+                            window_s=100, **kw)   # window = 100 s
+
+
+W = 100 * 1_000_000  # window in µs
+
+
+class TestCrossCycleMatching:
+    def test_pair_straddling_cycles(self, ray_session, tmp_path):
+        # click in cycle 0, purchase in cycle 1 inside the window:
+        # emitted in cycle 1 from state
+        inp = _stage(tmp_path, [
+            [(1, 1_000_000, 7, "click")],
+            [(2, 50_000_000, 7, "purchase")],
+        ])
+        job = _job(tmp_path, inp, "s1")
+        t = job.run_all()
+        assert t == {"cycles": 2, "matched": 1, "late": 0}
+        m = _matched(job)
+        assert list(m["req_id"]) == [1] and list(m["resp_id"]) == [2]
+
+    def test_no_match_outside_window_or_user(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, 0, 7, "click"), (2, 0, 8, "click")],
+            [(3, W + 1_000_000, 7, "purchase"),   # window expired
+             (4, 50_000_000, 9, "purchase")],     # other user
+        ])
+        job = _job(tmp_path, inp, "s2")
+        assert job.run_all()["matched"] == 0
+
+    def test_right_before_left_never_matches(self, ray_session, tmp_path):
+        # strict b.ts > a.ts: purchase arriving in an EARLIER cycle (and
+        # earlier event time) can't match a later click
+        inp = _stage(tmp_path, [
+            [(1, 1_000_000, 7, "purchase")],
+            [(2, 2_000_000, 7, "click")],
+        ])
+        job = _job(tmp_path, inp, "s3")
+        assert job.run_all()["matched"] == 0
+
+
+class TestStateEviction:
+    def test_state_is_watermark_bounded(self, ray_session, tmp_path):
+        # 5 cycles, each 10 windows after the last: state never
+        # accumulates (evictable rows leave at every commit)
+        inp = _stage(tmp_path, [
+            [(10 * c, c * 10 * W, 7, "click"),
+             (10 * c + 1, c * 10 * W + 1, 7, "purchase")]
+            for c in range(5)
+        ])
+        job = _job(tmp_path, inp, "s4")
+        sizes = []
+        while (r := job.run_cycle()) is not None:
+            sizes.append(r["state_rows"])
+        # after each cycle the click is inside its own window of the
+        # watermark (kept) but everything older is gone
+        assert max(sizes) <= 2
+        # all 5 same-cycle pairs were still emitted
+        assert len(_matched(job)) == 5
+
+    def test_evicted_rows_cannot_resurface(self, ray_session, tmp_path):
+        # a click evicted by cycle 1's watermark must not match a
+        # purchase whose event time would have been in-window but which
+        # arrives late-but-on-time much later — the watermark proved no
+        # ON-TIME row can match it, and the late purchase is routed late
+        inp = _stage(tmp_path, [
+            [(1, 0, 7, "click")],
+            [(2, 20 * W, 7, "signup")],            # advances watermark
+            [(3, 50_000_000, 7, "purchase")],      # late arrival
+        ])
+        job = _job(tmp_path, inp, "s5")
+        t = job.run_all()
+        assert t["matched"] == 0
+        assert t["late"] == 1
+
+
+class TestResumeAndEngines:
+    def _batches(self):
+        rng = np.random.RandomState(11)
+        batches = []
+        eid = 0
+        for c in range(6):
+            rows = []
+            for _ in range(40):
+                rows.append((eid, c * 120_000_000 + int(rng.randint(0, 120_000_000)),
+                             int(rng.randint(0, 6)),
+                             str(rng.choice(["click", "purchase", "view"]))))
+                eid += 1
+            batches.append(rows)
+        return batches
+
+    def test_resume_mid_stream_is_byte_identical(self, ray_session, tmp_path):
+        batches = self._batches()
+        inp_a = _stage(tmp_path / "a", batches)
+        inp_b = _stage(tmp_path / "b", batches)
+
+        ref = _job(tmp_path, inp_a, "ref")
+        ref.run_all()
+
+        half = _job(tmp_path, inp_b, "res")
+        for _ in range(3):
+            half.run_cycle()
+        # a FRESH instance over the same state dir resumes and finishes
+        resumed = _job(tmp_path, inp_b, "res")
+        resumed.run_all()
+        assert _sha(resumed) == _sha(ref)
+        st = resumed.cp.load()
+        assert len(st["processed"]) == 6
+
+    def test_dataset_path_matches_pandas_path(self, ray_session, tmp_path):
+        batches = self._batches()
+        inp_a = _stage(tmp_path / "a", batches)
+        inp_b = _stage(tmp_path / "b", batches)
+
+        jp = _job(tmp_path, inp_a, "pd")                       # pandas
+        jd = _job(tmp_path, inp_b, "ds", ray_cycle_threshold=0,
+                  num_buckets=4)                               # dataset
+        tp, td = jp.run_all(), jd.run_all()
+        assert (tp["matched"], tp["late"]) == (td["matched"], td["late"])
+        mp, md = _matched(jp), _matched(jd)
+        pd.testing.assert_frame_equal(mp, md)
+        # committed state snapshots agree byte-for-byte too (canonical
+        # snapshot order is engine-independent)
+        sp = jp.cp.load_open_sessions()
+        sd = jd.cp.load_open_sessions()
+        pd.testing.assert_frame_equal(sp, sd)
+
+    def test_replay_after_crashed_commit_overwrites_same_bytes(
+            self, ray_session, tmp_path):
+        # crash BETWEEN the matched write and the checkpoint commit
+        # (cp.save raises): cycle 1's output files and its staged-but-
+        # unreferenced state snapshot are on disk, the checkpoint still
+        # points at cycle 0 — the replay must re-run cycle 1 against
+        # the committed pre-cycle state and overwrite the same files
+        # with identical bytes
+        batches = self._batches()
+        inp = _stage(tmp_path, batches)
+        job = _job(tmp_path, inp, "cr")
+        job.run_cycle()
+        orig_save = job.cp.save
+        job.cp.save = lambda state: (_ for _ in ()).throw(
+            OSError("injected crash before commit"))
+        with pytest.raises(OSError):
+            job.run_cycle()
+        sha_crashed = _sha(job)
+        job.cp.save = orig_save
+
+        job2 = _job(tmp_path, inp, "cr")
+        assert len(job2.cp.load()["processed"]) == 1   # commit was lost
+        job2.run_cycle()                               # replays cycle 1
+        assert _sha(job2) == sha_crashed
+        assert len(job2.cp.load()["processed"]) == 2
+
+
+class TestLateRouting:
+    def test_late_rows_counted_not_joined(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, 10 * W, 7, "click")],
+            # arrives after watermark passed its ts -> late, excluded
+            [(2, 1_000_000, 7, "purchase"),
+             (3, 10 * W + 1000, 7, "purchase")],   # on-time, matches
+        ])
+        job = _job(tmp_path, inp, "s6")
+        t = job.run_all()
+        assert t["late"] == 1
+        m = _matched(job)
+        assert list(m["resp_id"]) == [3]
