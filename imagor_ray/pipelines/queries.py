@@ -2660,8 +2660,9 @@ _DRIVER_WINDOW = [
     # join variants (anti_join_events_urgent stays sweep-verified; the
     # round-5 range join takes the window slot — newest shape first)
     "asof_events_orders", "range_join_repeat_orders",
-    # window analytics
-    "group_sample", "q13_customer_distribution", "error_context",
+    # window analytics + streaming (stream_stream_join is the round-5
+    # watermark-state join; error_context stays sweep-verified)
+    "group_sample", "q13_customer_distribution", "stream_stream_join",
     "topk_orders_per_customer", "time_weighted_value",
     "heavy_hitter_tokens", "attribution_last_touch",
     "running_customer_revenue",
