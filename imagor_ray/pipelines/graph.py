@@ -36,7 +36,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["pagerank", "pagerank_sql", "butterfly_count", "BUTTERFLY_SQL"]
+__all__ = ["pagerank", "pagerank_sql", "butterfly_count", "BUTTERFLY_SQL",
+           "bfs_hops", "BFS_HOPS_SQL"]
 
 _PR0 = 1_000_000
 _DAMP_NUM = 850          # 0.85 in milli
@@ -397,4 +398,130 @@ WITH e AS (
 SELECT CAST(SUM(w) AS BIGINT) AS n_wedges,
        CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS n_butterflies
 FROM w
+"""
+
+
+def bfs_hops(sf_dir: str, rounds: int = 3,
+             num_buckets: int = 32) -> pd.DataFrame:
+    """Distributed BFS hop distance from a deterministic seed (the
+    lowest-id customer node) over the undirected purchase graph —
+    the frontier-expansion iterative shape (components is min-label
+    propagation, pagerank is damped value flow; BFS completes the
+    family). Output: node_type, node_id, hops (min #edges from the
+    seed, capped at ``rounds``) for every reached node.
+
+    Round topology mirrors pagerank: exchange 1 co-groups (frontier,
+    edges) on the src bucket to emit (dst, k) offers — the frontier
+    probe is one vectorized ``isin`` per bucket; exchange 2 co-groups
+    (offers, state) on the dst bucket and folds min-hop per node. The
+    frontier is the previous round's newly-discovered nodes only, so
+    offer volume is bounded by the frontier's out-edges, and state rows
+    carry (node, dist) — never a broadcast set, never a driver
+    materialization inside the loop. The ``repartition(num_buckets)``
+    bound before each materialize is the pagerank lesson: without it
+    state's block count doubles per round and per-block fixed costs
+    explode.
+
+    DuckDB mirror: ``WITH RECURSIVE`` over the same edge derivation
+    with UNION (distinct) semantics; ``MIN(hops)`` per node equals
+    BFS first-discovery depth.
+    """
+    edges = _edges(sf_dir, num_buckets)
+
+    def bmin(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.loc[b["src"] % 2 == 0, "src"]
+        if not len(c):
+            return pd.DataFrame({"m": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"m": [np.int64(c.min())]})
+
+    # O(#blocks) rows to the driver for the seed scalar only
+    seed = int(edges.map_batches(bmin, batch_format="pandas")
+               .to_pandas()["m"].min())
+
+    state = rd.from_pandas(pd.DataFrame({
+        "node": np.array([seed], dtype="int64"),
+        "dist": np.array([0], dtype="int64"),
+    })).materialize()
+
+    for k in range(1, rounds + 1):
+        def tag_frontier(b: pd.DataFrame, k=k) -> pd.DataFrame:
+            f = b[b["dist"] == k - 1]
+            n = f["node"].to_numpy(dtype="int64")
+            return pd.DataFrame({
+                "key": n, "kind": np.zeros(len(f), dtype=np.int8),
+                "dst": np.full(len(f), -1, dtype="int64"),
+                "_eb": (n % num_buckets).astype(np.int32),
+            })
+
+        def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+            s = b["src"].to_numpy(dtype="int64")
+            return pd.DataFrame({
+                "key": s, "kind": np.ones(len(b), dtype=np.int8),
+                "dst": b["dst"].to_numpy(dtype="int64"),
+                "_eb": (s % num_buckets).astype(np.int32),
+            })
+
+        def offer(g: pd.DataFrame, k=k) -> pd.DataFrame:
+            fr = g.loc[g["kind"] == 0, "key"]
+            ed = g[g["kind"] == 1]
+            hit = ed.loc[ed["key"].isin(fr), "dst"]
+            d = np.unique(hit.to_numpy(dtype="int64"))
+            return pd.DataFrame({
+                "node": d,
+                "dist": np.full(len(d), k, dtype="int64"),
+                "_nb": (d % num_buckets).astype(np.int32),
+            })
+
+        def state_rows(b: pd.DataFrame) -> pd.DataFrame:
+            n = b["node"].to_numpy(dtype="int64")
+            return pd.DataFrame({
+                "node": n, "dist": b["dist"].to_numpy(dtype="int64"),
+                "_nb": (n % num_buckets).astype(np.int32),
+            })
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("node", sort=False)["dist"].min()
+            return pd.DataFrame({
+                "node": s.index.to_numpy(dtype="int64"),
+                "dist": s.to_numpy(dtype="int64"),
+            })
+
+        tagged = (state.map_batches(tag_frontier, batch_format="pandas")
+                  .union(edges.map_batches(tag_edges,
+                                           batch_format="pandas")))
+        offers = (tagged.groupby("_eb")
+                  .map_groups(lambda g: offer(g.drop(columns=["_eb"])),
+                              batch_format="pandas"))
+        merged = offers.union(
+            state.map_batches(state_rows, batch_format="pandas"))
+        state = (merged.groupby("_nb")
+                 .map_groups(lambda g: fold(g.drop(columns=["_nb"])),
+                             batch_format="pandas")
+                 .repartition(num_buckets)
+                 .materialize())
+
+    out = state.to_pandas()
+    return (pd.DataFrame({
+        "node_type": np.where(out["node"] % 2 == 0, "customer", "supplier"),
+        "node_id": (out["node"] // 2).astype("int64"),
+        "hops": out["dist"].astype("int64"),
+    }).sort_values(["node_type", "node_id"]).reset_index(drop=True))
+
+
+BFS_HOPS_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), walk(node, hops) AS (
+  SELECT CAST((SELECT MIN(src) FROM e WHERE src % 2 = 0) AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 3
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         AS node_type,
+       node // 2 AS node_id, CAST(MIN(hops) AS BIGINT) AS hops
+FROM walk GROUP BY 1, 2 ORDER BY 1, 2
 """

@@ -1402,6 +1402,12 @@ ORDER BY req_id, resp_id
 
 
 from .graph import BUTTERFLY_SQL as _BUTTERFLY_SQL_REF  # noqa: E402
+from .graph import BFS_HOPS_SQL as _BFS_HOPS_SQL_REF  # noqa: E402
+
+
+def _q_bfs_hops(sf_dir: str):
+    from .graph import bfs_hops
+    return bfs_hops(sf_dir)
 
 
 # strictly-later same-customer orders inside a 90-day follow-up window;
@@ -2602,6 +2608,7 @@ QUERIES = {
     "range_join_repeat_orders": _q_range_join,
     "butterfly_count": _q_butterflies,
     "stream_stream_join": _q_stream_stream_join,
+    "bfs_hops": _q_bfs_hops,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2783,6 +2790,7 @@ ORACLES = {
     "range_join_repeat_orders": _RANGE_JOIN_SQL,
     "butterfly_count": _BUTTERFLY_SQL_REF,
     "stream_stream_join": _STREAM_JOIN_SQL,
+    "bfs_hops": _BFS_HOPS_SQL_REF,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,

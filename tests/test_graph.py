@@ -116,3 +116,28 @@ class TestButterflyCount:
         pairs = [(1, 10), (1, 10), (2, 10), (3, 10), (3, 10)]
         w, b = self._run(pairs, tmp_path)
         assert (w, b) == (3, 0)
+
+
+class TestBfsHops:
+    def test_path_graph_depth_cap_and_unreachable(self, ray_session, tmp_path):
+        import pandas as pd
+
+        # chain c0-s0-c1-s1-c2 (+ an unreachable island c9-s9): from
+        # seed c0 (lowest customer), hops are s0=1, c1=2, s1=3; c2 is
+        # 4 hops away — beyond the cap — and the island never appears
+        pairs = [(0, 0), (1, 0), (1, 1), (2, 1), (9, 9)]
+        od = pd.DataFrame({"o_orderkey": range(len(pairs)),
+                           "o_custkey": [p[0] for p in pairs]})
+        li = pd.DataFrame({"l_orderkey": range(len(pairs)),
+                           "l_suppkey": [p[1] for p in pairs]})
+        d = tmp_path / "bfs"
+        d.mkdir()
+        od.to_parquet(d / "orders.parquet", index=False)
+        li.to_parquet(d / "lineitem.parquet", index=False)
+
+        from imagor_ray.pipelines.graph import bfs_hops
+        got = bfs_hops(str(d))
+        want = {("customer", 0): 0, ("supplier", 0): 1,
+                ("customer", 1): 2, ("supplier", 1): 3}
+        assert {(r.node_type, r.node_id): r.hops
+                for r in got.itertuples()} == want
