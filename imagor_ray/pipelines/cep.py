@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["tool_sequence_matches"]
+__all__ = ["tool_sequence_matches", "click_abandonment"]
 
 
 def tool_sequence_matches(
@@ -85,3 +85,79 @@ def tool_sequence_matches(
         .groupby("_cb")
         .map_groups(match_bucket, batch_format="pandas")
     )
+
+
+def click_abandonment(sf_dir: str, window_s: int = 21600,
+                      num_buckets: int = 32) -> rd.Dataset:
+    """CEP NEGATION (absence detection): clicks that are NOT followed
+    by a purchase of the same user inside the event-time window
+    (ts, ts + window) — the timeout/abandonment pattern
+    ``tool_sequence_matches`` (presence) doesn't cover, and the
+    time-banded sibling of the pure hash anti-join.
+
+    One user-bucket co-group (the temporal-join family's documented
+    partitioning: a user's window-scale history is bucket-complete);
+    inside a bucket, every click is positioned against the
+    (user-rank, ts) sorted purchases with two ``searchsorted`` probes
+    and survives iff its span is empty — vectorized absence, no
+    per-user loop, no pair materialization at all (the probe only
+    needs span WIDTH, and the absent rows are the output).
+
+    Output: event_id, user_id, ts of the abandoned clicks.
+    """
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    w = np.int64(window_s * 1_000_000)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy()
+        keep = (t == "click") | (t == "purchase")
+        uid = b["user_id"].to_numpy(dtype="int64")[keep]
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(dtype="int64")[keep],
+            "user_id": uid,
+            "ts_us": b["ts"].astype("datetime64[us]")
+            .astype("int64").to_numpy()[keep],
+            "side": np.where(t[keep] == "click", 0, 1).astype(np.int8),
+            "_ub": (uid % num_buckets).astype(np.int32),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cl = g[g["side"] == 0]
+        pu = g[g["side"] == 1]
+        out_empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+        })
+        if not len(cl):
+            return out_empty
+        c_uid = cl["user_id"].to_numpy(dtype="int64")
+        c_us = cl["ts_us"].to_numpy(dtype="int64")
+        if len(pu):
+            p_uid = pu["user_id"].to_numpy(dtype="int64")
+            p_us = pu["ts_us"].to_numpy(dtype="int64")
+            uniq = np.unique(np.concatenate([c_uid, p_uid]))
+            base = np.int64(min(c_us.min(), p_us.min())) - 1
+            k = np.int64(max(c_us.max(), p_us.max()) - base + w + 2)
+            comp_p = np.sort(np.searchsorted(uniq, p_uid).astype(np.int64)
+                             * k + (p_us - base))
+            cr = np.searchsorted(uniq, c_uid).astype(np.int64)
+            lo = np.searchsorted(comp_p, cr * k + (c_us + 1 - base))
+            hi = np.searchsorted(comp_p, cr * k + (c_us + w - 1 - base),
+                                 "right")
+            absent = hi == lo
+        else:
+            absent = np.ones(len(cl), dtype=bool)
+        return pd.DataFrame({
+            "event_id": cl["event_id"].to_numpy(dtype="int64")[absent],
+            "user_id": c_uid[absent],
+            "ts": pd.Series(c_us[absent]).astype("datetime64[us]"),
+        })
+
+    return (events.map_batches(tag, batch_format="pandas")
+            .groupby("_ub")
+            .map_groups(lambda g: bucket(g.drop(columns=["_ub"])),
+                        batch_format="pandas"))

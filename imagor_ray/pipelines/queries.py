@@ -1410,6 +1410,25 @@ def _q_bfs_hops(sf_dir: str):
     return bfs_hops(sf_dir)
 
 
+def _q_click_abandonment(sf_dir: str):
+    from .cep import click_abandonment
+    return click_abandonment(sf_dir)
+
+
+# CEP negation: clicks with NO purchase in the open interval
+# (ts, ts + 6h) — boundary semantics mirror the engine's integer-µs
+# probes exactly (strict on both ends)
+_ABANDONMENT_SQL = """
+SELECT a.event_id, a.user_id, a.ts
+FROM events a
+WHERE a.event_type = 'click' AND NOT EXISTS (
+  SELECT 1 FROM events b
+  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+    AND b.ts > a.ts AND b.ts < a.ts + INTERVAL 6 HOUR)
+ORDER BY event_id
+"""
+
+
 # strictly-later same-customer orders inside a 90-day follow-up window;
 # integer milli-unit value sums so the engine/oracle hash is bitwise
 _RANGE_JOIN_SQL = """
@@ -2609,6 +2628,7 @@ QUERIES = {
     "butterfly_count": _q_butterflies,
     "stream_stream_join": _q_stream_stream_join,
     "bfs_hops": _q_bfs_hops,
+    "click_abandonment": _q_click_abandonment,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2791,6 +2811,7 @@ ORACLES = {
     "butterfly_count": _BUTTERFLY_SQL_REF,
     "stream_stream_join": _STREAM_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
+    "click_abandonment": _ABANDONMENT_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,

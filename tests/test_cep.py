@@ -55,3 +55,32 @@ class TestFunnel:
             ("c1", "purchase", "2024-01-01 10:20:00"),
         ]))
         assert got == {"c1": 1}
+
+
+class TestClickAbandonment:
+    def _run(self, rows, tmp_path):
+        import pandas as pd
+
+        df = pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        d = tmp_path / "ab"
+        d.mkdir()
+        df.to_parquet(d / "events.parquet", index=False)
+        from imagor_ray.pipelines.cep import click_abandonment
+        out = click_abandonment(str(d)).to_pandas()
+        return sorted(out["event_id"]) if len(out) else []
+
+    def test_boundaries_are_strict(self, ray_session, tmp_path):
+        W = 21600 * 1_000_000
+        rows = [
+            (1, 0, 7, "click"),          # purchase AT ts -> no rescue
+            (2, 0, 7, "purchase"),
+            (3, 10 * W, 8, "click"),     # purchase AT ts+W -> no rescue
+            (4, 10 * W + W, 8, "purchase"),
+            (5, 20 * W, 9, "click"),     # purchase strictly inside -> rescued
+            (6, 20 * W + 1, 9, "purchase"),
+            (7, 30 * W, 10, "click"),    # other user's purchase -> no rescue
+            (8, 30 * W + 5, 11, "purchase"),
+        ]
+        assert self._run(rows, tmp_path) == [1, 3, 7]
