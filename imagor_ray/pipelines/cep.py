@@ -22,7 +22,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-__all__ = ["tool_sequence_matches", "click_abandonment"]
+__all__ = ["tool_sequence_matches", "click_abandonment",
+           "conversion_latency_quantiles"]
 
 
 def tool_sequence_matches(
@@ -161,3 +162,98 @@ def click_abandonment(sf_dir: str, window_s: int = 21600,
             .groupby("_ub")
             .map_groups(lambda g: bucket(g.drop(columns=["_ub"])),
                         batch_format="pandas"))
+
+
+def conversion_latency_quantiles(
+        sf_dir: str, window_s: int = 21600, num_buckets: int = 32,
+        pcts: tuple = (50, 90, 99)) -> pd.DataFrame:
+    """Funnel-timing quantiles: the exact p50/p90/p99 of the
+    click→FIRST-purchase latency (seconds, floored) inside the open
+    (ts, ts + 6h) window — the composition the CEP family feeds
+    (band-join → per-anchor min → bounded-integer-domain exact global
+    quantile, the ``quality_filter`` pattern: latency lives in
+    [0, window_s), so the FULL histogram is ≤ window_s rows to the
+    driver regardless of corpus size, and the k-th-smallest pick with
+    ``k = ceil(pct·n/100)`` is SQL-row_number-identical).
+
+    The per-anchor minimum costs nothing extra: the probe's ``lo``
+    position IS the earliest same-user purchase after the click
+    (the right side is (user-rank, ts) sorted), so no pair rows and
+    no per-anchor aggregation exist at all.
+
+    Output: pct, latency_s (one row per requested percentile).
+    """
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    w = np.int64(window_s * 1_000_000)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy()
+        keep = (t == "click") | (t == "purchase")
+        uid = b["user_id"].to_numpy(dtype="int64")[keep]
+        return pd.DataFrame({
+            "user_id": uid,
+            "ts_us": b["ts"].astype("datetime64[us]")
+            .astype("int64").to_numpy()[keep],
+            "side": np.where(t[keep] == "click", 0, 1).astype(np.int8),
+            "_ub": (uid % num_buckets).astype(np.int32),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"latency_s": pd.Series([], dtype="int64"),
+                              "c": pd.Series([], dtype="int64"),
+                              "_hb": pd.Series([], dtype="int64")})
+        cl = g[g["side"] == 0]
+        pu = g[g["side"] == 1]
+        if not len(cl) or not len(pu):
+            return empty
+        c_uid = cl["user_id"].to_numpy(dtype="int64")
+        c_us = cl["ts_us"].to_numpy(dtype="int64")
+        p_uid = pu["user_id"].to_numpy(dtype="int64")
+        p_us = pu["ts_us"].to_numpy(dtype="int64")
+        uniq = np.unique(np.concatenate([c_uid, p_uid]))
+        base = np.int64(min(c_us.min(), p_us.min())) - 1
+        k = np.int64(max(c_us.max(), p_us.max()) - base + w + 2)
+        comp = np.searchsorted(uniq, p_uid).astype(np.int64) * k \
+            + (p_us - base)
+        order = np.argsort(comp, kind="stable")
+        comp, p_us_s = comp[order], p_us[order]
+        cr = np.searchsorted(uniq, c_uid).astype(np.int64)
+        lo = np.searchsorted(comp, cr * k + (c_us + 1 - base))
+        hi = np.searchsorted(comp, cr * k + (c_us + w - 1 - base), "right")
+        m = lo < hi
+        if not m.any():
+            return empty
+        lat = (p_us_s[lo[m]] - c_us[m]) // 1_000_000
+        v, c = np.unique(lat, return_counts=True)
+        return pd.DataFrame({"latency_s": v.astype("int64"),
+                             "c": c.astype("int64"),
+                             "_hb": v // np.int64(64)})
+
+    def reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("latency_s", sort=False)["c"].sum()
+        return pd.DataFrame({"latency_s": s.index.to_numpy(dtype="int64"),
+                             "c": s.to_numpy(dtype="int64")})
+
+    h = (events.map_batches(tag, batch_format="pandas")
+         .groupby("_ub")
+         .map_groups(lambda g: bucket(g.drop(columns=["_ub"])),
+                     batch_format="pandas")
+         .groupby("_hb")
+         .map_groups(lambda g: reduce_hist(g.drop(columns=["_hb"])),
+                     batch_format="pandas")
+         .to_pandas().sort_values("latency_s"))
+    if not len(h):
+        return pd.DataFrame({"pct": pd.Series([], dtype="int64"),
+                             "latency_s": pd.Series([], dtype="int64")})
+    n = int(h["c"].sum())
+    cum = h["c"].cumsum()
+    out = []
+    for p in pcts:
+        kth = (n * p + 99) // 100
+        out.append((p, int(h.loc[cum >= kth, "latency_s"].iloc[0])))
+    return pd.DataFrame({"pct": np.array([o[0] for o in out], dtype="int64"),
+                         "latency_s": np.array([o[1] for o in out],
+                                               dtype="int64")})

@@ -1415,6 +1415,34 @@ def _q_click_abandonment(sf_dir: str):
     return click_abandonment(sf_dir)
 
 
+def _q_conversion_latency(sf_dir: str):
+    from .cep import conversion_latency_quantiles
+    return conversion_latency_quantiles(sf_dir)
+
+
+# k-th smallest with k = ceil(pct·n/100) — the engine's histogram pick
+# is row_number-identical by construction
+_CONVERSION_LATENCY_SQL = """
+WITH lat AS (
+  SELECT a.event_id,
+         MIN((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000) AS latency_s
+  FROM events a JOIN events b
+    ON b.user_id = a.user_id AND b.event_type = 'purchase'
+   AND b.ts > a.ts AND b.ts < a.ts + INTERVAL 6 HOUR
+  WHERE a.event_type = 'click'
+  GROUP BY 1
+), r AS (
+  SELECT latency_s, row_number() OVER (ORDER BY latency_s) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT CAST(p.pct AS BIGINT) AS pct, CAST(r.latency_s AS BIGINT) AS latency_s
+FROM (VALUES (50), (90), (99)) p(pct)
+JOIN r ON r.rn = (r.n * p.pct + 99) // 100
+ORDER BY pct
+"""
+
+
 # CEP negation: clicks with NO purchase in the open interval
 # (ts, ts + 6h) — boundary semantics mirror the engine's integer-µs
 # probes exactly (strict on both ends)
@@ -2629,6 +2657,7 @@ QUERIES = {
     "stream_stream_join": _q_stream_stream_join,
     "bfs_hops": _q_bfs_hops,
     "click_abandonment": _q_click_abandonment,
+    "conversion_latency_quantiles": _q_conversion_latency,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2812,6 +2841,7 @@ ORACLES = {
     "stream_stream_join": _STREAM_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
     "click_abandonment": _ABANDONMENT_SQL,
+    "conversion_latency_quantiles": _CONVERSION_LATENCY_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,

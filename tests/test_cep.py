@@ -84,3 +84,31 @@ class TestClickAbandonment:
             (8, 30 * W + 5, 11, "purchase"),
         ]
         assert self._run(rows, tmp_path) == [1, 3, 7]
+
+
+class TestConversionLatency:
+    def test_min_latency_and_kth_pick(self, ray_session, tmp_path):
+        import pandas as pd
+
+        # user 7: click at 0 with purchases at 10s and 20s -> min 10;
+        # user 8: click at 0, purchase at 100s -> 100;
+        # user 9: click at 0, purchase at 3600s -> 3600
+        S = 1_000_000
+        rows = [
+            (1, 0, 7, "click"), (2, 10 * S, 7, "purchase"),
+            (3, 20 * S, 7, "purchase"),
+            (4, 0, 8, "click"), (5, 100 * S, 8, "purchase"),
+            (6, 0, 9, "click"), (7, 3600 * S, 9, "purchase"),
+        ]
+        df = pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        d = tmp_path / "lat"
+        d.mkdir()
+        df.to_parquet(d / "events.parquet", index=False)
+        from imagor_ray.pipelines.cep import conversion_latency_quantiles
+        got = conversion_latency_quantiles(str(d))
+        # n=3: k(50)=ceil(1.5)=2 -> 100; k(90)=ceil(2.7)=3 -> 3600;
+        # k(99)=ceil(2.97)=3 -> 3600
+        assert dict(zip(got["pct"], got["latency_s"])) == {
+            50: 100, 90: 3600, 99: 3600}
