@@ -47,6 +47,7 @@ __all__ = [
     "ngram_jaccard_pairs_ds",
     "dedup_components",
     "contamination",
+    "substring_span_coverage",
     "NUM_HASHES",
     "BAND_SIZE",
 ]
@@ -1136,4 +1137,149 @@ def source_normalize_stats(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     return (src_ds.map_batches(partial, batch_format="pandas")
             .groupby("_cb")
             .map_groups(lambda g: reduce_bucket(g.drop(columns=["_cb"])),
+                        batch_format="pandas"))
+
+
+def substring_span_coverage(sf_dir: str, n: int = 8,
+                            num_buckets: int = 64,
+                            doc_buckets: int = 32) -> rd.Dataset:
+    """Exact substring-duplication coverage — the span-dedup statistic
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): for every document, how many of its token
+    positions lie inside SOME word ``n``-gram that occurs at least
+    twice anywhere in the corpus (any document, any position —
+    within-doc repeats count). The coverage count is what the span-
+    removal pass would delete; reporting it keeps the op a pure
+    SQL-mirrorable function of the corpus.
+
+    Scale topology (contamination's gram shuffle + a doc-bucket fold):
+
+    - one map emits every gram INSTANCE (gram, doc_id, pos) — instance
+      volume is the token count of the corpus, shuffled ONCE on
+      ``crc32(gram) % num_buckets`` so each gram's global occurrence
+      count is bucket-local;
+    - the gram bucket keeps instances of grams with count ≥ 2 (a
+      pandas factorize + bincount, no per-gram loop) and re-buckets
+      the survivors by doc;
+    - the doc bucket co-groups (duplicated instances, per-doc length
+      rows riding the same exchange) and computes each doc's covered-
+      position count as ONE vectorized interval-union pass: instances
+      are lifted onto a composite axis ``doc_rank · stride + pos``
+      (stride > max_len + n, so docs can't touch), sorted once, and
+      merged with the running-cummax trick; per-doc sums come from a
+      bincount — never a per-doc loop, and the doc×gram pair blowup of
+      the naive join never materializes.
+
+    Output: doc_id, n_tokens, n_dup_tokens (zero-preserving: every doc
+    gets a row).
+    """
+    from ..functions.hashing import crc32_of_strings
+
+    docs = _read_docs(sf_dir)
+
+    _A1 = np.uint64(0x100000001B3)            # FNV-1a prime
+    _A2 = np.uint64(0x9E3779B97F4A7C15)       # golden-ratio odd constant
+
+    def gram_instances(b: pd.DataFrame) -> pd.DataFrame:
+        """Gram identity is a DOUBLE 64-bit rolling polynomial over the
+        per-word crc32→splitmix64 hashes — no gram strings are ever
+        built or shuffled (the md5-style collision assumption the
+        engine's minhash oracle already documents; 2⁻¹²⁸ per pair).
+        Fully vectorized: one C-call crc pass per token, then n shifted
+        multiply-adds over the flattened token axis."""
+        ids = b["doc_id"].to_numpy(dtype="int64")
+        word_lists = [t.split(" ") for t in b["text"]]
+        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+        flat = [w for ws in word_lists for w in ws]
+        wh = _splitmix64(crc32_of_strings(flat).astype(np.uint64)) \
+            if flat else np.array([], dtype=np.uint64)
+        w2 = _splitmix64(wh ^ _A2)
+
+        n_starts = np.maximum(lens - n + 1, 0)
+        doc_idx = np.repeat(np.arange(len(ids)), n_starts)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        base = np.concatenate(
+            [[0], np.cumsum(n_starts)[:-1]]).astype(np.int64)
+        local = (np.arange(int(n_starts.sum()), dtype=np.int64)
+                 - np.repeat(base, n_starts))
+        g0 = np.repeat(offs, n_starts) + local
+        acc1 = np.zeros(len(g0), dtype=np.uint64)
+        acc2 = np.zeros(len(g0), dtype=np.uint64)
+        for k in range(n):
+            acc1 = acc1 * _A1 + wh[g0 + k]
+            acc2 = acc2 * _A2 + w2[g0 + k]
+        inst = pd.DataFrame({
+            "h1": acc1.view(np.int64),
+            "h2": acc2.view(np.int64),
+            "doc_id": ids[doc_idx],
+            "pos": local,
+            "kind": np.int8(0),
+            "_gb": (acc1 % np.uint64(num_buckets)).astype(np.int64),
+        })
+        # per-doc length rows bypass the gram shuffle: they carry
+        # kind=1 straight to the doc bucket via _gb = -1 - doc_bucket
+        # (the gram groupby sees them as their own tiny groups)
+        lrows = pd.DataFrame({
+            "h1": np.zeros(len(ids), dtype="int64"),
+            "h2": np.zeros(len(ids), dtype="int64"),
+            "doc_id": ids,
+            "pos": lens,                      # pos carries the length
+            "kind": np.int8(1),
+            "_gb": -1 - (ids % doc_buckets),
+        })
+        return pd.concat([inst, lrows], ignore_index=True)
+
+    def gram_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["kind"] == 1).any():
+            # a length group: forward unchanged to the doc exchange
+            out = g[["doc_id", "pos", "kind"]].copy()
+            out["_db"] = (out["doc_id"].to_numpy() % doc_buckets
+                          ).astype(np.int64)
+            return out
+        pair = np.stack([g["h1"].to_numpy(dtype="int64"),
+                         g["h2"].to_numpy(dtype="int64")], axis=1)
+        _, inv = np.unique(pair, axis=0, return_inverse=True)
+        cnt = np.bincount(inv)
+        keep = cnt[inv] >= 2
+        out = g.loc[keep, ["doc_id", "pos", "kind"]].copy()
+        out["_db"] = (out["doc_id"].to_numpy() % doc_buckets
+                      ).astype(np.int64)
+        return out
+
+    def doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lens = g[g["kind"] == 1]
+        inst = g[g["kind"] == 0]
+        doc_ids = lens["doc_id"].to_numpy(dtype="int64")
+        n_tokens = lens["pos"].to_numpy(dtype="int64")
+        n_dup = np.zeros(len(doc_ids), dtype=np.int64)
+        if len(inst):
+            order_docs = np.argsort(doc_ids, kind="stable")
+            sorted_docs = doc_ids[order_docs]
+            d = inst["doc_id"].to_numpy(dtype="int64")
+            p = inst["pos"].to_numpy(dtype="int64")
+            rk = np.searchsorted(sorted_docs, d)
+            stride = np.int64(n_tokens.max() + n + 2)
+            comp = rk * stride + p
+            o = np.argsort(comp, kind="stable")
+            starts = comp[o]
+            ends = starts + np.int64(n - 1)
+            prev = np.concatenate(
+                [[np.int64(-1)], np.maximum.accumulate(ends)[:-1]])
+            lo = np.maximum(starts, prev + 1)
+            contrib = np.clip(ends - lo + 1, 0, None)
+            sums = np.bincount(rk[o], weights=contrib.astype(np.float64),
+                               minlength=len(doc_ids)).astype(np.int64)
+            n_dup[order_docs] = sums
+        return pd.DataFrame({
+            "doc_id": doc_ids,
+            "n_tokens": n_tokens,
+            "n_dup_tokens": n_dup,
+        })
+
+    return (docs.map_batches(gram_instances, batch_format="pandas")
+            .groupby("_gb")
+            .map_groups(lambda g: gram_bucket(g.drop(columns=["_gb"])),
+                        batch_format="pandas")
+            .groupby("_db")
+            .map_groups(lambda g: doc_bucket(g.drop(columns=["_db"])),
                         batch_format="pandas"))

@@ -1420,6 +1420,38 @@ def _q_conversion_latency(sf_dir: str):
     return conversion_latency_quantiles(sf_dir)
 
 
+def _q_substring_span(sf_dir: str):
+    from .dedup import substring_span_coverage
+    return substring_span_coverage(sf_dir)
+
+
+# Lee et al. span-dedup coverage: positions inside any 8-gram occurring
+# >= 2 times corpus-wide (within-doc repeats count); 1-based SQL
+# positions vs 0-based engine positions cancel in the coverage count
+_SUBSTRING_SPAN_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i.i AS i, array_to_string(w[i.i:i.i + 7], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) i(i)
+), dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+), dupi AS (
+  SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dupg)
+), cov AS (
+  SELECT DISTINCT d.doc_id, s.p
+  FROM dupi d, LATERAL (SELECT unnest(range(d.i, d.i + 8)) AS p) s(p)
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dup_tokens
+FROM toks t LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY 1) c
+  ON c.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # k-th smallest with k = ceil(pct·n/100) — the engine's histogram pick
 # is row_number-identical by construction
 _CONVERSION_LATENCY_SQL = """
@@ -2658,6 +2690,7 @@ QUERIES = {
     "bfs_hops": _q_bfs_hops,
     "click_abandonment": _q_click_abandonment,
     "conversion_latency_quantiles": _q_conversion_latency,
+    "substring_span_coverage": _q_substring_span,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2842,6 +2875,7 @@ ORACLES = {
     "bfs_hops": _BFS_HOPS_SQL_REF,
     "click_abandonment": _ABANDONMENT_SQL,
     "conversion_latency_quantiles": _CONVERSION_LATENCY_SQL,
+    "substring_span_coverage": _SUBSTRING_SPAN_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,
