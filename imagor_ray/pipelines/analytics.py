@@ -23,7 +23,7 @@ __all__ = [
     "running_customer_revenue", "RUNNING_REVENUE_SQL",
     "profile_events", "PROFILE_EVENTS_SQL",
     "incremental_user_counts", "INCREMENTAL_COUNTS_SQL",
-    "skyline_orders", "SKYLINE_SQL",
+    "skyline_orders", "SKYLINE_SQL", "robust_value_stats",
 ]
 
 _7D_US = 7 * 86400 * 1_000_000
@@ -1086,3 +1086,86 @@ WHERE NOT EXISTS (
     AND (b.price_m < a.price_m OR b.o_orderdate < a.o_orderdate)
 )
 """
+
+
+def robust_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type location/scale — exact MEDIAN and MAD (median
+    absolute deviation) of the event value per event_type, the
+    outlier-resistant profiling pair (anomaly thresholds are usually
+    ``|x - median| > k·MAD``). A DEPENDENT two-pass aggregate: pass 2's
+    statistic is defined in terms of pass 1's result, so it can't fold
+    into one shuffle — the shape quality_filter's single global
+    quantile doesn't cover.
+
+    Both passes are the bounded-integer-domain histogram pattern:
+    milli-unit values live in the VALUE domain (≤ ~500k distinct),
+    so per-batch value-count partials reduce through one bucketed
+    groupby and the driver sees histograms bounded by the domain —
+    never by corpus size; the 5-entry median lut ships to pass 2
+    inside the task closure. k-th smallest with k = (n+1)//2 (lower
+    median), row_number-identical in the SQL mirror.
+
+    Output: event_type, n, median_milli, mad_milli.
+    """
+    import ray.data as rd
+
+    def _hist_reduce(ds: "rd.Dataset", col: str) -> pd.DataFrame:
+        def reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["event_type", col], sort=False)["c"].sum()
+            out = s.reset_index()
+            out["c"] = out["c"].astype("int64")
+            return out
+
+        return (ds.groupby("_hb")
+                .map_groups(lambda g: reduce_hist(g.drop(columns=["_hb"])),
+                            batch_format="pandas")
+                .to_pandas())
+
+    def _kth(h: pd.DataFrame, col: str) -> dict:
+        """Per-type lower median from a (event_type, value, c) frame."""
+        out = {}
+        for t, g in h.groupby("event_type", sort=False):
+            g = g.sort_values(col)
+            n = int(g["c"].sum())
+            k = (n + 1) // 2
+            out[t] = (int(g.loc[g["c"].cumsum() >= k, col].iloc[0]), n)
+        return out
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def hist_vm(b: pd.DataFrame) -> pd.DataFrame:
+        vm = np.floor(b["value"].to_numpy() * 1000).astype("int64")
+        s = (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "vm": vm})
+             .groupby(["event_type", "vm"], sort=False).size())
+        out = s.reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        out["_hb"] = out["vm"].to_numpy() // np.int64(8192)
+        return out
+
+    med = _kth(_hist_reduce(
+        events.map_batches(hist_vm, batch_format="pandas"), "vm"), "vm")
+
+    def hist_dev(b: pd.DataFrame) -> pd.DataFrame:
+        vm = np.floor(b["value"].to_numpy() * 1000).astype("int64")
+        t = b["event_type"].to_numpy()
+        m = pd.Series(t).map({k: v[0] for k, v in med.items()}
+                             ).to_numpy(dtype="int64")
+        s = (pd.DataFrame({"event_type": t, "d": np.abs(vm - m)})
+             .groupby(["event_type", "d"], sort=False).size())
+        out = s.reset_index(name="c")
+        out["c"] = out["c"].astype("int64")
+        out["_hb"] = out["d"].to_numpy() // np.int64(8192)
+        return out
+
+    mad = _kth(_hist_reduce(
+        events.map_batches(hist_dev, batch_format="pandas"), "d"), "d")
+
+    types = sorted(med)
+    return pd.DataFrame({
+        "event_type": types,
+        "n": np.array([med[t][1] for t in types], dtype="int64"),
+        "median_milli": np.array([med[t][0] for t in types], dtype="int64"),
+        "mad_milli": np.array([mad[t][0] for t in types], dtype="int64"),
+    })

@@ -1425,6 +1425,39 @@ def _q_substring_span(sf_dir: str):
     return substring_span_coverage(sf_dir)
 
 
+def _q_robust_stats(sf_dir: str):
+    from .analytics import robust_value_stats
+    return robust_value_stats(sf_dir)
+
+
+# lower median: k-th smallest with k = (n+1)//2, row_number-identical
+_ROBUST_STATS_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+), med AS (
+  SELECT event_type, vm AS median_milli FROM (
+    SELECT event_type, vm,
+           row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM v) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT v.event_type, abs(v.vm - m.median_milli) AS d
+  FROM v JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, d AS mad_milli FROM (
+    SELECT event_type, d,
+           row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev) WHERE rn = (n + 1) // 2
+)
+SELECT m.event_type, CAST(c.n AS BIGINT) AS n, m.median_milli, a.mad_milli
+FROM med m JOIN mad a USING (event_type)
+JOIN (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1) c
+  USING (event_type)
+ORDER BY event_type
+"""
+
+
 # Lee et al. span-dedup coverage: positions inside any 8-gram occurring
 # >= 2 times corpus-wide (within-doc repeats count); 1-based SQL
 # positions vs 0-based engine positions cancel in the coverage count
@@ -2691,6 +2724,7 @@ QUERIES = {
     "click_abandonment": _q_click_abandonment,
     "conversion_latency_quantiles": _q_conversion_latency,
     "substring_span_coverage": _q_substring_span,
+    "robust_value_stats": _q_robust_stats,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2876,6 +2910,7 @@ ORACLES = {
     "click_abandonment": _ABANDONMENT_SQL,
     "conversion_latency_quantiles": _CONVERSION_LATENCY_SQL,
     "substring_span_coverage": _SUBSTRING_SPAN_SQL,
+    "robust_value_stats": _ROBUST_STATS_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,

@@ -145,3 +145,26 @@ class TestSlidingDistinct:
         hr = int(ts.value // 1000 // 3_600_000_000)
         assert sorted(out["window_start_hr"]) == list(range(hr - 5, hr + 1))
         assert set(out["n_users"]) == {1}
+
+
+class TestRobustValueStats:
+    def test_lower_median_and_mad(self, ray_session, tmp_path):
+        import pandas as pd
+
+        # type 'a' (n=4, even -> k=2): vm = [1000, 2000, 3000, 9000],
+        # median = 2000; devs = [1000, 0, 1000, 7000] -> sorted
+        # [0,1000,1000,7000], k=2 -> MAD = 1000.
+        # type 'b' (n=3, odd -> k=2): vm = [5000, 5000, 8000] (tie),
+        # median = 5000; devs [0,0,3000] -> MAD = 0.
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 9.0),
+                ("b", 5.0), ("b", 5.0), ("b", 8.0)]
+        df = pd.DataFrame(rows, columns=["event_type", "value"])
+        d = tmp_path / "rv"
+        d.mkdir()
+        df.to_parquet(d / "events.parquet", index=False)
+        from imagor_ray.pipelines.analytics import robust_value_stats
+        got = robust_value_stats(str(d))
+        assert got.set_index("event_type").to_dict("index") == {
+            "a": {"n": 4, "median_milli": 2000, "mad_milli": 1000},
+            "b": {"n": 3, "median_milli": 5000, "mad_milli": 0},
+        }
