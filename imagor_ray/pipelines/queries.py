@@ -1356,9 +1356,32 @@ def _q_stream_stream_join(sf_dir: str):
     event-time-partitioned, so no rows are late and inner-join
     completeness holds)."""
     import os
-    import tempfile
 
     from .stream_join import StreamingJoinJob
+
+    d = _stage_event_days(sf_dir)
+    job = StreamingJoinJob(os.path.join(d, "in"),
+                           os.path.join(d, "state"))
+    job.run_all()
+    return rd.read_parquet(job.matched_dir)
+
+
+_STREAM_JOIN_SQL = """
+SELECT a.event_id AS req_id, b.event_id AS resp_id, a.user_id,
+       a.ts AS req_ts, b.ts AS resp_ts
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+ORDER BY req_id, resp_id
+"""
+
+
+def _stage_event_days(sf_dir: str) -> str:
+    """Per-day micro-batch staging shared by the stream-join entries
+    (distributed writes, one grouped task per day)."""
+    import os
+    import tempfile
 
     d = tempfile.mkdtemp(prefix="imray_sjoin_")
     input_dir = os.path.join(d, "in")
@@ -1385,18 +1408,37 @@ def _q_stream_stream_join(sf_dir: str):
         .map_groups(write_day, batch_format="pandas")
         .count()
     )
-    job = StreamingJoinJob(input_dir, os.path.join(d, "state"))
+    return d
+
+
+def _q_stream_stream_left_join(sf_dir: str):
+    """OUTER variant of the streaming join: matched pairs PLUS the
+    watermark-timeout emissions (unmatched clicks surfaced with the
+    -1 null-right sentinel when eviction proves no future match);
+    ``finalize()`` flushes the tail so the bounded catalog run equals
+    the batch LEFT JOIN exactly."""
+    import os
+
+    from .stream_join import StreamingJoinJob
+
+    d = _stage_event_days(sf_dir)
+    job = StreamingJoinJob(os.path.join(d, "in"),
+                           os.path.join(d, "state"))
     job.run_all()
-    return rd.read_parquet(job.matched_dir)
+    job.finalize()
+    cols = ["req_id", "resp_id", "user_id", "req_ts"]
+    return (rd.read_parquet(job.matched_dir, columns=cols)
+            .union(rd.read_parquet(job.timeout_dir, columns=cols)))
 
 
-_STREAM_JOIN_SQL = """
-SELECT a.event_id AS req_id, b.event_id AS resp_id, a.user_id,
-       a.ts AS req_ts, b.ts AS resp_ts
-FROM events a JOIN events b
-  ON b.user_id = a.user_id
+_STREAM_LEFT_JOIN_SQL = """
+SELECT a.event_id AS req_id,
+       CAST(COALESCE(b.event_id, -1) AS BIGINT) AS resp_id,
+       a.user_id, a.ts AS req_ts
+FROM events a LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.event_type = 'purchase'
  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
-WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+WHERE a.event_type = 'click'
 ORDER BY req_id, resp_id
 """
 
@@ -2720,6 +2762,7 @@ QUERIES = {
     "range_join_repeat_orders": _q_range_join,
     "butterfly_count": _q_butterflies,
     "stream_stream_join": _q_stream_stream_join,
+    "stream_stream_left_join": _q_stream_stream_left_join,
     "bfs_hops": _q_bfs_hops,
     "click_abandonment": _q_click_abandonment,
     "conversion_latency_quantiles": _q_conversion_latency,
@@ -2906,6 +2949,7 @@ ORACLES = {
     "range_join_repeat_orders": _RANGE_JOIN_SQL,
     "butterfly_count": _BUTTERFLY_SQL_REF,
     "stream_stream_join": _STREAM_JOIN_SQL,
+    "stream_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
     "click_abandonment": _ABANDONMENT_SQL,
     "conversion_latency_quantiles": _CONVERSION_LATENCY_SQL,

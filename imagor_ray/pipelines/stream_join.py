@@ -71,6 +71,9 @@ def _empty_state() -> pd.DataFrame:
         "user_id": pd.Series([], dtype="int64"),
         "ts_us": pd.Series([], dtype="int64"),
         "side": pd.Series([], dtype="int8"),   # 0 = left, 1 = right
+        # left rows only: 1 once the row has matched at least once —
+        # the OUTER join's timeout emission needs it at eviction time
+        "matched": pd.Series([], dtype="int8"),
     })
 
 
@@ -167,8 +170,10 @@ class StreamingJoinJob:
         if ray_cycle_threshold is not None:
             self.RAY_CYCLE_THRESHOLD = ray_cycle_threshold
         self.matched_dir = os.path.join(state_dir, "matched")
+        self.timeout_dir = os.path.join(state_dir, "timeout")
         self.late_dir = os.path.join(state_dir, "late")
         os.makedirs(self.matched_dir, exist_ok=True)
+        os.makedirs(self.timeout_dir, exist_ok=True)
         os.makedirs(self.late_dir, exist_ok=True)
 
     # -- plumbing shared with the session job ------------------------------
@@ -181,7 +186,12 @@ class StreamingJoinJob:
 
     def _load_state(self, state: dict) -> pd.DataFrame:
         st = self.cp.load_open_sessions(state)
-        return _empty_state() if st is None else st
+        if st is None:
+            return _empty_state()
+        if "matched" not in st.columns:   # pre-outer-join snapshots
+            st = st.copy()
+            st["matched"] = np.int8(0)
+        return st
 
     @staticmethod
     def _file_max_ts(path: str) -> int:
@@ -241,6 +251,13 @@ class StreamingJoinJob:
         keep_l = ((new_st["side"] == 0)
                   & (new_st["ts_us"] + self.window_us >= new_wm))
         keep_r = (new_st["side"] == 1) & (new_st["ts_us"] > new_wm)
+        # OUTER-join timeout emission: a left row evicted while still
+        # unmatched can never match (the eviction proof) — emit it as
+        # the null-right result NOW, byte-stably, before the commit
+        timed_out = new_st[(new_st["side"] == 0) & ~keep_l
+                           & (new_st["matched"] == 0)]
+        self._write_timeouts(timed_out, f"timeout-{cycle:05d}.parquet")
+        n_timeout = len(timed_out)
         # canonical snapshot order: byte-stable across replays AND
         # across the pandas/dataset execution paths
         new_st = (new_st[keep_l | keep_r]
@@ -255,6 +272,7 @@ class StreamingJoinJob:
         state["cycles"] = cycle + 1
         result = {"file": fname, "watermark_us": int(new_wm),
                   "matched": int(n_matched), "late": int(n_late),
+                  "timeout": int(n_timeout),
                   "state_rows": int(len(new_st))}
         state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
                                   + [result])
@@ -263,12 +281,36 @@ class StreamingJoinJob:
         return result
 
     def run_all(self) -> dict:
-        totals = {"cycles": 0, "matched": 0, "late": 0}
+        totals = {"cycles": 0, "matched": 0, "late": 0, "timeout": 0}
         while (r := self.run_cycle()) is not None:
             totals["cycles"] += 1
             totals["matched"] += r["matched"]
             totals["late"] += r["late"]
+            totals["timeout"] += r["timeout"]
         return totals
+
+    def finalize(self) -> int:
+        """End-of-stream flush for the OUTER join: every left row still
+        unmatched in the committed state gets its null-right timeout
+        emission (a real stream never ends; a bounded replay/catalog
+        run calls this once after the last cycle). Idempotent — the
+        write is a byte-stable overwrite from committed state."""
+        st = self._load_state(self.cp.load())
+        rest = st[(st["side"] == 0) & (st["matched"] == 0)]
+        self._write_timeouts(rest, "timeout-final.parquet")
+        return len(rest)
+
+    def _write_timeouts(self, rows: pd.DataFrame, fname: str) -> None:
+        out = pd.DataFrame({
+            "req_id": rows["event_id"].to_numpy(dtype="int64"),
+            "resp_id": np.full(len(rows), -1, dtype="int64"),
+            "user_id": rows["user_id"].to_numpy(dtype="int64"),
+            "req_ts": pd.Series(rows["ts_us"].to_numpy(dtype="int64"))
+            .astype("datetime64[us]"),
+        }).sort_values("req_id", kind="mergesort").reset_index(drop=True)
+        tmp = os.path.join(self.timeout_dir, fname + ".tmp")
+        out.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(self.timeout_dir, fname))
 
     # -- execution paths ----------------------------------------------------
 
@@ -285,6 +327,7 @@ class StreamingJoinJob:
             "user_id": on["user_id"].to_numpy(dtype="int64")[sel],
             "ts_us": on_us[sel],
             "side": np.full(int(sel.sum()), side, dtype=np.int8),
+            "matched": np.zeros(int(sel.sum()), dtype=np.int8),
         })
         return mk(tl, 0), mk(tr, 1), int(late.sum()), max_ts
 
@@ -298,6 +341,10 @@ class StreamingJoinJob:
             pairs, os.path.join(self.matched_dir,
                                 f"matched-{cycle:05d}.parquet"))
         new_st = pd.concat([st, new_l, new_r], ignore_index=True)
+        if len(pairs):
+            hit = (new_st["side"].to_numpy() == 0) & np.isin(
+                new_st["event_id"].to_numpy(), pairs["req_id"].unique())
+            new_st.loc[hit, "matched"] = np.int8(1)
         return len(pairs), n_late, new_st
 
     def _cycle_dataset(self, path: str, fname: str, wm: int, cycle: int,
@@ -324,6 +371,7 @@ class StreamingJoinJob:
                 "user_id": b["user_id"].to_numpy(dtype="int64")[keep],
                 "ts_us": us[keep],
                 "side": np.where(t[keep] == lt, 0, 1).astype(np.int8),
+                "matched": np.zeros(int(keep.sum()), dtype=np.int8),
                 "is_state": np.zeros(int(keep.sum()), dtype=np.int8),
             })
             out["_ub"] = (out["user_id"].to_numpy() % nb).astype(np.int32)
@@ -349,18 +397,20 @@ class StreamingJoinJob:
             pairs = _cycle_match(new_l, new_r, stp, wus)
             write_sorted(pairs, os.path.join(
                 mdir, f"matched-{cycle:05d}-{ub:02d}.parquet"))
-            nxt = pd.concat([
-                stp[["event_id", "user_id", "ts_us", "side"]],
-                new_l[["event_id", "user_id", "ts_us", "side"]],
-                new_r[["event_id", "user_id", "ts_us", "side"]],
-            ], ignore_index=True)
+            cols = ["event_id", "user_id", "ts_us", "side", "matched"]
+            nxt = pd.concat([stp[cols], new_l[cols], new_r[cols]],
+                            ignore_index=True)
+            if len(pairs):
+                hit = (nxt["side"].to_numpy() == 0) & np.isin(
+                    nxt["event_id"].to_numpy(), pairs["req_id"].unique())
+                nxt.loc[hit, "matched"] = np.int8(1)
             nxt["kind"] = np.int8(0)
             nxt["n_matched"] = np.int64(0)
             nxt["n_late"] = np.int64(0)
             summ = pd.DataFrame({
                 "event_id": [np.int64(-1)], "user_id": [np.int64(-1)],
                 "ts_us": [np.int64(-1)], "side": [np.int8(-1)],
-                "kind": [np.int8(1)],
+                "matched": [np.int8(0)], "kind": [np.int8(1)],
                 "n_matched": [np.int64(len(pairs))],
                 "n_late": [np.int64(late.sum())],
             })
@@ -378,7 +428,7 @@ class StreamingJoinJob:
             return 0, 0, _empty_state()
         summ = out[out["kind"] == 1]
         new_st = (out[out["kind"] == 0]
-                  [["event_id", "user_id", "ts_us", "side"]]
+                  [["event_id", "user_id", "ts_us", "side", "matched"]]
                   .reset_index(drop=True))
         return (int(summ["n_matched"].sum()), int(summ["n_late"].sum()),
                 new_st)

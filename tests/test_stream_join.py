@@ -65,7 +65,7 @@ class TestCrossCycleMatching:
         ])
         job = _job(tmp_path, inp, "s1")
         t = job.run_all()
-        assert t == {"cycles": 2, "matched": 1, "late": 0}
+        assert t == {"cycles": 2, "matched": 1, "late": 0, "timeout": 0}
         m = _matched(job)
         assert list(m["req_id"]) == [1] and list(m["resp_id"]) == [2]
 
@@ -215,3 +215,64 @@ class TestLateRouting:
         assert t["late"] == 1
         m = _matched(job)
         assert list(m["resp_id"]) == [3]
+
+
+def _timeouts(job) -> pd.DataFrame:
+    parts = []
+    for f in sorted(os.listdir(job.timeout_dir)):
+        parts.append(pd.read_parquet(os.path.join(job.timeout_dir, f)))
+    if not parts:
+        return pd.DataFrame()
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("req_id", kind="mergesort").reset_index(drop=True))
+
+
+class TestOuterTimeouts:
+    def test_timeout_emitted_at_eviction_not_finalize(
+            self, ray_session, tmp_path):
+        # click in cycle 0; cycle 1 advances the watermark far past its
+        # window -> the null-right emission happens DURING the stream
+        inp = _stage(tmp_path, [
+            [(1, 0, 7, "click")],
+            [(2, 20 * W, 7, "signup")],
+        ])
+        job = _job(tmp_path, inp, "t1")
+        t = job.run_all()
+        assert t["timeout"] == 1
+        m = _timeouts(job)
+        assert list(m["req_id"]) == [1]
+        assert list(m["resp_id"]) == [-1]
+
+    def test_matched_left_never_times_out(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, 0, 7, "click"), (2, 50, 7, "purchase")],
+            [(3, 20 * W, 7, "signup")],     # evicts the (matched) click
+        ])
+        job = _job(tmp_path, inp, "t2")
+        t = job.run_all()
+        assert (t["matched"], t["timeout"]) == (1, 0)
+        assert job.finalize() == 0
+
+    def test_finalize_flushes_unmatched_tail(self, ray_session, tmp_path):
+        # the last cycle's click is still inside its window at end of
+        # stream — only finalize() surfaces it
+        inp = _stage(tmp_path, [[(1, 0, 7, "click")]])
+        job = _job(tmp_path, inp, "t3")
+        t = job.run_all()
+        assert t["timeout"] == 0
+        assert job.finalize() == 1
+        assert list(_timeouts(job)["req_id"]) == [1]
+
+    def test_outer_partition_of_clicks(self, ray_session, tmp_path):
+        # over a random stream: matched ∪ timed-out = ALL clicks,
+        # disjoint (the LEFT-OUTER completeness invariant)
+        batches = TestResumeAndEngines._batches(TestResumeAndEngines())
+        inp = _stage(tmp_path, batches)
+        job = _job(tmp_path, inp, "t4")
+        job.run_all()
+        job.finalize()
+        matched = set(_matched(job)["req_id"])
+        timed = set(_timeouts(job)["req_id"])
+        all_clicks = {r[0] for b in batches for r in b if r[3] == "click"}
+        assert matched | timed == all_clicks
+        assert not (matched & timed)
