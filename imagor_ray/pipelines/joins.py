@@ -27,7 +27,8 @@ import pandas as pd
 import ray.data as rd
 
 __all__ = ["asof_join_events_orders", "error_context_window",
-           "anti_join_events_urgent", "range_join_repeat_orders"]
+           "anti_join_events_urgent", "range_join_repeat_orders",
+           "bloom_semi_join_events"]
 
 
 def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -478,3 +479,125 @@ def range_join_repeat_orders(sf_dir: str, num_buckets: int = 32,
         .map_groups(lambda g: fold(g.drop(columns=["_ob"])),
                     batch_format="pandas")
     )
+
+
+_BLOOM_BITS = 1 << 17            # 16 KiB bitmap
+_BLOOM_WORDS = _BLOOM_BITS >> 6
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent bit positions per key (splitmix64-style mixes of
+    the raw int64 key) — k=2 Bloom hashing, identical on build and
+    probe by construction."""
+    x = keys.astype(np.uint64)
+    a = x * np.uint64(0xBF58476D1CE4E5B9)
+    a ^= a >> np.uint64(31)
+    b = (x ^ np.uint64(0x94D049BB133111EB)) * np.uint64(0xD6E8FEB86659FD93)
+    b ^= b >> np.uint64(29)
+    m = np.uint64(_BLOOM_BITS - 1)
+    return (a & m).astype(np.int64), (b & m).astype(np.int64)
+
+
+def bloom_semi_join_events(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Sketch-PUSHDOWN exact semi-join (the Bloom-filter join pruning
+    Spark/Presto apply to selective build sides): events of customers
+    who placed an URGENT order, where the shuffle only ever carries
+    Bloom-filter SURVIVORS. Three stages:
+
+    1. build: per-batch partial 2¹⁷-bit Bloom bitmaps of the urgent
+       custkeys (k=2 vectorized bit sets), OR-merged through one
+       constant-key reduce of ≤ #blocks 16 KiB rows — the mergeable-
+       bitmap shape (HLL's registers, heavy-hitters' sketch, now the
+       join side);
+    2. probe: the broadcast bitmap filters events map-side — only
+       candidates (true members + the sketch's false positives) enter
+       the exchange;
+    3. verify: the candidate-only user-bucket co-group against the
+       DISTINCT urgent keys makes the result EXACT — false positives
+       die here, so the op is SQL-mirrorable despite the sketch (the
+       heavy-hitters superset-then-recount discipline).
+
+    Output: event_id, user_id, event_type — identical to the plain
+    semi-join; what the sketch buys at scale is the probe-side shuffle
+    volume (candidates ≈ true matches + n·2⁻¹⁰ false positives).
+    """
+    import ray
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    )
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def partial_bloom(b: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(
+            b.loc[b["o_orderpriority"] == "1-URGENT", "o_custkey"]
+            .to_numpy().astype(np.int64))
+        words = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+        if len(keys):
+            p1, p2 = _bloom_positions(keys)
+            for p in (p1, p2):
+                np.bitwise_or.at(words, p >> 6,
+                                 np.uint64(1) << (p.astype(np.uint64)
+                                                  & np.uint64(63)))
+        return pd.DataFrame({"bloom": [words.tobytes()], "_k": [0]})
+
+    def merge_bloom(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(_BLOOM_WORDS, dtype=np.uint64)
+        for raw in g["bloom"]:
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+        return pd.DataFrame({"bloom": [acc.tobytes()]})
+
+    merged = (orders.map_batches(partial_bloom, batch_format="pandas")
+              .groupby("_k")
+              .map_groups(lambda g: merge_bloom(g.drop(columns=["_k"])),
+                          batch_format="pandas")
+              .to_pandas())
+    words = np.frombuffer(merged["bloom"].iloc[0], dtype=np.uint64)
+    bloom_ref = ray.put(words)
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(bloom_ref)
+        keys = b["user_id"].to_numpy().astype(np.int64)
+        p1, p2 = _bloom_positions(keys)
+        hit = np.ones(len(keys), dtype=bool)
+        for p in (p1, p2):
+            hit &= (w[p >> 6] >> (p.astype(np.uint64) & np.uint64(63))
+                    ).astype(np.uint64) & np.uint64(1) == 1
+        out = b.loc[hit, ["event_id", "user_id", "event_type"]].copy()
+        out["key"] = out["user_id"].astype("int64")
+        out["side"] = np.int8(0)
+        out["_jb"] = (out["key"].to_numpy() % num_buckets).astype(np.int32)
+        return out
+
+    def tag_build(b: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(
+            b.loc[b["o_orderpriority"] == "1-URGENT", "o_custkey"]
+            .to_numpy().astype(np.int64))
+        return pd.DataFrame({
+            "event_id": np.full(len(key), -1, dtype=np.int64),
+            "user_id": key,
+            "event_type": np.full(len(key), "", dtype=object),
+            "key": key,
+            "side": np.ones(len(key), dtype=np.int8),
+            "_jb": (key % num_buckets).astype(np.int32),
+        })
+
+    def semi_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == 0]
+        build = g.loc[g["side"] == 1, "key"]
+        out = ev.loc[ev["key"].isin(build)]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(dtype="int64"),
+            "user_id": out["key"].to_numpy(dtype="int64"),
+            "event_type": out["event_type"].to_numpy(),
+        })
+
+    tagged = events.map_batches(probe, batch_format="pandas").union(
+        orders.map_batches(tag_build, batch_format="pandas"))
+    return (tagged.groupby("_jb")
+            .map_groups(lambda g: semi_bucket(g.drop(columns=["_jb"])),
+                        batch_format="pandas"))

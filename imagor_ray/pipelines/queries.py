@@ -1472,6 +1472,23 @@ def _q_robust_stats(sf_dir: str):
     return robust_value_stats(sf_dir)
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    from .joins import bloom_semi_join_events
+    return bloom_semi_join_events(sf_dir)
+
+
+# the sketch is an ACCELERATOR only — the verify stage makes the result
+# the plain semi-join, so the mirror is a plain EXISTS
+_BLOOM_SEMI_SQL = """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderpriority = '1-URGENT')
+ORDER BY event_id
+"""
+
+
 # lower median: k-th smallest with k = (n+1)//2, row_number-identical
 _ROBUST_STATS_SQL = """
 WITH v AS (
@@ -2768,6 +2785,7 @@ QUERIES = {
     "conversion_latency_quantiles": _q_conversion_latency,
     "substring_span_coverage": _q_substring_span,
     "robust_value_stats": _q_robust_stats,
+    "bloom_semi_join_events": _q_bloom_semi_join,
     "anti_join_events_urgent": anti_join_events_urgent,
     "group_sample": group_sample,
     "rolling_user_stats": rolling_user_stats,
@@ -2955,6 +2973,7 @@ ORACLES = {
     "conversion_latency_quantiles": _CONVERSION_LATENCY_SQL,
     "substring_span_coverage": _SUBSTRING_SPAN_SQL,
     "robust_value_stats": _ROBUST_STATS_SQL,
+    "bloom_semi_join_events": _BLOOM_SEMI_SQL,
     "anti_join_events_urgent": _ANTI_JOIN_SQL,
     "group_sample": _GROUP_SAMPLE_SQL,
     "rolling_user_stats": _ROLLING_SQL,

@@ -325,3 +325,41 @@ class TestRangeJoinRepeatOrders:
             .astype("int64").sort_values("order_key")
             .reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestBloomSemiJoin:
+    def test_false_positive_dies_in_verify(self, ray_session, tmp_path):
+        """Plant enough build keys that a Bloom false positive is
+        findable by brute force, give that key events, and assert the
+        exact verify stage excludes it while true members survive."""
+        from imagor_ray.pipelines.joins import (_bloom_positions,
+                                                _BLOOM_BITS)
+
+        members = np.arange(1, 1001, dtype=np.int64)
+        p1, p2 = _bloom_positions(members)
+        w = np.zeros(_BLOOM_BITS, dtype=bool)
+        w[p1] = True
+        w[p2] = True
+        cand = np.arange(10_000, 3_000_000, dtype=np.int64)
+        c1, c2 = _bloom_positions(cand)
+        fp = cand[w[c1] & w[c2]]
+        assert len(fp) > 0, "no false positive found — enlarge the scan"
+        fp = int(fp[0])
+
+        od = pd.DataFrame({
+            "o_custkey": members,
+            "o_orderpriority": "1-URGENT",
+        })
+        ev = pd.DataFrame({
+            "event_id": [1, 2],
+            "user_id": [int(members[0]), fp],
+            "event_type": ["click", "click"],
+        })
+        d = tmp_path / "bl"
+        d.mkdir()
+        od.to_parquet(d / "orders.parquet", index=False)
+        ev.to_parquet(d / "events.parquet", index=False)
+
+        from imagor_ray.pipelines.joins import bloom_semi_join_events
+        got = bloom_semi_join_events(str(d)).to_pandas()
+        assert list(got["event_id"]) == [1]   # fp excluded, member kept
