@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..functions.bandjoin import band_probe
+
 __all__ = ["tool_sequence_matches", "click_abandonment",
            "conversion_latency_quantiles"]
 
@@ -138,17 +140,10 @@ def click_abandonment(sf_dir: str, window_s: int = 21600,
         c_uid = cl["user_id"].to_numpy(dtype="int64")
         c_us = cl["ts_us"].to_numpy(dtype="int64")
         if len(pu):
-            p_uid = pu["user_id"].to_numpy(dtype="int64")
-            p_us = pu["ts_us"].to_numpy(dtype="int64")
-            uniq = np.unique(np.concatenate([c_uid, p_uid]))
-            base = np.int64(min(c_us.min(), p_us.min())) - 1
-            k = np.int64(max(c_us.max(), p_us.max()) - base + w + 2)
-            comp_p = np.sort(np.searchsorted(uniq, p_uid).astype(np.int64)
-                             * k + (p_us - base))
-            cr = np.searchsorted(uniq, c_uid).astype(np.int64)
-            lo = np.searchsorted(comp_p, cr * k + (c_us + 1 - base))
-            hi = np.searchsorted(comp_p, cr * k + (c_us + w - 1 - base),
-                                 "right")
+            lo, hi, _ = band_probe(
+                c_uid, c_us + 1, c_us + w - 1,
+                pu["user_id"].to_numpy(dtype="int64"),
+                pu["ts_us"].to_numpy(dtype="int64"))
             absent = hi == lo
         else:
             absent = np.ones(len(cl), dtype=bool)
@@ -211,18 +206,11 @@ def conversion_latency_quantiles(
             return empty
         c_uid = cl["user_id"].to_numpy(dtype="int64")
         c_us = cl["ts_us"].to_numpy(dtype="int64")
-        p_uid = pu["user_id"].to_numpy(dtype="int64")
         p_us = pu["ts_us"].to_numpy(dtype="int64")
-        uniq = np.unique(np.concatenate([c_uid, p_uid]))
-        base = np.int64(min(c_us.min(), p_us.min())) - 1
-        k = np.int64(max(c_us.max(), p_us.max()) - base + w + 2)
-        comp = np.searchsorted(uniq, p_uid).astype(np.int64) * k \
-            + (p_us - base)
-        order = np.argsort(comp, kind="stable")
-        comp, p_us_s = comp[order], p_us[order]
-        cr = np.searchsorted(uniq, c_uid).astype(np.int64)
-        lo = np.searchsorted(comp, cr * k + (c_us + 1 - base))
-        hi = np.searchsorted(comp, cr * k + (c_us + w - 1 - base), "right")
+        lo, hi, order = band_probe(
+            c_uid, c_us + 1, c_us + w - 1,
+            pu["user_id"].to_numpy(dtype="int64"), p_us)
+        p_us_s = p_us[order]
         m = lo < hi
         if not m.any():
             return empty

@@ -44,9 +44,13 @@ _DAMP_NUM = 850          # 0.85 in milli
 _BASE = 150_000          # (1 - 0.85) · PR0 in micro-units
 
 
-def _edges(sf_dir: str, num_buckets: int) -> rd.Dataset:
-    """Distinct undirected purchase edges via the tagged co-group join
-    on the orderkey bucket."""
+def _cs_pairs(sf_dir: str, num_buckets: int) -> rd.Dataset:
+    """Raw (c, s) purchase pairs via the tagged co-group join on the
+    orderkey bucket — deduped per order-bucket group only (the SAME
+    (c, s) can re-emerge from different order buckets; callers apply
+    the global distinct on whichever bucket axis their algorithm
+    shuffles anyway). Shared by :func:`_edges` (pagerank/BFS node
+    encoding) and :func:`butterfly_count` (supplier-bucket wedges)."""
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -73,16 +77,27 @@ def _edges(sf_dir: str, num_buckets: int) -> rd.Dataset:
         cust = g[g["kind"] == 0]
         lut = dict(zip(cust["key"], cust["val"]))
         li = g[g["kind"] == 1]
-        c = li["key"].map(lut).to_numpy(dtype="int64")
-        s = li["val"].to_numpy(dtype="int64")
-        e = pd.DataFrame({"src": c * 2, "dst": s * 2 + 1}).drop_duplicates()
-        return e
+        return pd.DataFrame({
+            "c": li["key"].map(lut).to_numpy(dtype="int64"),
+            "s": li["val"].to_numpy(dtype="int64"),
+        }).drop_duplicates()
 
     tagged = (orders.map_batches(tag_orders, batch_format="pandas")
               .union(line.map_batches(tag_line, batch_format="pandas")))
-    half = (tagged.groupby("_ob")
+    return (tagged.groupby("_ob")
             .map_groups(lambda g: attach(g.drop(columns=["_ob"])),
                         batch_format="pandas"))
+
+
+def _edges(sf_dir: str, num_buckets: int) -> rd.Dataset:
+    """Distinct undirected purchase edges (nodes encoded cust*2 /
+    supp*2+1) from the shared :func:`_cs_pairs` derivation."""
+    half = _cs_pairs(sf_dir, num_buckets).map_batches(
+        lambda b: pd.DataFrame({
+            "src": b["c"].to_numpy(dtype="int64") * 2,
+            "dst": b["s"].to_numpy(dtype="int64") * 2 + 1,
+        }),
+        batch_format="pandas")
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         s = b["src"].to_numpy()
@@ -282,43 +297,10 @@ def butterfly_count(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     but the group grows quadratically, and the scale path is salting
     wedge emission by c1-range before the pair exchange.
     """
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"])
-    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                           columns=["l_orderkey", "l_suppkey"])
-
-    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["o_orderkey"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "key": k, "kind": np.zeros(len(b), dtype=np.int8),
-            "val": b["o_custkey"].to_numpy().astype(np.int64),
-            "_ob": (k % num_buckets).astype(np.int32),
-        })
-
-    def tag_line(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["l_orderkey"].to_numpy().astype(np.int64)
-        d = pd.DataFrame({"key": k, "val": b["l_suppkey"].to_numpy()
-                          .astype(np.int64)}).drop_duplicates()
-        d["kind"] = np.int8(1)
-        d["_ob"] = (d["key"].to_numpy() % num_buckets).astype(np.int32)
-        return d[["key", "kind", "val", "_ob"]]
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        cust = g[g["kind"] == 0]
-        lut = dict(zip(cust["key"], cust["val"]))
-        li = g[g["kind"] == 1]
-        out = pd.DataFrame({
-            "c": li["key"].map(lut).to_numpy(dtype="int64"),
-            "s": li["val"].to_numpy(dtype="int64"),
-        }).drop_duplicates()
-        out["_sb"] = (out["s"].to_numpy() % num_buckets).astype(np.int32)
-        return out
-
-    tagged = (orders.map_batches(tag_orders, batch_format="pandas")
-              .union(line.map_batches(tag_line, batch_format="pandas")))
-    edges = (tagged.groupby("_ob")
-             .map_groups(lambda g: attach(g.drop(columns=["_ob"])),
-                         batch_format="pandas"))
+    edges = _cs_pairs(sf_dir, num_buckets).map_batches(
+        lambda b: b.assign(_sb=(b["s"].to_numpy(dtype="int64")
+                                % num_buckets).astype(np.int32)),
+        batch_format="pandas")
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         # global distinct: per-orderkey-bucket dedup in attach() can
@@ -508,7 +490,11 @@ def bfs_hops(sf_dir: str, rounds: int = 3,
     }).sort_values(["node_type", "node_id"]).reset_index(drop=True))
 
 
-BFS_HOPS_SQL = """
+def bfs_hops_sql(rounds: int = 3) -> str:
+    """Oracle generated from the SAME rounds parameter as the engine
+    (the pagerank_sql precedent) — a hardcoded hop cap silently
+    diverges the moment a caller passes rounds != default."""
+    return f"""
 WITH RECURSIVE e0 AS (
   SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -518,10 +504,13 @@ WITH RECURSIVE e0 AS (
   SELECT CAST((SELECT MIN(src) FROM e WHERE src % 2 = 0) AS BIGINT), 0
   UNION
   SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
-  WHERE w.hops < 3
+  WHERE w.hops < {int(rounds)}
 )
 SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          AS node_type,
        node // 2 AS node_id, CAST(MIN(hops) AS BIGINT) AS hops
 FROM walk GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+BFS_HOPS_SQL = bfs_hops_sql()

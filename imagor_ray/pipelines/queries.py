@@ -1355,13 +1355,13 @@ def _q_stream_stream_join(sf_dir: str):
     union of all per-cycle emissions exactly (the day files are
     event-time-partitioned, so no rows are late and inner-join
     completeness holds)."""
-    import os
+    import tempfile
 
     from .stream_join import StreamingJoinJob
 
-    d = _stage_event_days(sf_dir)
-    job = StreamingJoinJob(os.path.join(d, "in"),
-                           os.path.join(d, "state"))
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingJoinJob(input_dir,
+                           tempfile.mkdtemp(prefix="imray_sjoin_st_"))
     job.run_all()
     return rd.read_parquet(job.matched_dir)
 
@@ -1377,15 +1377,25 @@ ORDER BY req_id, resp_id
 """
 
 
+_SJOIN_STAGING: dict = {}
+
+
 def _stage_event_days(sf_dir: str) -> str:
     """Per-day micro-batch staging shared by the stream-join entries
-    (distributed writes, one grouped task per day)."""
+    (distributed writes, one grouped task per day). Staging is a pure
+    deterministic function of the input tables, so one copy per
+    sf_dir is cached for the process lifetime — the inner- and
+    outer-join entries (and repeated sweeps) reuse it instead of
+    re-copying the corpus into a fresh tempdir each call."""
     import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="imray_sjoin_")
-    input_dir = os.path.join(d, "in")
-    os.makedirs(input_dir, exist_ok=True)
+    key = os.path.abspath(sf_dir)
+    cached = _SJOIN_STAGING.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+
+    input_dir = tempfile.mkdtemp(prefix="imray_sjoin_in_")
 
     def add_day(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -1408,7 +1418,8 @@ def _stage_event_days(sf_dir: str) -> str:
         .map_groups(write_day, batch_format="pandas")
         .count()
     )
-    return d
+    _SJOIN_STAGING[key] = input_dir
+    return input_dir
 
 
 def _q_stream_stream_left_join(sf_dir: str):
@@ -1417,13 +1428,13 @@ def _q_stream_stream_left_join(sf_dir: str):
     -1 null-right sentinel when eviction proves no future match);
     ``finalize()`` flushes the tail so the bounded catalog run equals
     the batch LEFT JOIN exactly."""
-    import os
+    import tempfile
 
     from .stream_join import StreamingJoinJob
 
-    d = _stage_event_days(sf_dir)
-    job = StreamingJoinJob(os.path.join(d, "in"),
-                           os.path.join(d, "state"))
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingJoinJob(input_dir,
+                           tempfile.mkdtemp(prefix="imray_sjoin_st_"))
     job.run_all()
     job.finalize()
     cols = ["req_id", "resp_id", "user_id", "req_ts"]
@@ -1544,9 +1555,11 @@ ORDER BY t.doc_id
 """
 
 
-# k-th smallest with k = ceil(pct·n/100) — the engine's histogram pick
-# is row_number-identical by construction
-_CONVERSION_LATENCY_SQL = """
+def _conversion_latency_sql(pcts: tuple = (50, 90, 99)) -> str:
+    """Oracle generated from the SAME percentile list as the engine —
+    k-th smallest with k = ceil(pct·n/100), row_number-identical."""
+    vals = ", ".join(f"({int(p)})" for p in pcts)
+    return f"""
 WITH lat AS (
   SELECT a.event_id,
          MIN((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000) AS latency_s
@@ -1561,10 +1574,13 @@ WITH lat AS (
   FROM lat
 )
 SELECT CAST(p.pct AS BIGINT) AS pct, CAST(r.latency_s AS BIGINT) AS latency_s
-FROM (VALUES (50), (90), (99)) p(pct)
+FROM (VALUES {vals}) p(pct)
 JOIN r ON r.rn = (r.n * p.pct + 99) // 100
 ORDER BY pct
 """
+
+
+_CONVERSION_LATENCY_SQL = _conversion_latency_sql()
 
 
 # CEP negation: clicks with NO purchase in the open interval

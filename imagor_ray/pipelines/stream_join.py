@@ -48,6 +48,7 @@ import os
 import numpy as np
 import pandas as pd
 
+from ..functions.bandjoin import band_probe
 from ..state.checkpoint import Checkpoint
 
 __all__ = ["StreamingJoinJob"]
@@ -81,27 +82,17 @@ def _match(l_uid: np.ndarray, l_us: np.ndarray, l_id: np.ndarray,
            r_uid: np.ndarray, r_us: np.ndarray, r_id: np.ndarray,
            window_us: int) -> pd.DataFrame:
     """Vectorized band-join kernel: all (left, right) pairs of the same
-    user with ``l.ts < r.ts <= l.ts + window``. Two ``searchsorted``
-    probes position every left row against the (user-rank, ts) sorted
-    right side; the repeat/arange construction expands [lo, hi) spans
-    into pair rows — no Python loop, no per-user groupby."""
+    user with ``l.ts < r.ts <= l.ts + window``. The shared rank-dense
+    :func:`band_probe` positions every left row against the
+    (user-rank, ts-rank) sorted right side (products bounded by
+    bucket_rows², never users × µs-span); the repeat/arange
+    construction expands [lo, hi) spans into pair rows — no Python
+    loop, no per-user groupby."""
     if not len(l_uid) or not len(r_uid):
         return _empty_pairs()
-    uniq_u = np.unique(np.concatenate([l_uid, r_uid]))
-    base = np.int64(min(l_us.min(), r_us.min())) - 1
-    # composite = user_rank * K + (ts - base): keeps products bounded by
-    # the stream's time SPAN, not raw epoch-µs (int64-overflow guard)
-    k = np.int64(max(l_us.max(), r_us.max()) - base + window_us + 2)
-    r_rank = np.searchsorted(uniq_u, r_uid).astype(np.int64)
-    comp_r = r_rank * k + (r_us - base)
-    order = np.argsort(comp_r, kind="stable")
-    comp_r = comp_r[order]
+    lo, hi, order = band_probe(l_uid, l_us + 1, l_us + window_us,
+                               r_uid, r_us)
     r_us_s, r_id_s = r_us[order], r_id[order]
-
-    l_rank = np.searchsorted(uniq_u, l_uid).astype(np.int64)
-    lo = np.searchsorted(comp_r, l_rank * k + (l_us + 1 - base), "left")
-    hi = np.searchsorted(comp_r, l_rank * k + (l_us + window_us - base),
-                         "right")
     reps = hi - lo
     total = int(reps.sum())
     if total == 0:
@@ -229,6 +220,12 @@ class StreamingJoinJob:
             return None
         fname = pending[0]
         state = self.cp.load()
+        if state.get("finalized"):
+            raise RuntimeError(
+                "stream finalized: the end-of-stream timeout flush was "
+                "emitted — resuming would let an already-timed-out left "
+                "row match (matched/timeout disjointness); start a new "
+                "state dir to continue")
         wm = int(state.get("watermark_us", 0))
         cycle = int(state.get("cycles", 0))
         path = os.path.join(self.input_dir, fname)
@@ -294,11 +291,27 @@ class StreamingJoinJob:
         unmatched in the committed state gets its null-right timeout
         emission (a real stream never ends; a bounded replay/catalog
         run calls this once after the last cycle). Idempotent — the
-        write is a byte-stable overwrite from committed state."""
-        st = self._load_state(self.cp.load())
+        write is a byte-stable overwrite from committed state — and
+        TERMINAL: the checkpoint records it, and further run_cycle()
+        calls are refused (a left row already emitted as timed-out
+        matching later would break the matched/timeout disjointness
+        the LEFT-OUTER contract promises)."""
+        state = self.cp.load()
+        st = self._load_state(state)
         rest = st[(st["side"] == 0) & (st["matched"] == 0)]
         self._write_timeouts(rest, "timeout-final.parquet")
+        state["finalized"] = True
+        self.cp.save(state)
         return len(rest)
+
+    def _write_late(self, rows: pd.DataFrame, fname: str) -> None:
+        """Late rows are ROUTED, not dropped (the session-job contract):
+        byte-stable per-cycle files an auditor/reprocessor reads back."""
+        rows = (rows.sort_values("event_id", kind="mergesort")
+                .reset_index(drop=True))
+        tmp = os.path.join(self.late_dir, fname + ".tmp")
+        rows.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(self.late_dir, fname))
 
     def _write_timeouts(self, rows: pd.DataFrame, fname: str) -> None:
         out = pd.DataFrame({
@@ -320,6 +333,11 @@ class StreamingJoinJob:
         on = df[~late]
         on_us = us[~late]
         max_ts = int(us.max()) if len(us) else -1
+        late_rows = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype="int64")[late],
+            "user_id": df["user_id"].to_numpy(dtype="int64")[late],
+            "ts": pd.Series(us[late]).astype("datetime64[us]"),
+        })
         tl = on["event_type"].to_numpy() == self.left_type
         tr = on["event_type"].to_numpy() == self.right_type
         mk = lambda sel, side: pd.DataFrame({   # noqa: E731
@@ -329,13 +347,15 @@ class StreamingJoinJob:
             "side": np.full(int(sel.sum()), side, dtype=np.int8),
             "matched": np.zeros(int(sel.sum()), dtype=np.int8),
         })
-        return mk(tl, 0), mk(tr, 1), int(late.sum()), max_ts
+        return mk(tl, 0), mk(tr, 1), late_rows, max_ts
 
     def _cycle_pandas(self, path: str, fname: str, wm: int, cycle: int,
                       st: pd.DataFrame):
         df = pd.read_parquet(
             path, columns=["event_id", "ts", "user_id", "event_type"])
-        new_l, new_r, n_late, _ = self._split_sides(df, wm)
+        new_l, new_r, late_rows, _ = self._split_sides(df, wm)
+        n_late = len(late_rows)
+        self._write_late(late_rows, f"late-{cycle:05d}.parquet")
         pairs = _cycle_match(new_l, new_r, st, self.window_us)
         self._write_sorted(
             pairs, os.path.join(self.matched_dir,
@@ -360,6 +380,7 @@ class StreamingJoinJob:
         wus = self.window_us
         lt, rt = self.left_type, self.right_type
         mdir = self.matched_dir
+        ldir = self.late_dir
         write_sorted = self._write_sorted
 
         def tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -391,6 +412,15 @@ class StreamingJoinJob:
             new = g[g["is_state"] == 0]
             us = new["ts_us"].to_numpy(dtype="int64")
             late = us < wm
+            lrows = pd.DataFrame({
+                "event_id": new["event_id"].to_numpy(dtype="int64")[late],
+                "user_id": new["user_id"].to_numpy(dtype="int64")[late],
+                "ts": pd.Series(us[late]).astype("datetime64[us]"),
+            }).sort_values("event_id", kind="mergesort")
+            ltmp = os.path.join(ldir, f"late-{cycle:05d}-{ub:02d}.parquet")
+            lrows.reset_index(drop=True).to_parquet(ltmp + ".tmp",
+                                                    index=False)
+            os.replace(ltmp + ".tmp", ltmp)
             on = new[~late]
             new_l = on[on["side"] == 0]
             new_r = on[on["side"] == 1]

@@ -276,3 +276,50 @@ class TestOuterTimeouts:
         all_clicks = {r[0] for b in batches for r in b if r[3] == "click"}
         assert matched | timed == all_clicks
         assert not (matched & timed)
+
+
+class TestReviewFixes:
+    def test_late_rows_are_routed_to_files(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, 10 * W, 7, "click")],
+            [(2, 1_000_000, 7, "purchase"),     # late
+             (3, 1_000_001, 8, "view")],        # late, non-join type
+        ])
+        job = _job(tmp_path, inp, "lf")
+        t = job.run_all()
+        assert t["late"] == 2
+        rows = pd.concat([
+            pd.read_parquet(os.path.join(job.late_dir, f))
+            for f in sorted(os.listdir(job.late_dir))], ignore_index=True)
+        assert sorted(rows["event_id"]) == [2, 3]
+
+    def test_late_files_match_across_engines(self, ray_session, tmp_path):
+        batches = TestResumeAndEngines._batches(TestResumeAndEngines())
+        # make some rows late: shuffle one early row into a later batch
+        batches[3].append((9999, 1_000, 0, "purchase"))
+        ja = _job(tmp_path, _stage(tmp_path / "a", batches), "la")
+        jb = _job(tmp_path, _stage(tmp_path / "b", batches), "lb",
+                  ray_cycle_threshold=0, num_buckets=4)
+        ta, tb = ja.run_all(), jb.run_all()
+        assert ta["late"] == tb["late"] > 0
+
+        def late_ids(j):
+            rows = [pd.read_parquet(os.path.join(j.late_dir, f))
+                    for f in sorted(os.listdir(j.late_dir))]
+            return sorted(pd.concat(rows, ignore_index=True)["event_id"])
+        assert late_ids(ja) == late_ids(jb)
+
+    def test_finalize_is_terminal(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [[(1, 0, 7, "click")]])
+        job = _job(tmp_path, inp, "fin")
+        job.run_all()
+        job.finalize()
+        # a late-arriving batch after finalize must be refused, not
+        # matched against an already-timed-out left row
+        extra = pd.DataFrame([(2, 50, 7, "purchase")], columns=[
+            "event_id", "ts", "user_id", "event_type"])
+        extra["ts"] = pd.to_datetime(extra["ts"], unit="us")
+        extra.to_parquet(os.path.join(inp, "batch-999.parquet"),
+                         index=False)
+        with pytest.raises(RuntimeError, match="finalized"):
+            _job(tmp_path, inp, "fin").run_cycle()
