@@ -301,3 +301,51 @@ SELECT l_returnflag,
        CAST(SUM(x * y) AS BIGINT) AS sum_xy
 FROM b GROUP BY 1 ORDER BY 1
 """
+
+
+def group_regression(sf_dir: str):
+    """Per-group least-squares SLOPE from the :func:`group_moments`
+    sufficient statistics, kept EXACT as an integer rational:
+    slope = slope_num / slope_den with slope_num = n·Σxy − Σx·Σy and
+    slope_den = n·Σxx − (Σx)² — emitted as separate BIGINTs because a
+    float division would break bitwise oracle equality (the
+    time_weighted_value numerator/denominator precedent). One extra
+    pure map over the moments fold; no new shuffle.
+
+    Output: l_returnflag, n, slope_num, slope_den.
+    """
+    import numpy as np
+
+    ds = group_moments(sf_dir)
+
+    def slope(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype="int64")
+        sx = b["sum_x"].to_numpy(dtype="int64")
+        sy = b["sum_y"].to_numpy(dtype="int64")
+        sxx = b["sum_xx"].to_numpy(dtype="int64")
+        sxy = b["sum_xy"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_numpy(),
+            "n": n,
+            "slope_num": n * sxy - sx * sy,
+            "slope_den": n * sxx - sx * sx,
+        })
+
+    return ds.map_batches(slope, batch_format="pandas")
+
+
+GROUP_REGRESSION_SQL = """
+WITH b AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM b GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM m ORDER BY 1
+"""

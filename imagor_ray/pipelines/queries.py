@@ -62,6 +62,7 @@ from .sampling import (WEIGHTED_SAMPLE_SQL, dataset_split,
                        stratified_sample, weighted_sample)
 from .grouped_extras import (GROUP_MOMENTS_SQL, MODE_SQL, PIVOT_SQL,
                              SETOP_SQL, USER_JOURNEY_SQL, group_moments,
+                             GROUP_REGRESSION_SQL, group_regression,
                              mode_event_type, pivot_hour_type,
                              purchase_periods_setop, user_journey)
 from .window_extras import (SLIDING_DISTINCT_SQL, STREAKS_SQL,
@@ -2787,6 +2788,7 @@ QUERIES = {
     "heavy_hitter_tokens": heavy_hitter_tokens,
     "weighted_sample": weighted_sample,
     "group_moments": group_moments,
+    "group_regression": group_regression,
     "lexical_diversity": lexical_diversity,
     "supplier_balance_by_nation": _q_supplier_balance,
     "rollup_revenue": rollup_revenue,
@@ -2975,6 +2977,7 @@ ORACLES = {
     "heavy_hitter_tokens": HEAVY_HITTERS_SQL,
     "weighted_sample": WEIGHTED_SAMPLE_SQL,
     "group_moments": GROUP_MOMENTS_SQL,
+    "group_regression": GROUP_REGRESSION_SQL,
     "lexical_diversity": LEXICAL_DIVERSITY_SQL,
     "supplier_balance_by_nation": _SUPPLIER_BALANCE_SQL,
     "rollup_revenue": _ROLLUP_SQL,
