@@ -1823,6 +1823,18 @@ def _q_media_mjpeg_roundtrip(sf_dir: str):
     return media_mjpeg_roundtrip(sf_dir)
 
 
+def _q_media_flac_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_flac_roundtrip
+
+    return media_flac_roundtrip(sf_dir)
+
+
+def _q_media_qoi_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_qoi_roundtrip
+
+    return media_qoi_roundtrip(sf_dir)
+
+
 def _q_media_g711_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_g711_roundtrip
 
@@ -2700,6 +2712,8 @@ QUERIES = {
     "media_png_adam7_roundtrip": _q_media_png_adam7,
     "media_mjpeg_roundtrip": _q_media_mjpeg_roundtrip,
     "media_g711_roundtrip": _q_media_g711_roundtrip,
+    "media_flac_roundtrip": _q_media_flac_roundtrip,
+    "media_qoi_roundtrip": _q_media_qoi_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -3045,6 +3059,10 @@ ORACLES = {
     # compressed-audio WAV; expand→compand is a bijection on all 256
     # codes, so the raw-text hash certifies RIFF framing + both tables
     "media_g711_roundtrip": _MEDIA_HASHES_SQL,
+    # FLAC / QOI are lossless predictive codecs: the round trip recovers
+    # the exact utf-8 bytes, so both oracles are the raw-text hash
+    "media_flac_roundtrip": _MEDIA_HASHES_SQL,
+    "media_qoi_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

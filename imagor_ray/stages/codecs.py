@@ -56,6 +56,10 @@ __all__ = [
     "encode_mp4",
     "encode_mkv",
     "encode_webp",
+    "encode_flac",
+    "decode_flac",
+    "QoiCodec",
+    "encode_qoi",
     "brightest_region",
 ]
 
@@ -65,6 +69,7 @@ from .tiff import TiffCodec, encode_tiff  # noqa: E402  (round-4: real baseline 
 from .mp4 import Mp4Codec, encode_mp4    # noqa: E402  (round-4: real ISO BMFF demux/mux)
 from .mkv import MkvCodec, encode_mkv    # noqa: E402  (round-4: real Matroska/WebM demux/mux)
 from .webp import WebpCodec, encode_webp  # noqa: E402  (round-5: real VP8L lossless WebP)
+from .flac import decode_flac, encode_flac  # noqa: E402  (round-5: real predictive FLAC)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -94,6 +99,10 @@ def sniff_media(payload: bytes) -> str:
         return "mp4"
     if payload[:4] == b"\x1a\x45\xdf\xa3":    # EBML → Matroska/WebM
         return "mkv"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"qoif":
+        return "qoi"
     if payload[:4] == b"IMRF":
         return "imrf"
     return "unknown"
@@ -675,3 +684,129 @@ def brightest_region(
     idx = int(np.argmax(sums))
     y, x = divmod(idx, sums.shape[1])
     return x, y, win, win, float(sums[y, x] / (win * win))
+
+
+# ---------------------------------------------------------------------------
+# QOI — "Quite OK Image" (round-5): a real PREDICTIVE image bitstream
+# (previous-pixel diff / luma-delta / 64-slot running index / run-length),
+# the image sibling of the FLAC entry in the predictive-codec family.
+# Spec: qoiformat.org (qoi-specification-1.0). Encoder and decoder are
+# independent implementations; round-trip is exact (lossless).
+
+class QoiCodec:
+    """Decode a QOI payload → (pixels uint8 (h, w, channels), channels)."""
+
+    MAGIC = b"qoif"
+
+    @staticmethod
+    def decode(payload: bytes) -> tuple[np.ndarray, int]:
+        if payload[:4] != QoiCodec.MAGIC or len(payload) < 14:
+            raise ValueError("bad QOI magic")
+        w, h = struct.unpack_from(">II", payload, 4)
+        channels = payload[12]
+        if channels not in (3, 4) or payload[13] > 1:
+            raise ValueError("bad QOI header")
+        if w * h > 81_000_000:     # MAX_RESOLUTION guard (kernels.py parity)
+            raise ValueError("QOI resolution over guard")
+        n = w * h
+        out = np.empty((n, 4), dtype=np.uint8)
+        index = np.zeros((64, 4), dtype=np.uint8)
+        r, g, b, a = 0, 0, 0, 255
+        pos, i = 14, 0
+        data = payload
+        while i < n:
+            if pos >= len(data) - 7:
+                raise ValueError("truncated QOI stream")
+            op = data[pos]
+            pos += 1
+            if op == 0xFE:                       # QOI_OP_RGB
+                r, g, b = data[pos], data[pos + 1], data[pos + 2]
+                pos += 3
+            elif op == 0xFF:                     # QOI_OP_RGBA
+                r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+                pos += 4
+            else:
+                tag = op >> 6
+                if tag == 0:                     # QOI_OP_INDEX
+                    r, g, b, a = index[op & 0x3F]
+                elif tag == 1:                   # QOI_OP_DIFF
+                    r = (r + ((op >> 4) & 3) - 2) & 0xFF
+                    g = (g + ((op >> 2) & 3) - 2) & 0xFF
+                    b = (b + (op & 3) - 2) & 0xFF
+                elif tag == 2:                   # QOI_OP_LUMA
+                    dg = (op & 0x3F) - 32
+                    b2 = data[pos]
+                    pos += 1
+                    g = (g + dg) & 0xFF
+                    r = (r + dg + ((b2 >> 4) & 0x0F) - 8) & 0xFF
+                    b = (b + dg + (b2 & 0x0F) - 8) & 0xFF
+                else:                            # QOI_OP_RUN
+                    run = (op & 0x3F) + 1
+                    out[i:i + run] = (r, g, b, a)
+                    i += run
+                    index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+                    continue
+            out[i] = (r, g, b, a)
+            i += 1
+            index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        if data[pos:pos + 8] != b"\x00" * 7 + b"\x01":
+            raise ValueError("bad QOI end marker")
+        px = out.reshape(h, w, 4)
+        return (px[:, :, :3].copy() if channels == 3 else px), channels
+
+
+def encode_qoi(pixels: np.ndarray) -> bytes:
+    """Encode uint8 pixels (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA
+    to a QOI payload (spec-exact: run / index / diff / luma / raw ops)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, channels = px.shape
+    if channels not in (3, 4):
+        raise ValueError("QOI needs 3 or 4 channels")
+    out = bytearray(QoiCodec.MAGIC)
+    out += struct.pack(">II", w, h)
+    out += bytes([channels, 0])
+    flat = px.reshape(-1, channels)
+    if channels == 3:
+        flat = np.concatenate(
+            [flat, np.full((len(flat), 1), 255, dtype=np.uint8)], axis=1)
+    index = np.zeros((64, 4), dtype=np.uint8)
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for r, g, b, a in flat:
+        r, g, b, a = int(r), int(g), int(b), int(a)
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        k = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if tuple(index[k]) == (r, g, b, a):
+            out.append(k)
+        elif a == pa:
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else:
+                dgr = (dr - dg + 128) % 256 - 128
+                dgb = (db - dg + 128) % 256 - 128
+                if -32 <= dg <= 31 and -8 <= dgr <= 7 and -8 <= dgb <= 7:
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dgr + 8) << 4) | (dgb + 8))
+                else:
+                    out += bytes([0xFE, r, g, b])
+        else:
+            out += bytes([0xFF, r, g, b, a])
+        index[k] = (r, g, b, a)
+        pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)

@@ -1276,3 +1276,123 @@ def media_png_paeth_roundtrip(sf_dir: str) -> rd.Dataset:
     return (docs
             .map_batches(encode, batch_format="pyarrow", batch_size=64)
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
+def media_flac_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED entry for the FLAC codec — the first fully
+    PREDICTIVE compressed bitstream in the media tier (round-4 verdict
+    missing item 2; H.264/VP8 stay gated because their spec tables
+    aren't reproducible from first principles, FLAC per RFC 9639 is).
+
+    Each document's length-prefixed utf-8 bytes become int8 PCM
+    samples; even doc_ids additionally ride a SECOND channel (the
+    reversed stream) so the stereo-decorrelation path (left/side,
+    right/side, mid/side) runs inside the distributed stage, and the
+    per-doc block size varies so multi-frame streams plus a short last
+    block are exercised. Decode verifies frame CRC-8/16 and the
+    STREAMINFO MD5, then channel 0 is re-read — FLAC is lossless, so
+    the DuckDB oracle is plain ``sha256(text)`` and equality certifies
+    bit I/O, Rice coding, fixed + LPC prediction and the CRC/MD5 layer
+    jointly.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .flac import decode_flac, encode_flac
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            samples = (np.frombuffer(body, dtype=np.uint8)
+                       .astype(np.int64) - 128)
+            if doc_id % 2 == 0:
+                samples = np.stack([samples, samples[::-1]], axis=1)
+            payloads.append(encode_flac(
+                samples, 8000, bps=8,
+                block_size=256 + (doc_id % 7) * 173))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            samples, _rate, _bps = decode_flac(p)   # verifies CRCs + MD5
+            flat = (samples[:, 0] + 128).astype(np.uint8).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
+def media_qoi_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED entry for the QOI codec — the image sibling of
+    ``media_flac_roundtrip`` in the predictive-bitstream family
+    (previous-pixel diff / luma delta / running 64-slot index / RLE).
+
+    Each document's length-prefixed utf-8 bytes are zero-padded into a
+    width-24 RGB pixel grid, encoded as a real QOI stream (even
+    doc_ids get an alpha channel so RGBA + QOI_OP_RGBA run too),
+    decoded back and re-read; QOI is lossless so the oracle is plain
+    ``sha256(text)``.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .codecs import QoiCodec, encode_qoi
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    width = 24
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            ch = 4 if doc_id % 2 == 0 else 3
+            rowbytes = width * ch
+            n_rows = (len(body) + rowbytes - 1) // rowbytes
+            buf = np.zeros(n_rows * rowbytes, dtype=np.uint8)
+            buf[: len(body)] = np.frombuffer(body, dtype=np.uint8)
+            payloads.append(encode_qoi(buf.reshape(n_rows, width, ch)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            pixels, _channels = QoiCodec.decode(p)
+            flat = pixels.reshape(-1).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
