@@ -25,7 +25,7 @@ import ray.data as rd
 from ..functions.bandjoin import band_probe
 
 __all__ = ["tool_sequence_matches", "click_abandonment",
-           "conversion_latency_quantiles"]
+           "conversion_latency_quantiles", "cep_kleene_funnel"]
 
 
 def tool_sequence_matches(
@@ -245,3 +245,101 @@ def conversion_latency_quantiles(
     return pd.DataFrame({"pct": np.array([o[0] for o in out], dtype="int64"),
                          "latency_s": np.array([o[1] for o in out],
                                                dtype="int64")})
+
+
+def cep_kleene_funnel(sf_dir: str, window_s: int = 21600,
+                      num_buckets: int = 32) -> rd.Dataset:
+    """CEP KLEENE-PLUS quantifier — the MATCH_RECOGNIZE pattern
+    ``signup click+ purchase`` per user with STRICT CONTIGUITY (no
+    other event interleaves the run; an ``error`` between two clicks
+    breaks the match) and the whole match inside ``window_s``. This is
+    the pattern-quantifier leg the CEP family was missing: presence
+    (``tool_sequence_matches``), negation (``click_abandonment``) and
+    timing (``conversion_latency_quantiles``) don't bind a variable-
+    length sub-pattern.
+
+    Match semantics are maximal non-overlapping runs (MATCH_RECOGNIZE
+    ``AFTER MATCH SKIP PAST LAST ROW``): a maximal island of
+    consecutive clicks qualifies iff the event immediately before it
+    is a ``signup``, the event immediately after is a ``purchase``,
+    and ``purchase.ts - signup.ts <= window``. Maximal islands are
+    disjoint by construction, and a flanking event can never serve two
+    runs (the event after one run is a purchase, never the next run's
+    signup), so no skip-state is needed.
+
+    Scale shape: contiguity depends on ALL of a user's events, so the
+    single user-bucket shuffle carries (user_id, event_id, ts,
+    type-code) — 4 fixed-width columns, no text. In-bucket the islands
+    are pure numpy: run starts/ends from one boolean diff, flanker
+    checks as two aligned gathers — no per-user loop, no pair rows.
+    Ordering ties break on (ts, event_id) on both the engine and
+    oracle side, so the output is deterministic.
+
+    Output: user_id, start_ts (signup), end_ts (purchase), n_clicks.
+    """
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    w = np.int64(window_s * 1_000_000)
+    # type codes: 0 = signup, 1 = click, 2 = purchase, 3 = anything else
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["event_type"].to_numpy()
+        code = np.full(len(b), 3, dtype=np.int8)
+        code[t == "signup"] = 0
+        code[t == "click"] = 1
+        code[t == "purchase"] = 2
+        uid = b["user_id"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "user_id": uid,
+            "event_id": b["event_id"].to_numpy(dtype="int64"),
+            "ts_us": b["ts"].astype("datetime64[us]")
+            .astype("int64").to_numpy(),
+            "code": code,
+            "_ub": (uid % num_buckets).astype(np.int32),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "start_ts": pd.Series([], dtype="datetime64[us]"),
+            "end_ts": pd.Series([], dtype="datetime64[us]"),
+            "n_clicks": pd.Series([], dtype="int64"),
+        })
+        if not len(g):
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(dtype="int64")
+        ts = g["ts_us"].to_numpy(dtype="int64")
+        code = g["code"].to_numpy()
+        n = len(g)
+        is_click = code == 1
+        same_prev = np.zeros(n, dtype=bool)
+        same_prev[1:] = uid[1:] == uid[:-1]
+        prev_click = np.zeros(n, dtype=bool)
+        prev_click[1:] = is_click[:-1]
+        next_click = np.zeros(n, dtype=bool)
+        next_click[:-1] = is_click[1:]
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = uid[:-1] == uid[1:]
+        starts = np.flatnonzero(is_click & ~(prev_click & same_prev))
+        ends = np.flatnonzero(is_click & ~(next_click & same_next))
+        # starts/ends align 1:1 per maximal same-user click island
+        ok = (starts > 0) & (ends < n - 1)
+        s, e = starts[ok], ends[ok]
+        good = ((uid[s - 1] == uid[s]) & (code[s - 1] == 0)
+                & (uid[e + 1] == uid[e]) & (code[e + 1] == 2)
+                & (ts[e + 1] - ts[s - 1] <= w))
+        s, e = s[good], e[good]
+        return pd.DataFrame({
+            "user_id": uid[s],
+            "start_ts": pd.Series(ts[s - 1]).astype("datetime64[us]"),
+            "end_ts": pd.Series(ts[e + 1]).astype("datetime64[us]"),
+            "n_clicks": (e - s + 1).astype("int64"),
+        })
+
+    return (events.map_batches(tag, batch_format="pandas")
+            .groupby("_ub")
+            .map_groups(lambda g: bucket(g.drop(columns=["_ub"])),
+                        batch_format="pandas"))

@@ -1474,6 +1474,41 @@ def _q_conversion_latency(sf_dir: str):
     return conversion_latency_quantiles(sf_dir)
 
 
+def _q_cep_kleene(sf_dir: str):
+    from .cep import cep_kleene_funnel
+    return cep_kleene_funnel(sf_dir)
+
+
+# Kleene-plus (signup click+ purchase, strict contiguity, maximal runs)
+# as gaps-and-islands: click islands per user keyed by
+# rn - row_number-over-clicks, flankers re-joined by adjacent rn. The
+# 21600000000 µs bound mirrors the engine's window_s=21600 default.
+_CEP_KLEENE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), cl AS (
+  SELECT user_id, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM e WHERE event_type = 'click'
+), runs AS (
+  SELECT user_id, min(rn) AS rn_lo, max(rn) AS rn_hi,
+         CAST(count(*) AS BIGINT) AS n_clicks
+  FROM cl GROUP BY user_id, grp
+)
+SELECT r.user_id, s.ts AS start_ts, p.ts AS end_ts, r.n_clicks
+FROM runs r
+JOIN e s ON s.user_id = r.user_id AND s.rn = r.rn_lo - 1
+        AND s.event_type = 'signup'
+JOIN e p ON p.user_id = r.user_id AND p.rn = r.rn_hi + 1
+        AND p.event_type = 'purchase'
+WHERE epoch_us(p.ts) - epoch_us(s.ts) <= 21600000000
+ORDER BY r.user_id, start_ts
+"""
+
+
 def _q_substring_span(sf_dir: str):
     from .dedup import substring_span_coverage
     return substring_span_coverage(sf_dir)
@@ -2814,6 +2849,7 @@ QUERIES = {
     "stream_stream_left_join": _q_stream_stream_left_join,
     "bfs_hops": _q_bfs_hops,
     "click_abandonment": _q_click_abandonment,
+    "cep_kleene_funnel": _q_cep_kleene,
     "conversion_latency_quantiles": _q_conversion_latency,
     "substring_span_coverage": _q_substring_span,
     "robust_value_stats": _q_robust_stats,
@@ -3003,6 +3039,7 @@ ORACLES = {
     "stream_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
     "click_abandonment": _ABANDONMENT_SQL,
+    "cep_kleene_funnel": _CEP_KLEENE_SQL,
     "conversion_latency_quantiles": _CONVERSION_LATENCY_SQL,
     "substring_span_coverage": _SUBSTRING_SPAN_SQL,
     "robust_value_stats": _ROBUST_STATS_SQL,

@@ -112,3 +112,77 @@ class TestConversionLatency:
         # k(99)=ceil(2.97)=3 -> 3600
         assert dict(zip(got["pct"], got["latency_s"])) == {
             50: 100, 90: 3600, 99: 3600}
+
+
+class TestKleeneFunnel:
+    def _run(self, rows, tmp_path):
+        import pandas as pd
+
+        df = pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type"])
+        df["ts"] = pd.to_datetime(df["ts"], unit="us")
+        d = tmp_path / "kleene"
+        d.mkdir()
+        df.to_parquet(d / "events.parquet", index=False)
+        from imagor_ray.pipelines.cep import cep_kleene_funnel
+        out = cep_kleene_funnel(str(d)).to_pandas()
+        return sorted(
+            (int(r.user_id), int(r.n_clicks)) for r in out.itertuples())
+
+    def test_plus_binds_variable_length_runs(self, ray_session, tmp_path):
+        rows = [
+            # user 1: signup click purchase -> match, 1 click
+            (1, 0, 1, "signup"), (2, 10, 1, "click"), (3, 20, 1, "purchase"),
+            # user 2: signup click click click purchase -> match, 3 clicks
+            (4, 0, 2, "signup"), (5, 10, 2, "click"), (6, 20, 2, "click"),
+            (7, 30, 2, "click"), (8, 40, 2, "purchase"),
+            # user 3: signup purchase (zero clicks) -> NO match (+ not *)
+            (9, 0, 3, "signup"), (10, 10, 3, "purchase"),
+        ]
+        assert self._run(rows, tmp_path) == [(1, 1), (2, 3)]
+
+    def test_contiguity_is_strict(self, ray_session, tmp_path):
+        rows = [
+            # an error inside the run breaks it on both sides
+            (1, 0, 1, "signup"), (2, 10, 1, "click"), (3, 20, 1, "error"),
+            (4, 30, 1, "click"), (5, 40, 1, "purchase"),
+            # an error between signup and first click breaks the prefix
+            (6, 0, 2, "signup"), (7, 10, 2, "error"), (8, 20, 2, "click"),
+            (9, 30, 2, "purchase"),
+            # clean control
+            (10, 0, 3, "signup"), (11, 10, 3, "click"),
+            (12, 20, 3, "purchase"),
+        ]
+        # user 1: the second island (click@30) IS flanked by error..purchase
+        # -> no signup before it, no match; the first island ends at error.
+        assert self._run(rows, tmp_path) == [(3, 1)]
+
+    def test_window_bound_is_inclusive_end_to_end(self, ray_session,
+                                                  tmp_path):
+        W = 21600 * 1_000_000
+        rows = [
+            (1, 0, 1, "signup"), (2, 10, 1, "click"), (3, W, 1, "purchase"),
+            (4, 0, 2, "signup"), (5, 10, 2, "click"),
+            (6, W + 1, 2, "purchase"),
+        ]
+        # purchase exactly at signup+W matches; one µs later does not
+        assert self._run(rows, tmp_path) == [(1, 1)]
+
+    def test_maximal_runs_do_not_overlap(self, ray_session, tmp_path):
+        rows = [
+            # signup c c purchase signup c purchase: two disjoint matches
+            (1, 0, 1, "signup"), (2, 10, 1, "click"), (3, 20, 1, "click"),
+            (4, 30, 1, "purchase"), (5, 40, 1, "signup"),
+            (6, 50, 1, "click"), (7, 60, 1, "purchase"),
+        ]
+        assert self._run(rows, tmp_path) == [(1, 1), (1, 2)]
+
+    def test_cross_user_adjacency_never_matches(self, ray_session,
+                                                tmp_path):
+        rows = [
+            # user 5's clicks sandwiched by user 4's signup / user 6's
+            # purchase in global ts order -> no match anywhere
+            (1, 0, 4, "signup"), (2, 10, 5, "click"), (3, 20, 5, "click"),
+            (4, 30, 6, "purchase"),
+        ]
+        assert self._run(rows, tmp_path) == []
