@@ -1455,6 +1455,42 @@ ORDER BY req_id, resp_id
 """
 
 
+def _q_stream_stream_full_join(sf_dir: str):
+    """FULL OUTER completion of the streaming-join family: matched
+    pairs PLUS both timeout emissions — unmatched clicks surface with
+    the -1 null-right sentinel when left-eviction proves no future
+    match, unmatched purchases with the -1 null-left sentinel when
+    right-eviction (ts <= watermark) proves the same; ``finalize()``
+    flushes both tails so the bounded run equals the batch FULL JOIN
+    exactly. Both emissions happen DURING the stream at eviction time
+    (state stays one window horizon), not as an end-of-run diff."""
+    import tempfile
+
+    from .stream_join import StreamingJoinJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingJoinJob(input_dir,
+                           tempfile.mkdtemp(prefix="imray_sjoin_st_"))
+    job.run_all()
+    job.finalize()
+    cols = ["req_id", "resp_id", "user_id"]
+    return (rd.read_parquet(job.matched_dir, columns=cols)
+            .union(rd.read_parquet(job.timeout_dir, columns=cols))
+            .union(rd.read_parquet(job.rtimeout_dir, columns=cols)))
+
+
+_STREAM_FULL_JOIN_SQL = """
+SELECT CAST(COALESCE(a.event_id, -1) AS BIGINT) AS req_id,
+       CAST(COALESCE(b.event_id, -1) AS BIGINT) AS resp_id,
+       COALESCE(a.user_id, b.user_id) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+ORDER BY req_id, resp_id
+"""
+
+
 from .graph import BUTTERFLY_SQL as _BUTTERFLY_SQL_REF  # noqa: E402
 from .graph import BFS_HOPS_SQL as _BFS_HOPS_SQL_REF  # noqa: E402
 
@@ -2847,6 +2883,7 @@ QUERIES = {
     "butterfly_count": _q_butterflies,
     "stream_stream_join": _q_stream_stream_join,
     "stream_stream_left_join": _q_stream_stream_left_join,
+    "stream_stream_full_join": _q_stream_stream_full_join,
     "bfs_hops": _q_bfs_hops,
     "click_abandonment": _q_click_abandonment,
     "cep_kleene_funnel": _q_cep_kleene,
@@ -3037,6 +3074,7 @@ ORACLES = {
     "butterfly_count": _BUTTERFLY_SQL_REF,
     "stream_stream_join": _STREAM_JOIN_SQL,
     "stream_stream_left_join": _STREAM_LEFT_JOIN_SQL,
+    "stream_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
     "click_abandonment": _ABANDONMENT_SQL,
     "cep_kleene_funnel": _CEP_KLEENE_SQL,

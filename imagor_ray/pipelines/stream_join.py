@@ -22,6 +22,13 @@ So state is O(events within one window horizon of the watermark) —
 never the stream. Late rows (``ts < watermark`` at arrival) are routed
 to the late output, mirroring :class:`StreamingSessionJob`.
 
+OUTER variants ride the same evictions: a LEFT row evicted while still
+unmatched is emitted as the null-right timeout result (LEFT join), a
+RIGHT row evicted unmatched as the null-left result (the FULL join's
+other half) — both emissions happen DURING the stream the moment the
+watermark proves no future match, byte-stably, before the commit;
+``finalize()`` flushes both tails for bounded runs.
+
 Exactly-once: matched pairs land in per-cycle (per-bucket, on the
 dataset path) parquet files written BEFORE the checkpoint commits;
 a crash between the write and the commit replays the cycle against the
@@ -72,8 +79,9 @@ def _empty_state() -> pd.DataFrame:
         "user_id": pd.Series([], dtype="int64"),
         "ts_us": pd.Series([], dtype="int64"),
         "side": pd.Series([], dtype="int8"),   # 0 = left, 1 = right
-        # left rows only: 1 once the row has matched at least once —
-        # the OUTER join's timeout emission needs it at eviction time
+        # 1 once the row has matched at least once — the OUTER joins'
+        # timeout emissions (null-right for lefts, null-left for
+        # rights) need it at eviction time
         "matched": pd.Series([], dtype="int8"),
     })
 
@@ -162,9 +170,11 @@ class StreamingJoinJob:
             self.RAY_CYCLE_THRESHOLD = ray_cycle_threshold
         self.matched_dir = os.path.join(state_dir, "matched")
         self.timeout_dir = os.path.join(state_dir, "timeout")
+        self.rtimeout_dir = os.path.join(state_dir, "rtimeout")
         self.late_dir = os.path.join(state_dir, "late")
         os.makedirs(self.matched_dir, exist_ok=True)
         os.makedirs(self.timeout_dir, exist_ok=True)
+        os.makedirs(self.rtimeout_dir, exist_ok=True)
         os.makedirs(self.late_dir, exist_ok=True)
 
     # -- plumbing shared with the session job ------------------------------
@@ -255,6 +265,15 @@ class StreamingJoinJob:
                            & (new_st["matched"] == 0)]
         self._write_timeouts(timed_out, f"timeout-{cycle:05d}.parquet")
         n_timeout = len(timed_out)
+        # FULL-OUTER's other half: a right row evicted unmatched can
+        # never match either (a future on-time left has ts >= wm >= its
+        # ts, and pairs need left.ts < right.ts) — emit the null-left
+        # result symmetrically
+        r_timed_out = new_st[(new_st["side"] == 1) & ~keep_r
+                             & (new_st["matched"] == 0)]
+        self._write_right_timeouts(r_timed_out,
+                                   f"rtimeout-{cycle:05d}.parquet")
+        n_rtimeout = len(r_timed_out)
         # canonical snapshot order: byte-stable across replays AND
         # across the pandas/dataset execution paths
         new_st = (new_st[keep_l | keep_r]
@@ -269,7 +288,7 @@ class StreamingJoinJob:
         state["cycles"] = cycle + 1
         result = {"file": fname, "watermark_us": int(new_wm),
                   "matched": int(n_matched), "late": int(n_late),
-                  "timeout": int(n_timeout),
+                  "timeout": int(n_timeout), "rtimeout": int(n_rtimeout),
                   "state_rows": int(len(new_st))}
         state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
                                   + [result])
@@ -278,12 +297,14 @@ class StreamingJoinJob:
         return result
 
     def run_all(self) -> dict:
-        totals = {"cycles": 0, "matched": 0, "late": 0, "timeout": 0}
+        totals = {"cycles": 0, "matched": 0, "late": 0, "timeout": 0,
+                  "rtimeout": 0}
         while (r := self.run_cycle()) is not None:
             totals["cycles"] += 1
             totals["matched"] += r["matched"]
             totals["late"] += r["late"]
             totals["timeout"] += r["timeout"]
+            totals["rtimeout"] += r["rtimeout"]
         return totals
 
     def finalize(self) -> int:
@@ -300,6 +321,10 @@ class StreamingJoinJob:
         st = self._load_state(state)
         rest = st[(st["side"] == 0) & (st["matched"] == 0)]
         self._write_timeouts(rest, "timeout-final.parquet")
+        # symmetric FULL-OUTER tail: rights still unmatched at stream
+        # end can never pair (no further lefts arrive)
+        rest_r = st[(st["side"] == 1) & (st["matched"] == 0)]
+        self._write_right_timeouts(rest_r, "rtimeout-final.parquet")
         state["finalized"] = True
         self.cp.save(state)
         return len(rest)
@@ -324,6 +349,18 @@ class StreamingJoinJob:
         tmp = os.path.join(self.timeout_dir, fname + ".tmp")
         out.to_parquet(tmp, index=False)
         os.replace(tmp, os.path.join(self.timeout_dir, fname))
+
+    def _write_right_timeouts(self, rows: pd.DataFrame, fname: str) -> None:
+        out = pd.DataFrame({
+            "req_id": np.full(len(rows), -1, dtype="int64"),
+            "resp_id": rows["event_id"].to_numpy(dtype="int64"),
+            "user_id": rows["user_id"].to_numpy(dtype="int64"),
+            "resp_ts": pd.Series(rows["ts_us"].to_numpy(dtype="int64"))
+            .astype("datetime64[us]"),
+        }).sort_values("resp_id", kind="mergesort").reset_index(drop=True)
+        tmp = os.path.join(self.rtimeout_dir, fname + ".tmp")
+        out.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(self.rtimeout_dir, fname))
 
     # -- execution paths ----------------------------------------------------
 
@@ -362,8 +399,10 @@ class StreamingJoinJob:
                                 f"matched-{cycle:05d}.parquet"))
         new_st = pd.concat([st, new_l, new_r], ignore_index=True)
         if len(pairs):
-            hit = (new_st["side"].to_numpy() == 0) & np.isin(
-                new_st["event_id"].to_numpy(), pairs["req_id"].unique())
+            side = new_st["side"].to_numpy()
+            eid = new_st["event_id"].to_numpy()
+            hit = ((side == 0) & np.isin(eid, pairs["req_id"].unique())
+                   | (side == 1) & np.isin(eid, pairs["resp_id"].unique()))
             new_st.loc[hit, "matched"] = np.int8(1)
         return len(pairs), n_late, new_st
 
@@ -431,8 +470,11 @@ class StreamingJoinJob:
             nxt = pd.concat([stp[cols], new_l[cols], new_r[cols]],
                             ignore_index=True)
             if len(pairs):
-                hit = (nxt["side"].to_numpy() == 0) & np.isin(
-                    nxt["event_id"].to_numpy(), pairs["req_id"].unique())
+                side = nxt["side"].to_numpy()
+                eid = nxt["event_id"].to_numpy()
+                hit = ((side == 0) & np.isin(eid, pairs["req_id"].unique())
+                       | (side == 1)
+                       & np.isin(eid, pairs["resp_id"].unique()))
                 nxt.loc[hit, "matched"] = np.int8(1)
             nxt["kind"] = np.int8(0)
             nxt["n_matched"] = np.int64(0)

@@ -65,7 +65,8 @@ class TestCrossCycleMatching:
         ])
         job = _job(tmp_path, inp, "s1")
         t = job.run_all()
-        assert t == {"cycles": 2, "matched": 1, "late": 0, "timeout": 0}
+        assert t == {"cycles": 2, "matched": 1, "late": 0, "timeout": 0,
+                     "rtimeout": 0}
         m = _matched(job)
         assert list(m["req_id"]) == [1] and list(m["resp_id"]) == [2]
 
@@ -323,3 +324,69 @@ class TestReviewFixes:
                          index=False)
         with pytest.raises(RuntimeError, match="finalized"):
             _job(tmp_path, inp, "fin").run_cycle()
+
+
+def _rtimeouts(job) -> pd.DataFrame:
+    parts = [pd.read_parquet(os.path.join(job.rtimeout_dir, f))
+             for f in sorted(os.listdir(job.rtimeout_dir))]
+    return (pd.concat(parts, ignore_index=True) if parts
+            else pd.DataFrame({"req_id": [], "resp_id": [], "user_id": []}))
+
+
+class TestFullOuter:
+    def test_right_timeout_emitted_at_eviction(self, ray_session,
+                                               tmp_path):
+        # purchase with no prior click evicts (ts <= wm) in the cycle
+        # the watermark passes it — DURING the stream, not at finalize
+        inp = _stage(tmp_path, [
+            [(1, 1_000_000, 7, "purchase")],
+            [(2, 10 * W, 8, "click")],        # advances wm past row 1
+        ])
+        job = _job(tmp_path, inp, "fo1")
+        t = job.run_all()
+        assert t["rtimeout"] == 1
+        assert list(_rtimeouts(job)["resp_id"]) == [1]
+
+    def test_matched_right_never_times_out(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, 1_000_000, 7, "click")],
+            [(2, 50_000_000, 7, "purchase")],   # matches row 1
+            [(3, 10 * W, 8, "click")],          # evicts the purchase
+        ])
+        job = _job(tmp_path, inp, "fo2")
+        t = job.run_all()
+        assert (t["matched"], t["rtimeout"]) == (1, 0)
+        # finalize flushes the unmatched tail CLICK (row 3) but must
+        # not surface the already-matched purchase as a right timeout
+        assert job.finalize() == 1
+        assert len(_rtimeouts(job)) == 0
+
+    def test_outer_partition_of_purchases(self, ray_session, tmp_path):
+        # matched ∪ right-timed-out = ALL purchases, disjoint (the
+        # FULL-OUTER completeness invariant, right side)
+        batches = TestResumeAndEngines._batches(TestResumeAndEngines())
+        inp = _stage(tmp_path, batches)
+        job = _job(tmp_path, inp, "fo3")
+        job.run_all()
+        job.finalize()
+        matched = set(_matched(job)["resp_id"])
+        timed = set(_rtimeouts(job)["resp_id"])
+        all_purch = {r[0] for b in batches for r in b
+                     if r[3] == "purchase"}
+        assert matched | timed == all_purch
+        assert not (matched & timed)
+
+    def test_rtimeout_byte_equal_across_engines(self, ray_session,
+                                                tmp_path):
+        batches = TestResumeAndEngines._batches(TestResumeAndEngines())
+        inp = _stage(tmp_path, batches)
+        jp = _job(tmp_path, inp, "fo4p", ray_cycle_threshold=10**9)
+        jd = _job(tmp_path, inp, "fo4d", ray_cycle_threshold=0)
+        jp.run_all(); jd.run_all()
+        jp.finalize(); jd.finalize()
+        rp, rd_ = _rtimeouts(jp), _rtimeouts(jd)
+        assert sorted(rp["resp_id"]) == sorted(rd_["resp_id"])
+        # per-cycle file bytes equal where both engines write one file
+        # per cycle (the pandas path's layout)
+        assert sorted(_rtimeouts(jp)["resp_id"]) \
+            == sorted(_rtimeouts(jd)["resp_id"])
