@@ -1479,6 +1479,63 @@ def _q_stream_stream_full_join(sf_dir: str):
             .union(rd.read_parquet(job.rtimeout_dir, columns=cols)))
 
 
+def _q_tumbling_update_changelog(sf_dir: str):
+    """UPDATE-mode emission (Spark update output mode / Flink retract
+    stream): weekly per-type counts over day micro-batches, emitted as
+    a changelog — op=-1 retracts the previously emitted value of a
+    window the cycle's arrivals supersede, op=+1 inserts the new one.
+    The day cycles are deterministic, so the FULL changelog (not just
+    its fold) is a pure function of the input and mirrors as lag()
+    over per-day cumulative sums."""
+    import tempfile
+
+    from .changelog import StreamingChangelogJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingChangelogJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_chlog_st_"))
+    job.run_all()
+    ch = job.changelog()
+    return pd.DataFrame({
+        "cycle": ch["cycle"].to_numpy(dtype="int64"),
+        "win_start": pd.Series(ch["win_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "event_type": ch["key"].to_numpy(),
+        "op": ch["op"].to_numpy(dtype="int64"),
+        "n": ch["n"].to_numpy(dtype="int64"),
+    })
+
+
+_UPDATE_CHANGELOG_SQL = """
+WITH d AS (
+  SELECT date_trunc('week', ts) AS win_start, event_type,
+         strftime(ts, '%Y%m%d') AS day, count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), days AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) - 1 AS BIGINT) AS cycle
+  FROM (SELECT DISTINCT strftime(ts, '%Y%m%d') AS day FROM events)
+), cum AS (
+  SELECT day, win_start, event_type,
+         CAST(SUM(c) OVER (PARTITION BY win_start, event_type
+                           ORDER BY day) AS BIGINT) AS n
+  FROM d
+), ch AS (
+  SELECT day, win_start, event_type, n,
+         lag(n) OVER (PARTITION BY win_start, event_type
+                      ORDER BY day) AS prev_n
+  FROM cum
+)
+SELECT y.cycle, ch.win_start, ch.event_type,
+       CAST(x.op AS BIGINT) AS op,
+       CASE WHEN x.op = 1 THEN ch.n ELSE ch.prev_n END AS n
+FROM ch
+JOIN days y ON y.day = ch.day
+CROSS JOIN (VALUES (1), (-1)) AS x(op)
+WHERE x.op = 1 OR ch.prev_n IS NOT NULL
+ORDER BY cycle, win_start, event_type, op
+"""
+
+
 _STREAM_FULL_JOIN_SQL = """
 SELECT CAST(COALESCE(a.event_id, -1) AS BIGINT) AS req_id,
        CAST(COALESCE(b.event_id, -1) AS BIGINT) AS resp_id,
@@ -2884,6 +2941,7 @@ QUERIES = {
     "stream_stream_join": _q_stream_stream_join,
     "stream_stream_left_join": _q_stream_stream_left_join,
     "stream_stream_full_join": _q_stream_stream_full_join,
+    "tumbling_update_changelog": _q_tumbling_update_changelog,
     "bfs_hops": _q_bfs_hops,
     "click_abandonment": _q_click_abandonment,
     "cep_kleene_funnel": _q_cep_kleene,
@@ -2934,18 +2992,21 @@ _DRIVER_WINDOW = [
     # quality / curriculum
     "doc_quality", "quality_filter", "quality_percentile",
     "curriculum_order",
-    # PII
-    "pii_scan", "corpus_clean",
-    # ANN / embeddings
-    "ann_topk", "knn_accuracy", "embedding_neardup",
+    # PII (pii_scan stays sweep-verified; the round-5 Kleene-plus CEP
+    # quantifier takes the slot — newest shape first)
+    "corpus_clean", "cep_kleene_funnel",
+    # ANN / embeddings (knn_accuracy → sweep; FLAC, the round-5
+    # predictive-codec entry, takes the slot)
+    "ann_topk", "media_flac_roundtrip", "embedding_neardup",
     "ann_lsh_topk_fullprobe",
     # iterative linear algebra
     "kmeans_train", "pca_power_iter",
     # relational (TPC-H)
     "q1_pricing", "q5_nation_revenue", "q18_large_orders",
     "supplier_balance_by_nation",
-    # OLAP grouping sets
-    "rollup_revenue", "cube_revenue",
+    # OLAP grouping sets (cube_revenue → sweep; the round-5 FULL OUTER
+    # stream join takes the slot)
+    "rollup_revenue", "stream_stream_full_join",
     # join variants (anti_join_events_urgent stays sweep-verified; the
     # round-5 range join takes the window slot — newest shape first)
     "asof_events_orders", "range_join_repeat_orders",
@@ -3075,6 +3136,7 @@ ORACLES = {
     "stream_stream_join": _STREAM_JOIN_SQL,
     "stream_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "stream_stream_full_join": _STREAM_FULL_JOIN_SQL,
+    "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
     "click_abandonment": _ABANDONMENT_SQL,
     "cep_kleene_funnel": _CEP_KLEENE_SQL,
