@@ -1963,6 +1963,12 @@ def _q_media_qoi_roundtrip(sf_dir: str):
     return media_qoi_roundtrip(sf_dir)
 
 
+def _q_media_flac_mkv_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_flac_mkv_roundtrip
+
+    return media_flac_mkv_roundtrip(sf_dir)
+
+
 def _q_media_g711_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_g711_roundtrip
 
@@ -2842,6 +2848,7 @@ QUERIES = {
     "media_g711_roundtrip": _q_media_g711_roundtrip,
     "media_flac_roundtrip": _q_media_flac_roundtrip,
     "media_qoi_roundtrip": _q_media_qoi_roundtrip,
+    "media_flac_mkv_roundtrip": _q_media_flac_mkv_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -3200,6 +3207,8 @@ ORACLES = {
     # the exact utf-8 bytes, so both oracles are the raw-text hash
     "media_flac_roundtrip": _MEDIA_HASHES_SQL,
     "media_qoi_roundtrip": _MEDIA_HASHES_SQL,
+    # A_FLAC-in-Matroska is lossless end to end too
+    "media_flac_mkv_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

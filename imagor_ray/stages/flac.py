@@ -28,7 +28,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_flac", "decode_flac", "FlacError"]
+__all__ = ["encode_flac", "decode_flac", "encode_flac_parts",
+           "decode_flac_frame", "parse_flac_header", "FlacError"]
 
 
 class FlacError(ValueError):
@@ -511,6 +512,18 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000,
                 ) -> bytes:
     """Encode int samples (shape (n,) or (n, channels), channels ≤ 8)
     to a FLAC stream. Lossless for values in the signed `bps` range."""
+    header, frames = encode_flac_parts(
+        samples, sample_rate, bps, block_size, try_lpc, stereo_decorrelate)
+    return header + b"".join(frames)
+
+
+def encode_flac_parts(samples: np.ndarray, sample_rate: int = 8000,
+                      bps: int = 8, block_size: int = 4096,
+                      try_lpc: bool = True, stereo_decorrelate: bool = True
+                      ) -> tuple[bytes, list[bytes]]:
+    """Like :func:`encode_flac` but returns (header, frames) separately
+    — the shape a Matroska ``A_FLAC`` track needs: the fLaC magic +
+    STREAMINFO go into CodecPrivate, each frame into one SimpleBlock."""
     if bps not in _BPS_CODE:
         raise FlacError(f"unsupported bits-per-sample {bps}")
     x = np.asarray(samples, dtype=np.int64)
@@ -523,7 +536,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000,
     if n and (x.min() < -lim or x.max() >= lim):
         raise FlacError("sample out of bps range")
 
-    out = bytearray(b"fLaC")
+    header = bytearray(b"fLaC")
     streaminfo = struct.pack(
         ">HH", block_size, block_size) + b"\x00\x00\x00" * 2
     # sample_rate(20) | channels-1(3) | bps-1(5) | total(36) = 8 bytes
@@ -532,8 +545,9 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000,
     streaminfo += struct.pack(">Q", packed)
     streaminfo += _sample_md5(x, bps)
     # metadata block header: last-block flag + type 0 (STREAMINFO) + len
-    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    header += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
 
+    frames: list[bytes] = []
     frame_no = 0
     for start in range(0, max(n, 1), block_size):
         blk = x[start:start + block_size]
@@ -583,18 +597,17 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 8000,
             _encode_subframe(bw, ch, ch_bps[ci], try_lpc)
         bw.align()
         frame = bytes(hdr) + bw.getvalue()
-        out += frame + struct.pack(">H", _crc16(frame))
+        frames.append(frame + struct.pack(">H", _crc16(frame)))
         frame_no += 1
-    return bytes(out)
+    return bytes(header), frames
 
 
 # ---------------------------------------------------------------------------
 # Stream decode
 
-def decode_flac(payload: bytes, verify_md5: bool = True
-                ) -> tuple[np.ndarray, int, int]:
-    """Decode a FLAC stream → (samples int64 (n, channels), sample_rate,
-    bps). Verifies frame CRC-8/CRC-16 and (when present) STREAMINFO MD5."""
+def parse_flac_header(payload: bytes) -> tuple[int, dict]:
+    """Parse the fLaC magic + metadata blocks → (first_frame_pos,
+    {sample_rate, channels, bps, total, md5})."""
     if payload[:4] != b"fLaC":
         raise FlacError("bad magic")
     pos = 4
@@ -615,75 +628,98 @@ def decode_flac(payload: bytes, verify_md5: bool = True
     if streaminfo is None or len(streaminfo) < 34:
         raise FlacError("missing STREAMINFO")
     packed = struct.unpack(">Q", streaminfo[10:18])[0]
-    sample_rate = packed >> 44
-    channels = ((packed >> 41) & 0x7) + 1
-    bps = ((packed >> 36) & 0x1F) + 1
-    total = packed & ((1 << 36) - 1)
-    md5_expect = streaminfo[18:34]
+    return pos, {
+        "sample_rate": packed >> 44,
+        "channels": ((packed >> 41) & 0x7) + 1,
+        "bps": ((packed >> 36) & 0x1F) + 1,
+        "total": packed & ((1 << 36) - 1),
+        "md5": streaminfo[18:34],
+    }
+
+
+def decode_flac_frame(payload: bytes, pos: int = 0, default_bps: int = 16
+                      ) -> tuple[np.ndarray, int]:
+    """Decode ONE frame starting at ``pos`` → ((blocksize, channels)
+    int64 samples, position after the frame). Verifies both frame
+    CRCs. This is the unit a Matroska ``A_FLAC`` SimpleBlock holds."""
+    bps = default_bps
+    br = _BitReader(payload, pos)
+    sync = br.read(14)
+    if sync != 0b11111111111110:
+        raise FlacError("lost frame sync")
+    br.read(1)                       # reserved
+    br.read(1)                       # blocking strategy
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    ch_assign = br.read(4)
+    bps_code = br.read(3)
+    br.read(1)                       # reserved
+    _utf8_decode(br)                 # frame/sample number
+    if bs_code == 0b0110:
+        bs = br.read(8) + 1
+    elif bs_code == 0b0111:
+        bs = br.read(16) + 1
+    elif bs_code == 0b0001:
+        bs = 192
+    elif 0b0010 <= bs_code <= 0b0101:
+        bs = 576 << (bs_code - 2)
+    elif bs_code >= 0b1000:
+        bs = 256 << (bs_code - 8)
+    else:
+        raise FlacError("reserved blocksize code")
+    if sr_code == 0b1100:
+        br.read(8)
+    elif sr_code in (0b1101, 0b1110):
+        br.read(16)
+    fbps = _BPS_FROM_CODE.get(bps_code, bps) if bps_code else bps
+    hdr_end = br.tell_byte()
+    crc8_got = br.read(8)
+    if _crc8(payload[pos:hdr_end]) != crc8_got:
+        raise FlacError("frame header CRC-8 mismatch")
+
+    if ch_assign < 8:
+        nch = ch_assign + 1
+        subs = [_decode_subframe(br, bs, fbps) for _ in range(nch)]
+        blk = np.stack(subs, axis=1)
+    elif ch_assign in (8, 9, 10):
+        extra0 = 1 if ch_assign == 9 else 0
+        extra1 = 1 if ch_assign in (8, 10) else 0
+        c0 = _decode_subframe(br, bs, fbps + extra0)
+        c1 = _decode_subframe(br, bs, fbps + extra1)
+        if ch_assign == 8:           # left/side
+            left, right = c0, c0 - c1
+        elif ch_assign == 9:         # right/side
+            left, right = c0 + c1, c1
+        else:                        # mid/side
+            mid = (c0 << 1) | (c1 & 1)
+            left = (mid + c1) >> 1
+            right = (mid - c1) >> 1
+        blk = np.stack([left, right], axis=1)
+    else:
+        raise FlacError("reserved channel assignment")
+    br.align()
+    frame_end = br.tell_byte()
+    crc16_got = int.from_bytes(payload[frame_end:frame_end + 2], "big")
+    if _crc16(payload[pos:frame_end]) != crc16_got:
+        raise FlacError("frame CRC-16 mismatch")
+    return blk, frame_end + 2
+
+
+def decode_flac(payload: bytes, verify_md5: bool = True
+                ) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream → (samples int64 (n, channels), sample_rate,
+    bps). Verifies frame CRC-8/CRC-16 and (when present) STREAMINFO MD5."""
+    pos, si = parse_flac_header(payload)
+    sample_rate = si["sample_rate"]
+    channels = si["channels"]
+    bps = si["bps"]
+    total = si["total"]
+    md5_expect = si["md5"]
 
     frames = []
     got = 0
     while pos < len(payload) and (total == 0 or got < total):
-        br = _BitReader(payload, pos)
-        sync = br.read(14)
-        if sync != 0b11111111111110:
-            raise FlacError("lost frame sync")
-        br.read(1)                       # reserved
-        br.read(1)                       # blocking strategy
-        bs_code = br.read(4)
-        sr_code = br.read(4)
-        ch_assign = br.read(4)
-        bps_code = br.read(3)
-        br.read(1)                       # reserved
-        _utf8_decode(br)                 # frame/sample number
-        if bs_code == 0b0110:
-            bs = br.read(8) + 1
-        elif bs_code == 0b0111:
-            bs = br.read(16) + 1
-        elif bs_code == 0b0001:
-            bs = 192
-        elif 0b0010 <= bs_code <= 0b0101:
-            bs = 576 << (bs_code - 2)
-        elif bs_code >= 0b1000:
-            bs = 256 << (bs_code - 8)
-        else:
-            raise FlacError("reserved blocksize code")
-        if sr_code == 0b1100:
-            br.read(8)
-        elif sr_code in (0b1101, 0b1110):
-            br.read(16)
-        fbps = _BPS_FROM_CODE.get(bps_code, bps) if bps_code else bps
-        hdr_end = br.tell_byte()
-        crc8_got = br.read(8)
-        if _crc8(payload[pos:hdr_end]) != crc8_got:
-            raise FlacError("frame header CRC-8 mismatch")
-
-        if ch_assign < 8:
-            nch = ch_assign + 1
-            subs = [_decode_subframe(br, bs, fbps) for _ in range(nch)]
-            blk = np.stack(subs, axis=1)
-        elif ch_assign in (8, 9, 10):
-            extra0 = 1 if ch_assign == 9 else 0
-            extra1 = 1 if ch_assign in (8, 10) else 0
-            c0 = _decode_subframe(br, bs, fbps + extra0)
-            c1 = _decode_subframe(br, bs, fbps + extra1)
-            if ch_assign == 8:           # left/side
-                left, right = c0, c0 - c1
-            elif ch_assign == 9:         # right/side
-                left, right = c0 + c1, c1
-            else:                        # mid/side
-                mid = (c0 << 1) | (c1 & 1)
-                left = (mid + c1) >> 1
-                right = (mid - c1) >> 1
-            blk = np.stack([left, right], axis=1)
-        else:
-            raise FlacError("reserved channel assignment")
-        br.align()
-        frame_end = br.tell_byte()
-        crc16_got = int.from_bytes(payload[frame_end:frame_end + 2], "big")
-        if _crc16(payload[pos:frame_end]) != crc16_got:
-            raise FlacError("frame CRC-16 mismatch")
-        pos = frame_end + 2
+        blk, pos = decode_flac_frame(payload, pos, bps)
         frames.append(blk)
         got += len(blk)
 

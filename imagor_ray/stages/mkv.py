@@ -50,6 +50,7 @@ _PIX_H = 0xBA
 _AUDIO = 0xE1
 _SAMPLE_FREQ = 0xB5
 _CHANNELS = 0x9F
+_CODEC_PRIVATE = 0x63A2
 _CLUSTER = 0x1F43B675
 _CLUSTER_TS = 0xE7
 _SIMPLE_BLOCK = 0xA3
@@ -165,6 +166,8 @@ def _parse_track(payload, a, b) -> dict:
         elif eid == _CODEC_ID:
             t["codec_id"] = payload[ca:cb].split(b"\x00")[0] \
                 .decode("ascii", "replace")
+        elif eid == _CODEC_PRIVATE:
+            t["codec_private"] = payload[ca:cb]
         elif eid == _VIDEO:
             for vid, va, vb in _walk(payload, ca, cb):
                 if vid == _PIX_W:
@@ -271,6 +274,48 @@ class MkvCodec:
         ])
 
     @staticmethod
+    def decode_audio(payload: bytes) -> tuple[np.ndarray, int, int]:
+        """(samples int64 (n, channels), sample_rate, bps) for an
+        ``A_FLAC`` audio track — the spec layout: CodecPrivate holds
+        the fLaC magic + STREAMINFO, each SimpleBlock one raw FLAC
+        frame. The container demux, the per-frame predictive decode
+        and the stream-level MD5 are all verified for real; other
+        audio codec ids raise (the documented plug point)."""
+        from .flac import (FlacError, _sample_md5, decode_flac_frame,
+                           parse_flac_header)
+
+        info = _parse(payload, want_blocks=False)
+        aud = next((t for t in info["tracks"] if t.get("track_type") == 2),
+                   None)
+        if aud is None:
+            raise ValueError("ebml: no audio track")
+        codec = aud.get("codec_id")
+        if codec != "A_FLAC":
+            raise NotImplementedError(
+                f"ebml: compressed audio bitstream ({codec!r}) needs a "
+                f"decoder library; container demux is real — plug the "
+                f"decoder over MkvCodec.extract_blocks()")
+        priv = aud.get("codec_private")
+        if not priv:
+            raise ValueError("ebml: A_FLAC track without CodecPrivate")
+        _, si = parse_flac_header(priv)
+        blocks = MkvCodec.extract_blocks(payload, aud.get("track_num"))
+        frames = []
+        for blk in blocks:
+            frame, end = decode_flac_frame(blk, 0, si["bps"])
+            if end != len(blk):
+                raise FlacError("trailing bytes after FLAC frame in block")
+            frames.append(frame)
+        samples = (np.concatenate(frames, axis=0) if frames
+                   else np.zeros((0, si["channels"]), dtype=np.int64))
+        if si["total"]:
+            samples = samples[: si["total"]]
+        if si["md5"] != b"\x00" * 16 and \
+                _sample_md5(samples, si["bps"]) != si["md5"]:
+            raise FlacError("STREAMINFO MD5 mismatch across blocks")
+        return samples, si["sample_rate"], si["bps"]
+
+    @staticmethod
     def decode_pixels(payload: bytes) -> np.ndarray:
         f0 = MkvCodec.decode_frames(payload)[0]
         return np.repeat(f0[:, :, None], 3, axis=2)
@@ -322,6 +367,9 @@ def encode_mkv(
     blocks_per_cluster: int = 4,
     doc_type: str = "matroska",
     codec_id: str | None = None,
+    codec_private: bytes | None = None,
+    sample_rate: int = 8000,
+    channels: int = 1,
 ) -> bytes:
     """Mux samples into a single-track Matroska/WebM file.
 
@@ -331,6 +379,12 @@ def encode_mkv(
     - ``frames`` as a list of bytes → opaque video-track blocks under
       the given ``codec_id`` (default ``V_OPAQUE``) — round-trips
       through :meth:`MkvCodec.extract_blocks`;
+    - an ``A_``-prefixed ``codec_id`` writes an AUDIO track (TrackType
+      2, SamplingFrequency/Channels) instead; ``codec_private`` lands
+      in CodecPrivate — the spec shape for ``A_FLAC``, whose
+      CodecPrivate is the fLaC magic + STREAMINFO and whose
+      SimpleBlocks are raw FLAC frames (round-trips through
+      :meth:`MkvCodec.decode_audio`);
     - blocks are grouped ``blocks_per_cluster`` per Cluster with
       relative timestamps, so multi-cluster walking and timestamp
       resolution are on every round-trip path.
@@ -347,6 +401,7 @@ def encode_mkv(
         codec = codec_id or "V_OPAQUE"
     if not samples:
         raise ValueError("encode_mkv: no samples")
+    is_audio = codec.startswith("A_")
 
     scale = 1_000_000                         # 1 ms ticks
     step_ms = max(1, int(round(1000 / max(fps, 1e-9))))
@@ -362,13 +417,20 @@ def encode_mkv(
         _uint_elem(0x4285, 2),                # DocTypeReadVersion
     ]))
 
-    video = _elem(_VIDEO, _uint_elem(_PIX_W, w) + _uint_elem(_PIX_H, h))
+    if is_audio:
+        media = _elem(_AUDIO,
+                      _elem(_SAMPLE_FREQ, struct.pack(">d", sample_rate))
+                      + _uint_elem(_CHANNELS, channels))
+    else:
+        media = _elem(_VIDEO, _uint_elem(_PIX_W, w) + _uint_elem(_PIX_H, h))
     track = _elem(_TRACK_ENTRY, b"".join([
         _uint_elem(_TRACK_NUM, 1),
         _uint_elem(0x73C5, 1),                # TrackUID
-        _uint_elem(_TRACK_TYPE, 1),           # video
+        _uint_elem(_TRACK_TYPE, 2 if is_audio else 1),
         _elem(_CODEC_ID, codec.encode("ascii")),
-        video,
+        *([_elem(_CODEC_PRIVATE, codec_private)]
+          if codec_private is not None else []),
+        media,
     ]))
     info = _elem(_INFO, b"".join([
         _uint_elem(_TS_SCALE, scale),

@@ -183,3 +183,50 @@ class TestMkvMjpeg:
         payload = encode_mkv([b"\x00" * 16], codec_id="V_VP9")
         with pytest.raises(NotImplementedError):
             MkvCodec.decode_frames(payload)
+
+
+class TestAFlacAudio:
+    def test_flac_in_mkv_roundtrip(self, ray_session=None):
+        import numpy as np
+        from imagor_ray.stages.flac import encode_flac_parts
+        from imagor_ray.stages.mkv import MkvCodec, encode_mkv
+
+        rng = np.random.default_rng(3)
+        x = np.clip(np.cumsum(rng.integers(-40, 41, 4000)),
+                    -20000, 20000).astype(np.int64)
+        st = np.stack([x, x + rng.integers(-3, 4, len(x))], axis=1)
+        hdr, frames = encode_flac_parts(st, 44100, bps=16, block_size=777)
+        mkv = encode_mkv(frames, codec_id="A_FLAC", codec_private=hdr,
+                         sample_rate=44100, channels=2,
+                         blocks_per_cluster=3)
+        samples, sr, bps = MkvCodec.decode_audio(mkv)
+        assert (sr, bps) == (44100, 16)
+        assert np.array_equal(samples, st)
+        meta = MkvCodec.decode_meta(mkv)
+        assert meta["codec_id"] == "A_FLAC" and meta["n_tracks"] == 1
+
+    def test_cross_block_md5_detects_reordering(self):
+        import numpy as np
+        import pytest
+        from imagor_ray.stages.flac import FlacError, encode_flac_parts
+        from imagor_ray.stages.mkv import MkvCodec, encode_mkv
+
+        rng = np.random.default_rng(4)
+        x = rng.integers(-100, 100, 600).astype(np.int64)
+        hdr, frames = encode_flac_parts(x, 8000, bps=8, block_size=200)
+        assert len(frames) == 3
+        # swap two frames: each decodes fine, the STREAM md5 must fail
+        swapped = [frames[1], frames[0], frames[2]]
+        mkv = encode_mkv(swapped, codec_id="A_FLAC", codec_private=hdr,
+                         sample_rate=8000, channels=1)
+        with pytest.raises(FlacError, match="MD5"):
+            MkvCodec.decode_audio(mkv)
+
+    def test_other_audio_codec_is_gated(self):
+        import pytest
+        from imagor_ray.stages.mkv import MkvCodec, encode_mkv
+
+        mkv = encode_mkv([b"\x01\x02"], codec_id="A_OPUS",
+                         sample_rate=48000, channels=2)
+        with pytest.raises(NotImplementedError, match="audio"):
+            MkvCodec.decode_audio(mkv)
