@@ -179,6 +179,16 @@ class MediaDecodeStage:
                 m = MkvCodec.decode_meta(payload)
                 return (m["width"], m["height"], m["n_frames"], 1,
                         m["width"] * m["height"] * m["n_frames"])
+            if kind == "flac":
+                from .flac import parse_flac_header
+                _, si = parse_flac_header(payload)
+                return (0, 0, si["total"], si["channels"],
+                        si["total"] * si["channels"] * (si["bps"] // 8))
+            if kind == "qoi":
+                import struct as _st
+                w, h = _st.unpack_from(">II", payload, 4)
+                ch = payload[12]
+                return (w, h, 1, ch, w * h * ch)
             if kind != "imrf":
                 raise ValueError("unknown media container")
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
