@@ -1479,6 +1479,71 @@ def _q_stream_stream_full_join(sf_dir: str):
             .union(rd.read_parquet(job.rtimeout_dir, columns=cols)))
 
 
+_SJOIN2_STAGING: dict = {}
+
+
+def _stage_event_days_by_type(sf_dir: str) -> tuple:
+    """Two-source staging for the min-watermark join: clicks and
+    purchases land in SEPARATE per-day micro-batch directories
+    (distributed writes, one grouped task per (side, day)); cached per
+    sf_dir like the single-source staging."""
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    cached = _SJOIN2_STAGING.get(key)
+    if cached and all(os.path.isdir(d) for d in cached):
+        return cached
+
+    left_dir = tempfile.mkdtemp(prefix="imray_sjoin2_l_")
+    right_dir = tempfile.mkdtemp(prefix="imray_sjoin2_r_")
+    dirs = {"click": left_dir, "purchase": right_dir}
+
+    def add_day(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["click", "purchase"])].copy()
+        b["_day"] = b["ts"].astype("datetime64[us]").dt.strftime("%Y%m%d")
+        return b
+
+    def write_day(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["_day"].iloc[0]
+        side = g["event_type"].iloc[0]
+        (g.drop(columns=["_day", "event_type"])
+         .sort_values("event_id", kind="mergesort")
+         .to_parquet(os.path.join(dirs[side], f"batch-{day}.parquet"),
+                     index=False))
+        return pd.DataFrame({"day": [day], "rows": [len(g)]})
+
+    (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id", "event_type"])
+        .map_batches(add_day, batch_format="pandas")
+        .groupby(["event_type", "_day"])
+        .map_groups(write_day, batch_format="pandas")
+        .count()
+    )
+    _SJOIN2_STAGING[key] = (left_dir, right_dir)
+    return left_dir, right_dir
+
+
+def _q_stream_join_two_sources(sf_dir: str):
+    """The multiple-watermark join: clicks and purchases arrive as two
+    INDEPENDENT micro-batch streams (separate directories advancing on
+    their own day clocks), and the global watermark is the MIN of the
+    per-source event-time maxima (Spark's default multi-source
+    policy) — a lagging source holds eviction for both sides. Matched
+    pairs must equal the single-stream inner join exactly (the oracle
+    is the same batch SQL)."""
+    import tempfile
+
+    from .stream_join import TwoSourceJoinJob
+
+    left_dir, right_dir = _stage_event_days_by_type(sf_dir)
+    job = TwoSourceJoinJob(left_dir, right_dir,
+                           tempfile.mkdtemp(prefix="imray_sjoin2_st_"))
+    job.run_all()
+    return rd.read_parquet(job.matched_dir)
+
+
 def _q_tumbling_update_changelog(sf_dir: str):
     """UPDATE-mode emission (Spark update output mode / Flink retract
     stream): weekly per-type counts over day micro-batches, emitted as
@@ -2949,6 +3014,7 @@ QUERIES = {
     "stream_stream_left_join": _q_stream_stream_left_join,
     "stream_stream_full_join": _q_stream_stream_full_join,
     "tumbling_update_changelog": _q_tumbling_update_changelog,
+    "stream_join_two_sources": _q_stream_join_two_sources,
     "bfs_hops": _q_bfs_hops,
     "click_abandonment": _q_click_abandonment,
     "cep_kleene_funnel": _q_cep_kleene,
@@ -3144,6 +3210,8 @@ ORACLES = {
     "stream_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "stream_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
+    # the two-source run must reproduce the single-stream inner join
+    "stream_join_two_sources": _STREAM_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
     "click_abandonment": _ABANDONMENT_SQL,
     "cep_kleene_funnel": _CEP_KLEENE_SQL,

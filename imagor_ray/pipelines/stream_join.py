@@ -58,7 +58,7 @@ import pandas as pd
 from ..functions.bandjoin import band_probe
 from ..state.checkpoint import Checkpoint
 
-__all__ = ["StreamingJoinJob"]
+__all__ = ["StreamingJoinJob", "TwoSourceJoinJob"]
 
 _PAIR_COLS = ["req_id", "resp_id", "user_id", "req_ts", "resp_ts"]
 
@@ -504,3 +504,152 @@ class StreamingJoinJob:
                   .reset_index(drop=True))
         return (int(summ["n_matched"].sum()), int(summ["n_late"].sum()),
                 new_st)
+
+
+class TwoSourceJoinJob(StreamingJoinJob):
+    """Stream-stream join over TWO independent micro-batch sources —
+    the multiple-watermark shape (Spark's default multi-source policy):
+    clicks and purchases arrive as separate file streams that advance
+    independently, and the GLOBAL watermark is the MIN of the two
+    per-source event-time maxima (minus allowed lateness). A lagging
+    source therefore holds the watermark back: nothing evicts, nothing
+    times out and nothing is declared late on the strength of the
+    fast source alone — the exact semantics that make multi-source
+    joins safe when one input stalls.
+
+    Each cycle consumes the next pending file from EACH source that
+    has one (a cycle may be single-sided once the other source is
+    exhausted). All rows of the left source are left-side rows and
+    likewise for the right (the sources ARE the sides); matching,
+    state, eviction, the OUTER timeout emissions and the
+    single-commit-point checkpoint discipline are inherited unchanged.
+    Per-source maxima are checkpointed, so resume preserves the
+    watermark exactly.
+
+    The per-side refinement (lefts may evict on the RIGHT source's
+    watermark alone and vice versa) is deliberately not taken: the
+    global min is the documented, conservative default, and the
+    single-source class already demonstrates the finer eviction
+    proofs.
+    """
+
+    def __init__(self, left_dir: str, right_dir: str, state_dir: str,
+                 window_s: int = 21600, allowed_lateness_s: int = 0,
+                 num_buckets: int = 32):
+        super().__init__(left_dir, state_dir, window_s=window_s,
+                         allowed_lateness_s=allowed_lateness_s,
+                         num_buckets=num_buckets)
+        self.right_dir = right_dir
+
+    def _pending_side(self, d: str, done: set) -> "str | None":
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet") and f not in done:
+                return f
+        return None
+
+    def run_cycle(self) -> dict | None:
+        state = self.cp.load()
+        if state.get("finalized"):
+            raise RuntimeError("stream finalized (see StreamingJoinJob)")
+        done_l = set(state.get("processed", []))
+        done_r = set(state.get("processed_right", []))
+        fl = self._pending_side(self.input_dir, done_l)
+        fr = self._pending_side(self.right_dir, done_r)
+        if fl is None and fr is None:
+            return None
+        wm = int(state.get("watermark_us", 0))
+        cycle = int(state.get("cycles", 0))
+        st = self._load_state(state)
+
+        def read_side(d: str, fname: "str | None", side: int):
+            if fname is None:
+                return (pd.DataFrame({
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts_us": pd.Series([], dtype="int64"),
+                    "side": pd.Series([], dtype="int8"),
+                    "matched": pd.Series([], dtype="int8"),
+                }), pd.DataFrame({
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                }), -1)
+            df = pd.read_parquet(os.path.join(d, fname),
+                                 columns=["event_id", "ts", "user_id"])
+            us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            late = us < wm
+            rows = pd.DataFrame({
+                "event_id": df["event_id"].to_numpy(dtype="int64")[~late],
+                "user_id": df["user_id"].to_numpy(dtype="int64")[~late],
+                "ts_us": us[~late],
+                "side": np.full(int((~late).sum()), side, dtype=np.int8),
+                "matched": np.zeros(int((~late).sum()), dtype=np.int8),
+            })
+            lrows = pd.DataFrame({
+                "event_id": df["event_id"].to_numpy(dtype="int64")[late],
+                "user_id": df["user_id"].to_numpy(dtype="int64")[late],
+                "ts": pd.Series(us[late]).astype("datetime64[us]"),
+            })
+            return rows, lrows, (int(us.max()) if len(us) else -1)
+
+        new_l, late_l, max_l = read_side(self.input_dir, fl, 0)
+        new_r, late_r, max_r = read_side(self.right_dir, fr, 1)
+        late_rows = (pd.concat([late_l, late_r], ignore_index=True)
+                     .sort_values("event_id", kind="mergesort")
+                     .reset_index(drop=True))
+        self._write_late(late_rows, f"late-{cycle:05d}.parquet")
+
+        pairs = _cycle_match(new_l, new_r, st, self.window_us)
+        self._write_sorted(pairs, os.path.join(
+            self.matched_dir, f"matched-{cycle:05d}.parquet"))
+        new_st = pd.concat([st, new_l, new_r], ignore_index=True)
+        if len(pairs):
+            side = new_st["side"].to_numpy()
+            eid = new_st["event_id"].to_numpy()
+            hit = ((side == 0) & np.isin(eid, pairs["req_id"].unique())
+                   | (side == 1) & np.isin(eid, pairs["resp_id"].unique()))
+            new_st.loc[hit, "matched"] = np.int8(1)
+
+        # per-source maxima persist; the GLOBAL watermark is their min
+        src_max_l = max(int(state.get("src_max_left", -1)), max_l)
+        src_max_r = max(int(state.get("src_max_right", -1)), max_r)
+        if src_max_l >= 0 and src_max_r >= 0:
+            new_wm = max(wm, min(src_max_l, src_max_r) - self.lateness_us)
+        else:
+            new_wm = wm     # a source with no data yet holds the line
+
+        keep_l = ((new_st["side"] == 0)
+                  & (new_st["ts_us"] + self.window_us >= new_wm))
+        keep_r = (new_st["side"] == 1) & (new_st["ts_us"] > new_wm)
+        timed_out = new_st[(new_st["side"] == 0) & ~keep_l
+                           & (new_st["matched"] == 0)]
+        self._write_timeouts(timed_out, f"timeout-{cycle:05d}.parquet")
+        r_timed_out = new_st[(new_st["side"] == 1) & ~keep_r
+                             & (new_st["matched"] == 0)]
+        self._write_right_timeouts(r_timed_out,
+                                   f"rtimeout-{cycle:05d}.parquet")
+        new_st = (new_st[keep_l | keep_r]
+                  .sort_values(["side", "event_id"], kind="mergesort")
+                  .reset_index(drop=True))
+
+        open_fname = self.cp.stage_open_sessions(new_st, cycle)
+        state["open_sessions_file"] = open_fname
+        state["watermark_us"] = int(new_wm)
+        state["src_max_left"] = int(src_max_l)
+        state["src_max_right"] = int(src_max_r)
+        if fl is not None:
+            state["processed"] = list(state.get("processed", [])) + [fl]
+        if fr is not None:
+            state["processed_right"] = (
+                list(state.get("processed_right", [])) + [fr])
+        state["cycles"] = cycle + 1
+        result = {"file": f"{fl}|{fr}", "watermark_us": int(new_wm),
+                  "matched": int(len(pairs)), "late": int(len(late_rows)),
+                  "timeout": int(len(timed_out)),
+                  "rtimeout": int(len(r_timed_out)),
+                  "state_rows": int(len(new_st))}
+        state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
+                                  + [result])
+        self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
+        return result

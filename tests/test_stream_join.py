@@ -390,3 +390,89 @@ class TestFullOuter:
         # per cycle (the pandas path's layout)
         assert sorted(_rtimeouts(jp)["resp_id"]) \
             == sorted(_rtimeouts(jd)["resp_id"])
+
+
+class TestTwoSources:
+    def _stage2(self, tmp_path, left_batches, right_batches):
+        def write(sub, batches):
+            d = tmp_path / sub
+            d.mkdir(parents=True, exist_ok=True)
+            for i, rows in enumerate(batches):
+                df = pd.DataFrame(rows, columns=[
+                    "event_id", "ts", "user_id"])
+                df["ts"] = pd.to_datetime(df["ts"], unit="us")
+                df.to_parquet(d / f"batch-{i:03d}.parquet", index=False)
+            return str(d)
+        return (write("left", left_batches), write("right", right_batches))
+
+    def _job2(self, tmp_path, ld, rd_, name):
+        from imagor_ray.pipelines.stream_join import TwoSourceJoinJob
+        return TwoSourceJoinJob(ld, rd_, str(tmp_path / name),
+                                window_s=100)
+
+    def test_cross_source_cross_cycle_match(self, ray_session, tmp_path):
+        ld, rd_ = self._stage2(tmp_path,
+                               [[(1, 1_000_000, 7)]],
+                               [[(2, 50_000_000, 7)]])
+        job = self._job2(tmp_path, ld, rd_, "ts1")
+        t = job.run_all()
+        assert t["matched"] == 1
+
+    def test_lagging_source_holds_watermark(self, ray_session, tmp_path):
+        # right source races 10 windows ahead; left source still at t0.
+        # Global wm = min ⇒ NOTHING evicts or times out yet; when the
+        # left catches up, the watermark advances and evictions fire.
+        ld, rd_ = self._stage2(
+            tmp_path,
+            [[(1, 0, 7)],                        # cycle 0: left at t0
+             [(2, 12 * W, 8)]],                  # cycle 1: left catches up
+            [[(3, 10 * W, 9)],                   # right far ahead
+             []])
+        job = self._job2(tmp_path, ld, rd_, "ts2")
+        r0 = job.run_cycle()
+        # min(0-ish, 10W) keeps wm at the left's max: the left row is
+        # still in-window, the right row unevicted
+        assert r0["timeout"] == 0 and r0["rtimeout"] == 0
+        assert r0["state_rows"] == 2
+        r1 = job.run_cycle()
+        # left catches up to 12W: wm jumps to min(12W, 10W) = 10W ⇒
+        # the old left times out, the unmatched right evicts
+        assert r1["timeout"] == 1 and r1["rtimeout"] == 1
+
+    def test_source_with_no_data_holds_the_line(self, ray_session,
+                                                tmp_path):
+        ld, rd_ = self._stage2(tmp_path, [[(1, 50 * W, 7)]], [[]])
+        job = self._job2(tmp_path, ld, rd_, "ts3")
+        r = job.run_cycle()
+        # right source has produced nothing: wm must stay 0
+        assert r["watermark_us"] == 0 and r["timeout"] == 0
+
+    def test_matches_single_source_results(self, ray_session, tmp_path):
+        # the same logical stream split by side must produce the same
+        # matched pairs as the interleaved single-source job
+        batches = TestResumeAndEngines._batches(TestResumeAndEngines())
+        inp = _stage(tmp_path, batches)
+        one = _job(tmp_path, inp, "ts4-one")
+        one.run_all()
+        lb, rb = [], []
+        for b in batches:
+            lb.append([(e, ts, u) for e, ts, u, t in b if t == "click"])
+            rb.append([(e, ts, u) for e, ts, u, t in b if t == "purchase"])
+        ld, rd_ = self._stage2(tmp_path, lb, rb)
+        two = self._job2(tmp_path, ld, rd_, "ts4-two")
+        two.run_all()
+        ma, mb = _matched(one), _matched(two)
+        assert list(ma["req_id"]) == list(mb["req_id"])
+        assert list(ma["resp_id"]) == list(mb["resp_id"])
+
+    def test_resume_preserves_per_source_maxima(self, ray_session,
+                                                tmp_path):
+        ld, rd_ = self._stage2(
+            tmp_path,
+            [[(1, 5 * W, 7)], [(2, 6 * W, 7)]],
+            [[(3, 4 * W, 7)], [(4, 7 * W, 7)]])
+        job = self._job2(tmp_path, ld, rd_, "ts5")
+        job.run_cycle()
+        fresh = self._job2(tmp_path, ld, rd_, "ts5")   # resume
+        r = fresh.run_cycle()
+        assert r["watermark_us"] == 6 * W              # min(6W, 7W)
