@@ -416,11 +416,7 @@ class StreamingJoinJob:
         import ray.data as rd
 
         nb = self.num_buckets
-        wus = self.window_us
         lt, rt = self.left_type, self.right_type
-        mdir = self.matched_dir
-        ldir = self.late_dir
-        write_sorted = self._write_sorted
 
         def tag(b: pd.DataFrame) -> pd.DataFrame:
             us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
@@ -436,6 +432,26 @@ class StreamingJoinJob:
             })
             out["_ub"] = (out["user_id"].to_numpy() % nb).astype(np.int32)
             return out
+
+        ds = rd.read_parquet(
+            path, columns=["event_id", "ts", "user_id", "event_type"])
+        return self._bucketed_cycle(
+            ds.map_batches(tag, batch_format="pandas"), wm, cycle, st)
+
+    def _bucketed_cycle(self, tagged, wm: int, cycle: int,
+                        st: pd.DataFrame):
+        """Shared engine of the dataset path: one user-bucket groupby
+        over (pre-tagged cycle rows ∪ state rows); grouped tasks match
+        and write their bucket's pairs/late files, returning state +
+        summary rows only. ``tagged`` rows carry (event_id, user_id,
+        ts_us, side, matched, is_state=0, _ub)."""
+        import ray.data as rd
+
+        nb = self.num_buckets
+        wus = self.window_us
+        mdir = self.matched_dir
+        ldir = self.late_dir
+        write_sorted = self._write_sorted
 
         st_t = st.copy()
         st_t["is_state"] = np.int8(1)
@@ -488,9 +504,6 @@ class StreamingJoinJob:
             })
             return pd.concat([nxt, summ], ignore_index=True)
 
-        ds = rd.read_parquet(
-            path, columns=["event_id", "ts", "user_id", "event_type"])
-        tagged = ds.map_batches(tag, batch_format="pandas")
         if len(st_t):
             tagged = tagged.union(rd.from_pandas(st_t))
         out = (tagged.groupby("_ub")
@@ -535,10 +548,12 @@ class TwoSourceJoinJob(StreamingJoinJob):
 
     def __init__(self, left_dir: str, right_dir: str, state_dir: str,
                  window_s: int = 21600, allowed_lateness_s: int = 0,
-                 num_buckets: int = 32):
+                 num_buckets: int = 32,
+                 ray_cycle_threshold: int | None = None):
         super().__init__(left_dir, state_dir, window_s=window_s,
                          allowed_lateness_s=allowed_lateness_s,
-                         num_buckets=num_buckets)
+                         num_buckets=num_buckets,
+                         ray_cycle_threshold=ray_cycle_threshold)
         self.right_dir = right_dir
 
     def _pending_side(self, d: str, done: set) -> "str | None":
@@ -561,54 +576,22 @@ class TwoSourceJoinJob(StreamingJoinJob):
         cycle = int(state.get("cycles", 0))
         st = self._load_state(state)
 
-        def read_side(d: str, fname: "str | None", side: int):
-            if fname is None:
-                return (pd.DataFrame({
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts_us": pd.Series([], dtype="int64"),
-                    "side": pd.Series([], dtype="int8"),
-                    "matched": pd.Series([], dtype="int8"),
-                }), pd.DataFrame({
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                }), -1)
-            df = pd.read_parquet(os.path.join(d, fname),
-                                 columns=["event_id", "ts", "user_id"])
-            us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-            late = us < wm
-            rows = pd.DataFrame({
-                "event_id": df["event_id"].to_numpy(dtype="int64")[~late],
-                "user_id": df["user_id"].to_numpy(dtype="int64")[~late],
-                "ts_us": us[~late],
-                "side": np.full(int((~late).sum()), side, dtype=np.int8),
-                "matched": np.zeros(int((~late).sum()), dtype=np.int8),
-            })
-            lrows = pd.DataFrame({
-                "event_id": df["event_id"].to_numpy(dtype="int64")[late],
-                "user_id": df["user_id"].to_numpy(dtype="int64")[late],
-                "ts": pd.Series(us[late]).astype("datetime64[us]"),
-            })
-            return rows, lrows, (int(us.max()) if len(us) else -1)
+        # per-source event-time maxima come from parquet zone maps
+        # (engine-independent, the single watermark source both
+        # execution paths share)
+        max_l = (self._file_max_ts(os.path.join(self.input_dir, fl))
+                 if fl else -1)
+        max_r = (self._file_max_ts(os.path.join(self.right_dir, fr))
+                 if fr else -1)
 
-        new_l, late_l, max_l = read_side(self.input_dir, fl, 0)
-        new_r, late_r, max_r = read_side(self.right_dir, fr, 1)
-        late_rows = (pd.concat([late_l, late_r], ignore_index=True)
-                     .sort_values("event_id", kind="mergesort")
-                     .reset_index(drop=True))
-        self._write_late(late_rows, f"late-{cycle:05d}.parquet")
-
-        pairs = _cycle_match(new_l, new_r, st, self.window_us)
-        self._write_sorted(pairs, os.path.join(
-            self.matched_dir, f"matched-{cycle:05d}.parquet"))
-        new_st = pd.concat([st, new_l, new_r], ignore_index=True)
-        if len(pairs):
-            side = new_st["side"].to_numpy()
-            eid = new_st["event_id"].to_numpy()
-            hit = ((side == 0) & np.isin(eid, pairs["req_id"].unique())
-                   | (side == 1) & np.isin(eid, pairs["resp_id"].unique()))
-            new_st.loc[hit, "matched"] = np.int8(1)
+        import pyarrow.dataset as pads
+        nrows = sum(
+            pads.dataset(os.path.join(d, f)).count_rows()
+            for d, f in ((self.input_dir, fl), (self.right_dir, fr)) if f)
+        runner = (self._two_cycle_dataset
+                  if nrows > self.RAY_CYCLE_THRESHOLD
+                  else self._two_cycle_pandas)
+        n_matched, n_late, new_st = runner(fl, fr, wm, cycle, st)
 
         # per-source maxima persist; the GLOBAL watermark is their min
         src_max_l = max(int(state.get("src_max_left", -1)), max_l)
@@ -644,7 +627,7 @@ class TwoSourceJoinJob(StreamingJoinJob):
                 list(state.get("processed_right", [])) + [fr])
         state["cycles"] = cycle + 1
         result = {"file": f"{fl}|{fr}", "watermark_us": int(new_wm),
-                  "matched": int(len(pairs)), "late": int(len(late_rows)),
+                  "matched": int(n_matched), "late": int(n_late),
                   "timeout": int(len(timed_out)),
                   "rtimeout": int(len(r_timed_out)),
                   "state_rows": int(len(new_st))}
@@ -653,3 +636,97 @@ class TwoSourceJoinJob(StreamingJoinJob):
         self.cp.save(state)
         self.cp.gc_open_sessions(keep=open_fname)
         return result
+
+    def _read_side_pandas(self, d: str, fname: "str | None", side: int,
+                          wm: int):
+        if fname is None:
+            return (pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int8"),
+                "matched": pd.Series([], dtype="int8"),
+            }), pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+            }))
+        df = pd.read_parquet(os.path.join(d, fname),
+                             columns=["event_id", "ts", "user_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        late = us < wm
+        rows = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype="int64")[~late],
+            "user_id": df["user_id"].to_numpy(dtype="int64")[~late],
+            "ts_us": us[~late],
+            "side": np.full(int((~late).sum()), side, dtype=np.int8),
+            "matched": np.zeros(int((~late).sum()), dtype=np.int8),
+        })
+        lrows = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype="int64")[late],
+            "user_id": df["user_id"].to_numpy(dtype="int64")[late],
+            "ts": pd.Series(us[late]).astype("datetime64[us]"),
+        })
+        return rows, lrows
+
+    def _two_cycle_pandas(self, fl: "str | None", fr: "str | None",
+                          wm: int, cycle: int, st: pd.DataFrame):
+        new_l, late_l = self._read_side_pandas(self.input_dir, fl, 0, wm)
+        new_r, late_r = self._read_side_pandas(self.right_dir, fr, 1, wm)
+        late_rows = (pd.concat([late_l, late_r], ignore_index=True)
+                     .sort_values("event_id", kind="mergesort")
+                     .reset_index(drop=True))
+        self._write_late(late_rows, f"late-{cycle:05d}.parquet")
+        pairs = _cycle_match(new_l, new_r, st, self.window_us)
+        self._write_sorted(pairs, os.path.join(
+            self.matched_dir, f"matched-{cycle:05d}.parquet"))
+        new_st = pd.concat([st, new_l, new_r], ignore_index=True)
+        if len(pairs):
+            side = new_st["side"].to_numpy()
+            eid = new_st["event_id"].to_numpy()
+            hit = ((side == 0) & np.isin(eid, pairs["req_id"].unique())
+                   | (side == 1) & np.isin(eid, pairs["resp_id"].unique()))
+            new_st.loc[hit, "matched"] = np.int8(1)
+        return len(pairs), len(late_rows), new_st
+
+    def _two_cycle_dataset(self, fl: "str | None", fr: "str | None",
+                           wm: int, cycle: int, st: pd.DataFrame):
+        """Big cycles run through the SAME user-bucket grouped engine
+        as the single-source job (``_bucketed_cycle``): each side's
+        file is tagged with its fixed side map-side, the union shuffles
+        once on the user bucket, and grouped tasks write their pairs/
+        late files — nothing stream-sized crosses the driver."""
+        import ray.data as rd
+
+        nb = self.num_buckets
+
+        def mk_tag(side: int):
+            def tag(b: pd.DataFrame) -> pd.DataFrame:
+                us = (b["ts"].astype("datetime64[us]")
+                      .astype("int64").to_numpy())
+                out = pd.DataFrame({
+                    "event_id": b["event_id"].to_numpy(dtype="int64"),
+                    "user_id": b["user_id"].to_numpy(dtype="int64"),
+                    "ts_us": us,
+                    "side": np.full(len(b), side, dtype=np.int8),
+                    "matched": np.zeros(len(b), dtype=np.int8),
+                    "is_state": np.zeros(len(b), dtype=np.int8),
+                })
+                out["_ub"] = (out["user_id"].to_numpy()
+                              % nb).astype(np.int32)
+                return out
+            return tag
+
+        parts = []
+        for d, f, side in ((self.input_dir, fl, 0),
+                           (self.right_dir, fr, 1)):
+            if f is None:
+                continue
+            parts.append(
+                rd.read_parquet(os.path.join(d, f),
+                                columns=["event_id", "ts", "user_id"])
+                .map_batches(mk_tag(side), batch_format="pandas"))
+        tagged = parts[0]
+        for p in parts[1:]:
+            tagged = tagged.union(p)
+        return self._bucketed_cycle(tagged, wm, cycle, st)
