@@ -1544,6 +1544,27 @@ def _q_stream_join_two_sources(sf_dir: str):
     return rd.read_parquet(job.matched_dir)
 
 
+def _q_stream_join_two_sources_full(sf_dir: str):
+    """Multi-source × outer-join composition: the min-watermark
+    two-source run's matched pairs plus BOTH timeout emissions (and
+    the finalize() tails) must equal the batch FULL JOIN — the same
+    completeness contract as the single-stream full join, now under
+    the per-source watermark hold."""
+    import tempfile
+
+    from .stream_join import TwoSourceJoinJob
+
+    left_dir, right_dir = _stage_event_days_by_type(sf_dir)
+    job = TwoSourceJoinJob(left_dir, right_dir,
+                           tempfile.mkdtemp(prefix="imray_sjoin2_st_"))
+    job.run_all()
+    job.finalize()
+    cols = ["req_id", "resp_id", "user_id"]
+    return (rd.read_parquet(job.matched_dir, columns=cols)
+            .union(rd.read_parquet(job.timeout_dir, columns=cols))
+            .union(rd.read_parquet(job.rtimeout_dir, columns=cols)))
+
+
 def _q_tumbling_update_changelog(sf_dir: str):
     """UPDATE-mode emission (Spark update output mode / Flink retract
     stream): weekly per-type counts over day micro-batches, emitted as
@@ -3015,6 +3036,7 @@ QUERIES = {
     "stream_stream_full_join": _q_stream_stream_full_join,
     "tumbling_update_changelog": _q_tumbling_update_changelog,
     "stream_join_two_sources": _q_stream_join_two_sources,
+    "stream_join_two_sources_full": _q_stream_join_two_sources_full,
     "bfs_hops": _q_bfs_hops,
     "click_abandonment": _q_click_abandonment,
     "cep_kleene_funnel": _q_cep_kleene,
@@ -3212,6 +3234,8 @@ ORACLES = {
     "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
     # the two-source run must reproduce the single-stream inner join
     "stream_join_two_sources": _STREAM_JOIN_SQL,
+    # ... and its outer composition the batch FULL JOIN
+    "stream_join_two_sources_full": _STREAM_FULL_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
     "click_abandonment": _ABANDONMENT_SQL,
     "cep_kleene_funnel": _CEP_KLEENE_SQL,
