@@ -218,8 +218,11 @@ class StreamingChangelogJob:
         return totals
 
     def changelog(self) -> pd.DataFrame:
+        # *.parquet only: a crash between the tmp write and os.replace
+        # may leave a half-written .tmp beside the committed files
         parts = [pd.read_parquet(os.path.join(self.changelog_dir, f))
-                 for f in sorted(os.listdir(self.changelog_dir))]
+                 for f in sorted(os.listdir(self.changelog_dir))
+                 if f.endswith(".parquet")]
         if not parts:
             return pd.DataFrame({
                 "cycle": pd.Series([], dtype="int64"),

@@ -192,6 +192,15 @@ class StreamingJoinJob:
         if "matched" not in st.columns:   # pre-outer-join snapshots
             st = st.copy()
             st["matched"] = np.int8(0)
+        if not state.get("rights_matched_tracked"):
+            # LEFT-outer-era snapshot: right rows carry matched=0 even
+            # when they already produced pairs. Their true matched bit
+            # is unrecoverable, so mark them matched — suppressing a
+            # (possibly legitimate) null-left timeout is safe; emitting
+            # a duplicate for an already-matched purchase would break
+            # the FULL join's matched/rtimeout disjointness.
+            st = st.copy()
+            st.loc[st["side"] == 1, "matched"] = np.int8(1)
         return st
 
     @staticmethod
@@ -254,6 +263,16 @@ class StreamingJoinJob:
         # let that pruning move event time
         max_ts = self._file_max_ts(path)
         new_wm = max(wm, max_ts - self.lateness_us) if max_ts >= 0 else wm
+        state["processed"] = list(state.get("processed", [])) + [fname]
+        return self._evict_commit(state, new_st, new_wm, cycle,
+                                  n_matched, n_late, fname)
+
+    def _evict_commit(self, state: dict, new_st: pd.DataFrame,
+                      new_wm: int, cycle: int, n_matched: int,
+                      n_late: int, file_label: str) -> dict:
+        """Shared eviction + emission + single-commit tail (the
+        two-source subclass reuses it verbatim — the only divergence
+        between the jobs is how the watermark is computed)."""
         # watermark-driven eviction: provably-unmatchable rows leave state
         keep_l = ((new_st["side"] == 0)
                   & (new_st["ts_us"] + self.window_us >= new_wm))
@@ -283,10 +302,13 @@ class StreamingJoinJob:
         open_fname = self.cp.stage_open_sessions(new_st, cycle)
         state["open_sessions_file"] = open_fname
         state["watermark_us"] = int(new_wm)
-        state["processed"] = list(state.get("processed", [])) + [fname]
         state["late_rows"] = int(state.get("late_rows", 0)) + int(n_late)
         state["cycles"] = cycle + 1
-        result = {"file": fname, "watermark_us": int(new_wm),
+        # snapshots from here on carry the rights' matched bits for real
+        # (legacy LEFT-era snapshots are conservatively backfilled in
+        # _load_state)
+        state["rights_matched_tracked"] = True
+        result = {"file": file_label, "watermark_us": int(new_wm),
                   "matched": int(n_matched), "late": int(n_late),
                   "timeout": int(n_timeout), "rtimeout": int(n_rtimeout),
                   "state_rows": int(len(new_st))}
@@ -564,14 +586,17 @@ class TwoSourceJoinJob(StreamingJoinJob):
 
     def run_cycle(self) -> dict | None:
         state = self.cp.load()
-        if state.get("finalized"):
-            raise RuntimeError("stream finalized (see StreamingJoinJob)")
         done_l = set(state.get("processed", []))
         done_r = set(state.get("processed_right", []))
         fl = self._pending_side(self.input_dir, done_l)
         fr = self._pending_side(self.right_dir, done_r)
         if fl is None and fr is None:
             return None
+        if state.get("finalized"):
+            raise RuntimeError(
+                "stream finalized: the end-of-stream timeout flush was "
+                "emitted — resuming would break matched/timeout "
+                "disjointness; start a new state dir to continue")
         wm = int(state.get("watermark_us", 0))
         cycle = int(state.get("cycles", 0))
         st = self._load_state(state)
@@ -601,23 +626,6 @@ class TwoSourceJoinJob(StreamingJoinJob):
         else:
             new_wm = wm     # a source with no data yet holds the line
 
-        keep_l = ((new_st["side"] == 0)
-                  & (new_st["ts_us"] + self.window_us >= new_wm))
-        keep_r = (new_st["side"] == 1) & (new_st["ts_us"] > new_wm)
-        timed_out = new_st[(new_st["side"] == 0) & ~keep_l
-                           & (new_st["matched"] == 0)]
-        self._write_timeouts(timed_out, f"timeout-{cycle:05d}.parquet")
-        r_timed_out = new_st[(new_st["side"] == 1) & ~keep_r
-                             & (new_st["matched"] == 0)]
-        self._write_right_timeouts(r_timed_out,
-                                   f"rtimeout-{cycle:05d}.parquet")
-        new_st = (new_st[keep_l | keep_r]
-                  .sort_values(["side", "event_id"], kind="mergesort")
-                  .reset_index(drop=True))
-
-        open_fname = self.cp.stage_open_sessions(new_st, cycle)
-        state["open_sessions_file"] = open_fname
-        state["watermark_us"] = int(new_wm)
         state["src_max_left"] = int(src_max_l)
         state["src_max_right"] = int(src_max_r)
         if fl is not None:
@@ -625,17 +633,8 @@ class TwoSourceJoinJob(StreamingJoinJob):
         if fr is not None:
             state["processed_right"] = (
                 list(state.get("processed_right", [])) + [fr])
-        state["cycles"] = cycle + 1
-        result = {"file": f"{fl}|{fr}", "watermark_us": int(new_wm),
-                  "matched": int(n_matched), "late": int(n_late),
-                  "timeout": int(len(timed_out)),
-                  "rtimeout": int(len(r_timed_out)),
-                  "state_rows": int(len(new_st))}
-        state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
-                                  + [result])
-        self.cp.save(state)
-        self.cp.gc_open_sessions(keep=open_fname)
-        return result
+        return self._evict_commit(state, new_st, new_wm, cycle,
+                                  n_matched, n_late, f"{fl}|{fr}")
 
     def _read_side_pandas(self, d: str, fname: "str | None", side: int,
                           wm: int):

@@ -754,6 +754,21 @@ class QoiCodec:
         px = out.reshape(h, w, 4)
         return (px[:, :, :3].copy() if channels == 3 else px), channels
 
+    @staticmethod
+    def decode_rgb(payload: bytes) -> np.ndarray:
+        px, ch = QoiCodec.decode(payload)
+        return px[:, :, :3].copy() if ch == 4 else px
+
+    @staticmethod
+    def resize(payload: bytes, width: int, height: int) -> bytes:
+        """Real nearest-neighbour pixel resize, re-encoded as QOI
+        (channel layout preserved)."""
+        px, _ch = QoiCodec.decode(payload)
+        h, w = px.shape[:2]
+        ri = (np.arange(height) * h // max(1, height)).clip(0, h - 1)
+        ci = (np.arange(width) * w // max(1, width)).clip(0, w - 1)
+        return encode_qoi(px[ri][:, ci])
+
 
 def encode_qoi(pixels: np.ndarray) -> bytes:
     """Encode uint8 pixels (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA

@@ -289,9 +289,10 @@ def _read_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     esc = (1 << pbits) - 1
     po = br.read(4)
     nparts = 1 << po
-    if block_size % nparts or (block_size >> po) <= order and po:
-        if block_size >> po <= order:
-            raise FlacError("bad partition order")
+    if block_size % nparts != 0:
+        raise FlacError("block size not divisible by partition count")
+    if (block_size >> po) <= order:
+        raise FlacError("bad partition order")
     out = np.empty(block_size - order, dtype=np.int64)
     pos = 0
     for part in range(nparts):
@@ -497,10 +498,12 @@ _BPS_FROM_CODE = {v: k for k, v in _BPS_CODE.items()}
 
 
 def _sample_md5(samples: np.ndarray, bps: int) -> bytes:
-    nbytes = bps // 8
+    nbytes = (bps + 7) // 8     # spec: ceil(bps/8) LE bytes per sample
     flat = samples.astype(np.int64).reshape(-1)
     le = np.zeros((len(flat), nbytes), dtype=np.uint8)
-    v = flat.astype(np.uint64) & np.uint64((1 << bps) - 1)
+    # signed two's complement in the FULL byte width (sign-extended
+    # past bps for 12/20-bit depths — libFLAC's packing)
+    v = flat.astype(np.uint64) & np.uint64((1 << (8 * nbytes)) - 1)
     for i in range(nbytes):
         le[:, i] = (v >> np.uint64(8 * i)).astype(np.uint8) & 0xFF
     return hashlib.md5(le.tobytes()).digest()

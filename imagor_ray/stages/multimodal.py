@@ -281,7 +281,7 @@ class MediaResizeStage:
         if self.codec == "auto":
             from .codecs import (
                 BmpCodec, GifCodec, JpegCodec, MkvCodec, Mp4Codec,
-                PngCodec, TiffCodec, sniff_media,
+                PngCodec, TiffCodec, WebpCodec, sniff_media,
             )
 
             kind = sniff_media(payload)
@@ -304,8 +304,15 @@ class MediaResizeStage:
                 return GifCodec.resize(payload, nw, nh)   # every frame
             if kind == "webp":
                 m = WebpCodec.decode_meta(payload)
-                return (m["width"], m["height"], 1, m["channels"],
-                        m["width"] * m["height"] * m["channels"])
+                nw, nh = self._fit_dims(m["width"], m["height"])
+                return WebpCodec.resize(payload, nw, nh)
+            if kind == "qoi":
+                import struct as _st
+
+                from .codecs import QoiCodec
+                w0, h0 = _st.unpack_from(">II", payload, 4)
+                nw, nh = self._fit_dims(w0, h0)
+                return QoiCodec.resize(payload, nw, nh)
             if kind == "tiff":
                 m = TiffCodec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
@@ -318,7 +325,7 @@ class MediaResizeStage:
                 m = MkvCodec.decode_meta(payload)
                 nw, nh = self._fit_dims(m["width"], m["height"])
                 return MkvCodec.resize(payload, nw, nh)
-            if kind == "wav":
+            if kind in ("wav", "flac"):
                 return payload  # resize is an image op; audio passes through
         magic, w, h, frames, ch, blen = _HEADER.unpack_from(payload, 0)
         if magic != _MAGIC:
@@ -358,7 +365,8 @@ class MediaConvertStage:
     format arg.
     """
 
-    _TARGETS = ("png", "jpeg", "gif", "tiff", "bmp", "mp4", "mkv")
+    _TARGETS = ("png", "jpeg", "gif", "tiff", "bmp", "mp4", "mkv",
+                "webp", "qoi")
 
     def __init__(self, target: str, quality: int = 90):
         if target not in self._TARGETS:
@@ -369,7 +377,7 @@ class MediaConvertStage:
     def _decode_rgb(self, payload: bytes, kind: str) -> np.ndarray:
         from .codecs import (
             BmpCodec, GifCodec, JpegCodec, MkvCodec, Mp4Codec, PngCodec,
-            TiffCodec,
+            QoiCodec, TiffCodec, WebpCodec,
         )
 
         return {
@@ -380,6 +388,8 @@ class MediaConvertStage:
             "tiff": TiffCodec.decode_rgb,
             "mp4": Mp4Codec.decode_rgb,
             "mkv": MkvCodec.decode_rgb,
+            "webp": WebpCodec.decode_rgb,
+            "qoi": QoiCodec.decode_rgb,
         }[kind](payload)
 
     def _gray_frames(self, payload: bytes, kind: str) -> np.ndarray:
@@ -404,11 +414,11 @@ class MediaConvertStage:
     def _convert_one(self, payload: bytes) -> bytes:
         from .codecs import (
             encode_bmp, encode_gif, encode_jpeg, encode_mkv, encode_mp4,
-            encode_png, encode_tiff, sniff_media,
+            encode_png, encode_qoi, encode_tiff, encode_webp, sniff_media,
         )
 
         kind = sniff_media(payload)
-        if kind in ("wav", "imrf", "unknown"):
+        if kind in ("wav", "flac", "imrf", "unknown"):
             return payload                      # audio/opaque pass through
         if kind == self.target:
             return payload                      # already there (cache hit)
@@ -425,6 +435,10 @@ class MediaConvertStage:
             return encode_jpeg(rgb, self.quality)
         if self.target == "tiff":
             return encode_tiff(rgb)
+        if self.target == "webp":
+            return encode_webp(rgb)
+        if self.target == "qoi":
+            return encode_qoi(rgb)
         return encode_bmp(rgb)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -575,6 +575,16 @@ class WebpCodec:
     def decode_rgb(payload: bytes) -> np.ndarray:
         return WebpCodec.decode_argb(payload)[:, :, [1, 2, 3]]
 
+    @staticmethod
+    def resize(payload: bytes, width: int, height: int) -> bytes:
+        """Real nearest-neighbour pixel resize, re-encoded as VP8L
+        (the BmpCodec.resize surface shape)."""
+        px = WebpCodec.decode_pixels(payload)
+        h, w = px.shape[:2]
+        ri = (np.arange(height) * h // max(1, height)).clip(0, h - 1)
+        ci = (np.arange(width) * w // max(1, width)).clip(0, w - 1)
+        return encode_webp(px[ri][:, ci])
+
 
 # ---------------------------------------------------------------------------
 # encoder (minimal legal subset — see module docstring)

@@ -181,3 +181,33 @@ def test_fixed_restore_matches_sequential():
 def test_bps_out_of_range_rejected():
     with pytest.raises(FlacError):
         encode_flac(np.array([200], dtype=np.int64), 8000, bps=8)
+
+
+def test_malformed_partition_headers_raise():
+    # partition count not dividing the blocksize must be rejected, not
+    # decoded into uninitialized memory (review finding)
+    bw = F._BitWriter()
+    bw.write(0, 2)            # method 0
+    bw.write(1, 4)            # partition order 1 → 2 partitions
+    bw.write(0, 4)            # rice param 0
+    bw.align()
+    with pytest.raises(FlacError, match="divisible"):
+        F._read_residual(F._BitReader(bw.getvalue()), 193, 0)
+    # first partition emptied out by the predictor order
+    bw2 = F._BitWriter()
+    bw2.write(0, 2)
+    bw2.write(0, 4)           # partition order 0
+    bw2.write(0, 4)
+    bw2.align()
+    with pytest.raises(FlacError, match="partition order"):
+        F._read_residual(F._BitReader(bw2.getvalue()), 4, 4)
+
+
+def test_sample_md5_width_is_ceil_bps_over_8():
+    # 12-bit samples must hash 2 LE bytes each (spec ceil(bps/8)),
+    # not bps//8 = 1 (review finding)
+    x = np.array([0x07FF, -0x0800], dtype=np.int64)
+    d = F._sample_md5(x[:, None], 12)
+    import hashlib
+    exp = hashlib.md5(bytes([0xFF, 0x07, 0x00, 0xF8])).digest()
+    assert d == exp

@@ -207,8 +207,10 @@ class TestMediaConvert:
 
         from imagor_ray.stages.multimodal import MediaConvertStage
 
+        # webp/qoi became REAL targets in round 5 — probe with a name
+        # that stays unknown
         with _pytest.raises(ValueError):
-            MediaConvertStage("webp")
+            MediaConvertStage("avif")
 
     def test_stage_over_real_corpus(self, ray_session):
         import ray.data as rd
@@ -227,3 +229,59 @@ class TestMediaConvert:
         kinds = {sniff_media(p) for p in out["payload"]}
         assert kinds <= {"png", "wav"}          # every image now png
         assert "png" in kinds and "wav" in kinds
+
+
+class TestNewCodecStagePassthrough:
+    """Review finding: sniff_media gained flac/qoi kinds, so the
+    convert/resize stages must handle them instead of crashing."""
+
+    def _payloads(self):
+        import numpy as np
+        from imagor_ray.stages.codecs import encode_qoi
+        from imagor_ray.stages.flac import encode_flac
+        flac = encode_flac(np.arange(-50, 50, dtype=np.int64), 8000, bps=8)
+        qoi = encode_qoi(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        return flac, qoi
+
+    def test_convert_passes_flac_and_converts_qoi(self):
+        from imagor_ray.stages.codecs import PngCodec, sniff_media
+        from imagor_ray.stages.multimodal import MediaConvertStage
+        flac, qoi = self._payloads()
+        st = MediaConvertStage("png")
+        assert st._convert_one(flac) == flac          # audio passthrough
+        png = st._convert_one(qoi)
+        assert sniff_media(png) == "png"
+        import numpy as np
+        exp = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        assert np.array_equal(PngCodec.decode_rgb(png), exp)
+
+    def test_convert_targets_webp_and_qoi(self):
+        import numpy as np
+        from imagor_ray.stages.codecs import (QoiCodec, WebpCodec,
+                                              encode_png, sniff_media)
+        from imagor_ray.stages.multimodal import MediaConvertStage
+        px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        png = encode_png(px)
+        webp = MediaConvertStage("webp")._convert_one(png)
+        assert sniff_media(webp) == "webp"
+        assert np.array_equal(WebpCodec.decode_rgb(webp), px)
+        qoi = MediaConvertStage("qoi")._convert_one(png)
+        assert sniff_media(qoi) == "qoi"
+        assert np.array_equal(QoiCodec.decode(qoi)[0], px)
+
+    def test_resize_passes_flac_resizes_qoi_and_webp(self):
+        import numpy as np
+        from imagor_ray.stages.codecs import (QoiCodec, WebpCodec,
+                                              encode_qoi, encode_webp)
+        from imagor_ray.stages.multimodal import MediaResizeStage
+        flac, _ = self._payloads()
+        st = MediaResizeStage(2, 2, codec="auto")
+        assert st._resize_one(flac) == flac
+        qoi = encode_qoi(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        small = st._resize_one(qoi)
+        px, ch = QoiCodec.decode(small)
+        assert px.shape == (2, 2, 3)
+        webp = encode_webp(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        small_w = st._resize_one(webp)          # was a meta-tuple bug
+        assert isinstance(small_w, bytes)
+        assert WebpCodec.decode_rgb(small_w).shape == (2, 2, 3)

@@ -386,10 +386,15 @@ class TestFullOuter:
         jp.finalize(); jd.finalize()
         rp, rd_ = _rtimeouts(jp), _rtimeouts(jd)
         assert sorted(rp["resp_id"]) == sorted(rd_["resp_id"])
-        # per-cycle file bytes equal where both engines write one file
-        # per cycle (the pandas path's layout)
-        assert sorted(_rtimeouts(jp)["resp_id"]) \
-            == sorted(_rtimeouts(jd)["resp_id"])
+        # the rtimeout writes are driver-side in BOTH engines, so the
+        # per-cycle files must be byte-identical across them
+        fp = sorted(os.listdir(jp.rtimeout_dir))
+        fd = sorted(os.listdir(jd.rtimeout_dir))
+        assert fp == fd
+        for f in fp:
+            with open(os.path.join(jp.rtimeout_dir, f), "rb") as a, \
+                    open(os.path.join(jd.rtimeout_dir, f), "rb") as b:
+                assert a.read() == b.read(), f
 
 
 class TestTwoSources:
@@ -499,3 +504,27 @@ class TestTwoSources:
         # committed state snapshots agree byte-for-byte (canonical order)
         pd.testing.assert_frame_equal(jp.cp.load_open_sessions(),
                                       jd.cp.load_open_sessions())
+
+    def test_left_era_snapshot_resume_never_duplicates_rights(
+            self, ray_session, tmp_path):
+        """Review finding: snapshots from the LEFT-outer release carry
+        matched=0 on rights that already produced pairs; resuming one
+        must not re-emit those purchases as null-left timeouts."""
+        inp = _stage(tmp_path, [
+            [(1, 1_000_000, 7, "click"),
+             (2, 2_000_000, 7, "purchase")],     # matches row 1
+            [(3, 20 * W, 8, "click")],           # evicts the purchase
+        ])
+        job = _job(tmp_path, inp, "lg1")
+        job.run_cycle()
+        # doctor the committed checkpoint into the LEFT-era shape
+        st = job.cp.load()
+        st.pop("rights_matched_tracked", None)
+        snap = job.cp.load_open_sessions(st)
+        snap.loc[snap["side"] == 1, "matched"] = 0
+        fname = job.cp.stage_open_sessions(snap, 0)
+        st["open_sessions_file"] = fname
+        job.cp.save(st)
+        resumed = _job(tmp_path, inp, "lg1")
+        r = resumed.run_cycle()
+        assert r["rtimeout"] == 0            # no duplicate emission
