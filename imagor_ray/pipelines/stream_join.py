@@ -566,17 +566,30 @@ class TwoSourceJoinJob(StreamingJoinJob):
     global min is the documented, conservative default, and the
     single-source class already demonstrates the finer eviction
     proofs.
+
+    IDLE-SOURCE TIMEOUT (the ``withIdleness`` escape hatch): a source
+    that stops producing would hold the min-watermark forever, pinning
+    state and suppressing every eviction. With ``idle_cycles = k``
+    (default 0 = never), a source with no pending file for k
+    CONSECUTIVE cycles is declared idle and excluded from the min —
+    the active source's clock drives the watermark alone until the
+    idle source produces again (which instantly re-arms it, and rows
+    it delivers behind the advanced watermark are routed late: the
+    exact documented trade-off of idleness timeouts). The idle
+    counters are checkpointed, so resume preserves the declaration.
     """
 
     def __init__(self, left_dir: str, right_dir: str, state_dir: str,
                  window_s: int = 21600, allowed_lateness_s: int = 0,
                  num_buckets: int = 32,
-                 ray_cycle_threshold: int | None = None):
+                 ray_cycle_threshold: int | None = None,
+                 idle_cycles: int = 0):
         super().__init__(left_dir, state_dir, window_s=window_s,
                          allowed_lateness_s=allowed_lateness_s,
                          num_buckets=num_buckets,
                          ray_cycle_threshold=ray_cycle_threshold)
         self.right_dir = right_dir
+        self.idle_cycles = idle_cycles
 
     def _pending_side(self, d: str, done: set) -> "str | None":
         for f in sorted(os.listdir(d)):
@@ -621,13 +634,23 @@ class TwoSourceJoinJob(StreamingJoinJob):
         # per-source maxima persist; the GLOBAL watermark is their min
         src_max_l = max(int(state.get("src_max_left", -1)), max_l)
         src_max_r = max(int(state.get("src_max_right", -1)), max_r)
-        if src_max_l >= 0 and src_max_r >= 0:
-            new_wm = max(wm, min(src_max_l, src_max_r) - self.lateness_us)
+        # idle-source bookkeeping: consecutive cycles without a file
+        idle_l = 0 if fl is not None else int(state.get("idle_left", 0)) + 1
+        idle_r = 0 if fr is not None else int(state.get("idle_right", 0)) + 1
+        maxima = []
+        if not (self.idle_cycles and idle_l >= self.idle_cycles):
+            maxima.append(src_max_l)
+        if not (self.idle_cycles and idle_r >= self.idle_cycles):
+            maxima.append(src_max_r)
+        if maxima and min(maxima) >= 0:
+            new_wm = max(wm, min(maxima) - self.lateness_us)
         else:
-            new_wm = wm     # a source with no data yet holds the line
+            new_wm = wm     # a non-idle source with no data holds the line
 
         state["src_max_left"] = int(src_max_l)
         state["src_max_right"] = int(src_max_r)
+        state["idle_left"] = int(idle_l)
+        state["idle_right"] = int(idle_r)
         if fl is not None:
             state["processed"] = list(state.get("processed", [])) + [fl]
         if fr is not None:

@@ -528,3 +528,54 @@ class TestTwoSources:
         resumed = _job(tmp_path, inp, "lg1")
         r = resumed.run_cycle()
         assert r["rtimeout"] == 0            # no duplicate emission
+
+    def test_idle_source_timeout_unpins_watermark(self, ray_session,
+                                                  tmp_path):
+        # right source delivers one early file then goes silent; the
+        # left keeps producing. Without idleness the watermark pins at
+        # the right's max; with idle_cycles=2 the left's clock takes
+        # over after two right-less cycles and evictions fire.
+        lb = [[(1, 0, 7)], [(2, 20 * W, 7)], [(3, 40 * W, 7)],
+              [(4, 60 * W, 7)]]
+        rb = [[(100, 1_000_000, 9)]]
+        ld, rd_ = self._stage2(tmp_path / "a", lb, rb)
+        from imagor_ray.pipelines.stream_join import TwoSourceJoinJob
+        pinned = TwoSourceJoinJob(ld, rd_, str(tmp_path / "pin"),
+                                  window_s=100)
+        rs = [pinned.run_cycle() for _ in range(4)]
+        assert rs[-1]["watermark_us"] == 1_000_000   # pinned forever
+        assert rs[-1]["timeout"] == 0
+        ld2, rd2 = self._stage2(tmp_path / "b", lb, rb)
+        idle = TwoSourceJoinJob(ld2, rd2, str(tmp_path / "idl"),
+                                window_s=100, idle_cycles=2)
+        rs2 = [idle.run_cycle() for _ in range(4)]
+        # cycle 2 is the second right-less cycle: right declared idle,
+        # watermark jumps to the left's clock and old clicks time out
+        assert rs2[2]["watermark_us"] == 40 * W
+        assert sum(r["timeout"] for r in rs2) >= 2
+
+    def test_idle_source_rearms_on_new_file(self, ray_session, tmp_path):
+        # right goes idle by exhaustion (wm advances on left), then a
+        # NEW right file lands mid-run: its clock re-enters the min and
+        # holds further advancement (the watermark never regresses)
+        lb = [[(1, 0, 7)], [(2, 20 * W, 7)], [(3, 40 * W, 7)],
+              [(4, 80 * W, 7)]]
+        ld, rd_ = self._stage2(tmp_path, lb, [[(100, 1_000_000, 9)]])
+        from imagor_ray.pipelines.stream_join import TwoSourceJoinJob
+        job = TwoSourceJoinJob(ld, rd_, str(tmp_path / "re"),
+                               window_s=100, idle_cycles=2)
+        rs = [job.run_cycle() for _ in range(3)]
+        assert rs[2]["watermark_us"] == 40 * W       # idle: left drives
+        # the idle source produces again (its new max 30W trails the
+        # advanced watermark)
+        late_file = pd.DataFrame({"event_id": [101],
+                                  "ts": pd.to_datetime([30 * W],
+                                                       unit="us"),
+                                  "user_id": [9]})
+        late_file.to_parquet(os.path.join(rd_, "batch-900.parquet"),
+                             index=False)
+        r3 = job.run_cycle()
+        # re-armed: min(80W, 30W) = 30W < current 40W — wm holds at 40W
+        assert r3["watermark_us"] == 40 * W
+        # and the re-arrived rows behind the watermark route late
+        assert r3["late"] == 1
