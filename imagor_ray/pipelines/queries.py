@@ -2055,6 +2055,12 @@ def _q_media_flac_mkv_roundtrip(sf_dir: str):
     return media_flac_mkv_roundtrip(sf_dir)
 
 
+def _q_media_flac_mp4_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_flac_mp4_roundtrip
+
+    return media_flac_mp4_roundtrip(sf_dir)
+
+
 def _q_media_g711_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_g711_roundtrip
 
@@ -2935,6 +2941,7 @@ QUERIES = {
     "media_flac_roundtrip": _q_media_flac_roundtrip,
     "media_qoi_roundtrip": _q_media_qoi_roundtrip,
     "media_flac_mkv_roundtrip": _q_media_flac_mkv_roundtrip,
+    "media_flac_mp4_roundtrip": _q_media_flac_mp4_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -3299,8 +3306,9 @@ ORACLES = {
     # the exact utf-8 bytes, so both oracles are the raw-text hash
     "media_flac_roundtrip": _MEDIA_HASHES_SQL,
     "media_qoi_roundtrip": _MEDIA_HASHES_SQL,
-    # A_FLAC-in-Matroska is lossless end to end too
+    # FLAC in BOTH real containers is lossless end to end too
     "media_flac_mkv_roundtrip": _MEDIA_HASHES_SQL,
+    "media_flac_mp4_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

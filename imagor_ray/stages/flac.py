@@ -29,7 +29,8 @@ import struct
 import numpy as np
 
 __all__ = ["encode_flac", "decode_flac", "encode_flac_parts",
-           "decode_flac_frame", "parse_flac_header", "FlacError"]
+           "decode_flac_frame", "decode_flac_blocks",
+           "parse_flac_header", "FlacError"]
 
 
 class FlacError(ValueError):
@@ -736,3 +737,25 @@ def decode_flac(payload: bytes, verify_md5: bool = True
         if _sample_md5(samples, bps) != md5_expect:
             raise FlacError("STREAMINFO MD5 mismatch")
     return samples, sample_rate, bps
+
+
+def decode_flac_blocks(blocks: "list[bytes]", si: dict) -> np.ndarray:
+    """Decode a sequence of container-carried FLAC frames (one frame
+    per block — the Matroska ``A_FLAC`` / ISO-BMFF ``fLaC`` sample
+    layout) against a parsed STREAMINFO, verifying each frame's CRCs,
+    that no block carries trailing bytes, and the stream-level MD5
+    ACROSS blocks. Returns (n, channels) int64 samples."""
+    frames = []
+    for blk in blocks:
+        frame, end = decode_flac_frame(blk, 0, si["bps"])
+        if end != len(blk):
+            raise FlacError("trailing bytes after FLAC frame in block")
+        frames.append(frame)
+    samples = (np.concatenate(frames, axis=0) if frames
+               else np.zeros((0, si["channels"]), dtype=np.int64))
+    if si["total"]:
+        samples = samples[: si["total"]]
+    if si["md5"] != b"\x00" * 16 and \
+            _sample_md5(samples, si["bps"]) != si["md5"]:
+        raise FlacError("STREAMINFO MD5 mismatch across blocks")
+    return samples

@@ -281,8 +281,7 @@ class MkvCodec:
         frame. The container demux, the per-frame predictive decode
         and the stream-level MD5 are all verified for real; other
         audio codec ids raise (the documented plug point)."""
-        from .flac import (FlacError, _sample_md5, decode_flac_frame,
-                           parse_flac_header)
+        from .flac import decode_flac_blocks, parse_flac_header
 
         info = _parse(payload, want_blocks=False)
         aud = next((t for t in info["tracks"] if t.get("track_type") == 2),
@@ -300,19 +299,7 @@ class MkvCodec:
             raise ValueError("ebml: A_FLAC track without CodecPrivate")
         _, si = parse_flac_header(priv)
         blocks = MkvCodec.extract_blocks(payload, aud.get("track_num"))
-        frames = []
-        for blk in blocks:
-            frame, end = decode_flac_frame(blk, 0, si["bps"])
-            if end != len(blk):
-                raise FlacError("trailing bytes after FLAC frame in block")
-            frames.append(frame)
-        samples = (np.concatenate(frames, axis=0) if frames
-                   else np.zeros((0, si["channels"]), dtype=np.int64))
-        if si["total"]:
-            samples = samples[: si["total"]]
-        if si["md5"] != b"\x00" * 16 and \
-                _sample_md5(samples, si["bps"]) != si["md5"]:
-            raise FlacError("STREAMINFO MD5 mismatch across blocks")
+        samples = decode_flac_blocks(blocks, si)
         return samples, si["sample_rate"], si["bps"]
 
     @staticmethod

@@ -140,6 +140,9 @@ def _parse_track(payload: bytes, trak_a: int, trak_b: int) -> dict:
         if n_entries >= 1:
             entry_type = payload[p + 8: p + 12]
             track["fourcc"] = entry_type.decode("ascii", "replace")
+            # first sample-entry box bytes (codec config boxes — e.g.
+            # the fLaC entry's dfLa — live inside it)
+            track["sample_entry"] = payload[p + 4: b]
             if track.get("handler") == "vide":
                 # VideoSampleEntry: 6 rsv + 2 dri + 16 predefined, then dims
                 q = p + 12 + 6 + 2 + 16
@@ -294,6 +297,41 @@ class Mp4Codec:
                                                       sizes.tolist())]
 
     @staticmethod
+    def decode_audio(payload: bytes) -> tuple[np.ndarray, int, int]:
+        """(samples int64 (n, channels), sample_rate, bps) for an
+        ISO-BMFF ``fLaC`` audio track: the ``dfLa`` box inside the
+        sample entry carries the STREAMINFO, every sample is one raw
+        FLAC frame. Container demux, per-frame predictive decode and
+        the cross-sample stream MD5 all verify for real; other audio
+        sample entries raise (the documented plug point)."""
+        from .flac import decode_flac_blocks, parse_flac_header
+
+        info = _parse(payload)
+        aud = next((t for t in info["tracks"]
+                    if t.get("handler") == "soun"), None)
+        if aud is None:
+            raise ValueError("mp4: no audio track")
+        if aud.get("fourcc") != "fLaC":
+            raise NotImplementedError(
+                f"mp4: compressed audio bitstream ({aud.get('fourcc')!r}) "
+                f"needs a decoder library; container demux is real — "
+                f"plug the decoder over Mp4Codec.extract_samples()")
+        entry = aud.get("sample_entry")
+        if not entry:
+            raise ValueError("mp4: fLaC track without a sample entry")
+        # AudioSampleEntry fixed header is 36 bytes (8 box hdr + 28
+        # fields); codec config boxes (dfLa) follow inside the entry
+        kids = _children(entry, 36, len(entry))
+        dfla = kids.get(b"dfLa")
+        if dfla is None:
+            raise ValueError("mp4: fLaC entry without dfLa box")
+        _, _, p = _full_box(entry, dfla[0])
+        _, si = parse_flac_header(b"fLaC" + entry[p: dfla[1]])
+        blocks = Mp4Codec.extract_samples(payload, aud.get("track_id"))
+        samples = decode_flac_blocks(blocks, si)
+        return samples, si["sample_rate"], si["bps"]
+
+    @staticmethod
     def decode_frames(payload: bytes) -> np.ndarray:
         """(n_frames, h, w) uint8 luma for an uncompressed-gray
         ``'raw '`` track or a Motion-JPEG ``'jpeg'`` track (every
@@ -384,6 +422,9 @@ def encode_mp4(
     timescale: int = 1000,
     samples_per_chunk: int = 0,
     fourcc: str | None = None,
+    codec_private: bytes | None = None,
+    sample_rate: int = 8000,
+    channels: int = 1,
 ) -> bytes:
     """Mux samples into a single-track ISO BMFF file (ftyp + mdat +
     moov, offsets exact).
@@ -395,6 +436,12 @@ def encode_mp4(
       Motion-JPEG VIDEO track (each sample a complete baseline JPEG,
       variable sizes, dims read from the first sample) — round-trips
       through :meth:`Mp4Codec.decode_frames`.
+    - ``frames`` as a list of bytes with ``fourcc="fLaC"`` → an AUDIO
+      track (handler ``soun``, the ISO-BMFF FLAC encapsulation): each
+      sample one raw FLAC frame, the ``dfLa`` box inside the sample
+      entry carrying the STREAMINFO (pass ``codec_private`` = the
+      fLaC header from :func:`encode_flac_parts`) — round-trips
+      through :meth:`Mp4Codec.decode_audio`.
     - ``frames`` as a list of bytes (no fourcc) → timed METADATA track
       (handler ``meta``, sample entry ``'mett'``) with variable sample
       sizes — round-trips through :meth:`Mp4Codec.extract_samples`.
@@ -402,6 +449,7 @@ def encode_mp4(
       (exercises the stsc/stco expansion path); 0 = one chunk.
     """
     video_fourcc = b"raw "
+    is_audio = False
     if isinstance(frames, np.ndarray):
         if frames.ndim != 3 or frames.dtype != np.uint8:
             raise ValueError("encode_mp4: video frames must be (n,h,w) uint8")
@@ -417,6 +465,13 @@ def encode_mp4(
         meta0 = JpegCodec.decode_meta(samples[0])
         w, h = int(meta0["width"]), int(meta0["height"])
         handler, is_video, video_fourcc = b"vide", True, b"jpeg"
+    elif fourcc == "fLaC":
+        if codec_private is None:
+            raise ValueError("encode_mp4: fLaC needs codec_private "
+                             "(the fLaC header with STREAMINFO)")
+        samples = [bytes(s) for s in frames]
+        h = w = 0
+        handler, is_video, is_audio = b"soun", False, True
     else:
         samples = [bytes(s) for s in frames]
         h = w = 0
@@ -456,6 +511,23 @@ def encode_mp4(
         )
         media_hdr = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
         hdlr_name = b"VideoHandler\x00"
+    elif is_audio:
+        # AudioSampleEntry 'fLaC' with the dfLa config box (ISO-BMFF
+        # FLAC encapsulation: dfLa holds the METADATA_BLOCKs without
+        # the 4-byte stream magic)
+        meta_blocks = (codec_private[4:]
+                       if codec_private[:4] == b"fLaC" else codec_private)
+        sample_entry = _box(
+            b"fLaC",
+            b"\x00" * 6, struct.pack(">H", 1),           # reserved, dri
+            b"\x00" * 8,                                 # reserved
+            struct.pack(">HH", channels, 16),            # channels, samplesize
+            struct.pack(">HH", 0, 0),                    # predefined, reserved
+            struct.pack(">I", (sample_rate & 0xFFFF) << 16),
+            _full(b"dfLa", 0, 0, meta_blocks),
+        )
+        media_hdr = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        hdlr_name = b"SoundHandler\x00"
     else:
         sample_entry = _box(b"mett", b"\x00" * 6, struct.pack(">H", 1),
                             b"\x00",                     # content_encoding ""

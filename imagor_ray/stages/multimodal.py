@@ -1482,3 +1482,62 @@ def media_flac_mkv_roundtrip(sf_dir: str) -> rd.Dataset:
     return (docs
             .map_batches(encode, batch_format="pyarrow", batch_size=64)
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
+def media_flac_mp4_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED entry for FLAC-inside-MP4 (ISO-BMFF ``fLaC``
+    sample entry + ``dfLa`` config box) — together with
+    ``media_flac_mkv_roundtrip`` the compressed audio bitstream rides
+    BOTH real containers. Per document: length-prefixed utf-8 bytes →
+    int8 PCM → FLAC frames one-per-sample in a multi-chunk MP4 (the
+    stsc/stco expansion path), STREAMINFO in dfLa;
+    ``Mp4Codec.decode_audio`` demuxes + decodes + verifies the stream
+    MD5 across samples. Lossless, so the oracle is ``sha256(text)``.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .flac import encode_flac_parts
+    from .mp4 import Mp4Codec, encode_mp4
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for doc_id, t in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            samples = (np.frombuffer(body, dtype=np.uint8)
+                       .astype(np.int64) - 128)
+            hdr, frames = encode_flac_parts(
+                samples, 8000, bps=8,
+                block_size=192 + (doc_id % 5) * 131)
+            payloads.append(encode_mp4(
+                frames, fourcc="fLaC", codec_private=hdr,
+                sample_rate=8000, channels=1,
+                samples_per_chunk=2 + doc_id % 3))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            samples, _rate, _bps = Mp4Codec.decode_audio(p)
+            flat = (samples[:, 0] + 128).astype(np.uint8).tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))

@@ -256,3 +256,55 @@ class TestMjpeg:
         patched = payload.replace(b"raw ", b"avc1")
         with pytest.raises(NotImplementedError):
             Mp4Codec.decode_frames(patched)
+
+
+class TestFlacAudio:
+    def test_flac_in_mp4_roundtrip(self):
+        import numpy as np
+        from imagor_ray.stages.flac import encode_flac_parts
+        from imagor_ray.stages.mp4 import Mp4Codec, encode_mp4
+
+        rng = np.random.default_rng(7)
+        x = np.clip(np.cumsum(rng.integers(-40, 41, 4000)),
+                    -20000, 20000).astype(np.int64)
+        st = np.stack([x, x + rng.integers(-3, 4, len(x))], axis=1)
+        hdr, frames = encode_flac_parts(st, 44100, bps=16, block_size=777)
+        mp4 = encode_mp4(frames, fourcc="fLaC", codec_private=hdr,
+                         sample_rate=44100, channels=2,
+                         samples_per_chunk=2)
+        samples, sr, bps = Mp4Codec.decode_audio(mp4)
+        assert (sr, bps) == (44100, 16)
+        assert np.array_equal(samples, st)
+        meta = Mp4Codec.decode_meta(mp4)
+        assert meta["fourcc"] == "fLaC"
+
+    def test_cross_sample_md5_detects_reordering(self):
+        import numpy as np
+        import pytest
+        from imagor_ray.stages.flac import FlacError, encode_flac_parts
+        from imagor_ray.stages.mp4 import Mp4Codec, encode_mp4
+
+        rng = np.random.default_rng(8)
+        x = rng.integers(-100, 100, 600).astype(np.int64)
+        hdr, frames = encode_flac_parts(x, 8000, bps=8, block_size=200)
+        swapped = [frames[1], frames[0], frames[2]]
+        mp4 = encode_mp4(swapped, fourcc="fLaC", codec_private=hdr,
+                         sample_rate=8000, channels=1)
+        with pytest.raises(FlacError, match="MD5"):
+            Mp4Codec.decode_audio(mp4)
+
+    def test_other_audio_entry_is_gated(self):
+        import pytest
+        from imagor_ray.stages.mp4 import Mp4Codec, encode_mp4
+
+        # a metadata track is not audio at all → no-audio error
+        m = encode_mp4([b"\x01"], fps=1)
+        with pytest.raises(ValueError, match="no audio"):
+            Mp4Codec.decode_audio(m)
+
+    def test_missing_codec_private_rejected(self):
+        import pytest
+        from imagor_ray.stages.mp4 import encode_mp4
+
+        with pytest.raises(ValueError, match="codec_private"):
+            encode_mp4([b"\x01"], fourcc="fLaC")
