@@ -3116,7 +3116,7 @@ _DRIVER_WINDOW = [
     # watermark-state join; error_context stays sweep-verified)
     "group_sample", "q13_customer_distribution", "stream_stream_join",
     "topk_orders_per_customer", "time_weighted_value",
-    "heavy_hitter_tokens", "attribution_last_touch",
+    "heavy_hitter_tokens", "tumbling_update_changelog",
     "running_customer_revenue",
     # profiling / IVM
     "profile_events", "incremental_user_counts",
