@@ -43,7 +43,7 @@ import pandas as pd
 
 from ..state.checkpoint import Checkpoint
 
-__all__ = ["StreamingChangelogJob"]
+__all__ = ["StreamingChangelogJob", "SessionChangelogJob"]
 
 _WEEK_US = 7 * 86_400 * 1_000_000
 # DuckDB's date_trunc('week', ts) snaps to Monday; epoch (1970-01-01)
@@ -243,4 +243,351 @@ class StreamingChangelogJob:
                 .groupby(["win_us", "key"], sort=False).tail(1))
         return (last[["win_us", "key", "n"]]
                 .sort_values(["win_us", "key"], kind="mergesort")
+                .reset_index(drop=True))
+
+
+def _empty_sess_state() -> pd.DataFrame:
+    return pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "start_us": pd.Series([], dtype="int64"),
+        "end_us": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+    })
+
+
+def _sessionize_new(uid: np.ndarray, us: np.ndarray, gap_us: int
+                    ) -> pd.DataFrame:
+    """Gap-split pre-sorted (user, ts) events → per-session rows
+    (user_id, start_us, end_us, n) — flags + cumsum, no per-user loop."""
+    if not len(uid):
+        return _empty_sess_state()
+    new_s = np.ones(len(uid), dtype=np.int64)
+    same = uid[1:] == uid[:-1]
+    new_s[1:] = (~same | (us[1:] - us[:-1] > gap_us)).astype(np.int64)
+    sid = np.cumsum(new_s) - 1
+    out = pd.DataFrame({"user_id": uid, "start_us": us, "end_us": us,
+                        "n": np.ones(len(uid), dtype="int64"), "sid": sid})
+    agg = out.groupby("sid", sort=True).agg(
+        user_id=("user_id", "first"), start_us=("start_us", "min"),
+        end_us=("end_us", "max"), n=("n", "sum")).reset_index(drop=True)
+    return agg
+
+
+def _session_cycle_kernel(st: pd.DataFrame, uid: np.ndarray,
+                          us: np.ndarray, gap_us: int
+                          ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """One cycle's session-update kernel over pre-sorted new events:
+    returns (changelog rows, next state rows). New events all carry
+    LATER event time than everything in state (event-time-ordered
+    micro-batches), so only each user's FIRST new session can extend
+    the user's open state session — session identity (user, start)
+    is stable and sessions never merge retroactively."""
+    new_sess = _sessionize_new(uid, us, gap_us)
+    if not len(new_sess):
+        return (pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "start_us": pd.Series([], dtype="int64"),
+            "op": pd.Series([], dtype="int8"),
+            "end_us": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+        }), st.copy())
+    # first new session per user against the user's open state session
+    first = new_sess.groupby("user_id", sort=False).head(1)
+    joined = first.merge(
+        st.rename(columns={"start_us": "st_start", "end_us": "st_end",
+                           "n": "st_n"}),
+        on="user_id", how="left")
+    extends = (joined["st_end"].notna()
+               & (joined["start_us"] - joined["st_end"] <= gap_us))
+    ext = joined[extends]
+    # rewrite the extended sessions (identity keeps the STATE start) —
+    # one vectorized merge on (user, cycle-local start), no row loop
+    ns = new_sess.merge(
+        ext[["user_id", "start_us", "st_start", "st_n", "st_end"]],
+        on=["user_id", "start_us"], how="left")
+    hit = ns["st_start"].notna().to_numpy()
+    prev_end = ns["st_end"].fillna(-1).astype("int64").to_numpy()
+    prev_n = ns["st_n"].fillna(-1).astype("int64").to_numpy()
+    new_n = ns["n"].to_numpy(dtype="int64") + np.where(hit, prev_n, 0)
+    new_start = np.where(hit,
+                         ns["st_start"].fillna(-1).astype("int64"),
+                         ns["start_us"].astype("int64"))
+    # changelog: retract the extended sessions' previous version,
+    # insert every new/changed session
+    retract = pd.DataFrame({
+        "user_id": ns["user_id"].to_numpy(dtype="int64")[hit],
+        "start_us": new_start[hit],
+        "op": np.full(int(hit.sum()), -1, dtype=np.int8),
+        "end_us": prev_end[hit],
+        "n": prev_n[hit],
+    })
+    insert = pd.DataFrame({
+        "user_id": ns["user_id"].to_numpy(dtype="int64"),
+        "start_us": new_start,
+        "op": np.ones(len(ns), dtype=np.int8),
+        "end_us": ns["end_us"].to_numpy(dtype="int64"),
+        "n": new_n,
+    })
+    chlog = (pd.concat([retract, insert], ignore_index=True)
+             .sort_values(["user_id", "start_us", "op"], kind="mergesort")
+             .reset_index(drop=True))
+    # next state: untouched state sessions + the rewritten new table
+    st_key = pd.MultiIndex.from_arrays(
+        [st["user_id"].to_numpy(dtype="int64"),
+         st["start_us"].to_numpy(dtype="int64")])
+    touched = pd.MultiIndex.from_arrays(
+        [ext["user_id"].to_numpy(dtype="int64"),
+         ext["st_start"].astype("int64").to_numpy()])
+    keep = ~st_key.isin(touched)
+    rewritten = pd.DataFrame({
+        "user_id": ns["user_id"].to_numpy(dtype="int64"),
+        "start_us": new_start,
+        "end_us": ns["end_us"].to_numpy(dtype="int64"),
+        "n": new_n,
+    })
+    nxt = (pd.concat([st[np.asarray(keep)] if len(st) else st, rewritten],
+                     ignore_index=True)
+           .sort_values(["user_id", "start_us"], kind="mergesort")
+           .reset_index(drop=True))
+    return chlog, nxt
+
+
+class SessionChangelogJob:
+    """UPDATE-mode SESSION windows — the composition the north rule's
+    two headline features meet in: gap sessions (per user, event-time
+    gap) emitted as a retract/insert changelog the moment a cycle's
+    arrivals extend them, instead of waiting for the watermark to
+    close them (the append-mode ``StreamingSessionJob`` contract).
+    A session straddling a micro-batch boundary produces
+    ``(-1, old end, old n)`` + ``(+1, new end, new n)`` in the later
+    cycle; folding the changelog (last insert per (user, start))
+    reproduces the batch sessionization after every cycle.
+
+    State is the extendable-session table (``end + gap >= watermark``;
+    closed sessions evict silently — their latest version was already
+    emitted). Identity (user, session start) is stable because
+    micro-batches are event-time ordered, so sessions extend at the
+    end and never merge retroactively. Exactly-once rides the house
+    discipline: sorted per-cycle changelog files commit before the
+    checkpoint; crash replay overwrites identical bytes.
+
+    Scale shape: above RAY_CYCLE_THRESHOLD footer rows the cycle runs
+    as one user-bucket groupby whose grouped tasks run the SAME kernel
+    and write their bucket's changelog file in-task (state + summary
+    rows return); below it, driver pandas with the same kernel.
+    """
+
+    RAY_CYCLE_THRESHOLD = 150_000
+
+    def __init__(self, input_dir: str, state_dir: str,
+                 gap_s: int = 1800, allowed_lateness_s: int = 0,
+                 num_buckets: int = 32,
+                 ray_cycle_threshold: int | None = None):
+        self.input_dir = input_dir
+        self.cp = Checkpoint(state_dir)
+        self.gap_us = gap_s * 1_000_000
+        self.lateness_us = allowed_lateness_s * 1_000_000
+        self.num_buckets = num_buckets
+        if ray_cycle_threshold is not None:
+            self.RAY_CYCLE_THRESHOLD = ray_cycle_threshold
+        self.changelog_dir = os.path.join(state_dir, "changelog")
+        self.late_dir = os.path.join(state_dir, "late")
+        os.makedirs(self.changelog_dir, exist_ok=True)
+        os.makedirs(self.late_dir, exist_ok=True)
+
+    def pending_files(self) -> list[str]:
+        state = self.cp.load()
+        done = set(state.get("processed", []))
+        return [f for f in sorted(os.listdir(self.input_dir))
+                if f.endswith(".parquet") and f not in done]
+
+    def _load_state(self, state: dict) -> pd.DataFrame:
+        st = self.cp.load_open_sessions(state)
+        return _empty_sess_state() if st is None else st
+
+    def _write_chlog(self, ch: pd.DataFrame, fname: str) -> None:
+        tmp = os.path.join(self.changelog_dir, fname + ".tmp")
+        ch.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(self.changelog_dir, fname))
+
+    def _cycle_pandas(self, path: str, wm: int, cycle: int,
+                      st: pd.DataFrame):
+        df = pd.read_parquet(path, columns=["event_id", "ts", "user_id"])
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        order = np.lexsort((df["event_id"].to_numpy(dtype="int64"),
+                            us, df["user_id"].to_numpy(dtype="int64")))
+        uid = df["user_id"].to_numpy(dtype="int64")[order]
+        uss = us[order]
+        late = uss < wm
+        lrows = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(dtype="int64")[order][late],
+            "ts": pd.Series(uss[late]).astype("datetime64[us]"),
+        }).sort_values("event_id", kind="mergesort").reset_index(drop=True)
+        tmp = os.path.join(self.late_dir, f"late-{cycle:05d}.parquet")
+        lrows.to_parquet(tmp + ".tmp", index=False)
+        os.replace(tmp + ".tmp", tmp)
+        ch, nxt = _session_cycle_kernel(st, uid[~late], uss[~late],
+                                        self.gap_us)
+        ch.insert(0, "cycle", np.int64(cycle))
+        self._write_chlog(ch, f"changelog-{cycle:05d}.parquet")
+        max_ts = int(us.max()) if len(us) else -1
+        return ch, nxt, int(late.sum()), max_ts
+
+    def _cycle_dataset(self, path: str, wm: int, cycle: int,
+                       st: pd.DataFrame):
+        """User-bucket grouped cycle: each task runs the shared kernel
+        over its bucket's (state ∪ new) rows and writes its bucket's
+        changelog file; state + count rows return to the driver."""
+        import ray.data as rd
+
+        nb = self.num_buckets
+        gap_us = self.gap_us
+        chdir = self.changelog_dir
+        ldir = self.late_dir
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            uid = b["user_id"].to_numpy(dtype="int64")
+            return pd.DataFrame({
+                "user_id": uid,
+                "start_us": b["event_id"].to_numpy(dtype="int64"),  # carry id
+                "end_us": us,
+                "n": np.zeros(len(b), dtype="int64"),   # 0 = new event row
+                "_ub": (uid % nb).astype(np.int32),
+            })
+
+        st_t = st.copy()
+        st_t["n"] = st_t["n"].astype("int64")
+        st_t["_ub"] = (st_t["user_id"].to_numpy(dtype="int64")
+                       % nb).astype(np.int32)
+
+        def bucket(g: pd.DataFrame) -> pd.DataFrame:
+            ub = int(g["_ub"].iloc[0])
+            g = g.drop(columns=["_ub"])
+            stp = g[g["n"] > 0][["user_id", "start_us", "end_us", "n"]]
+            new = g[g["n"] == 0]
+            us = new["end_us"].to_numpy(dtype="int64")
+            eid = new["start_us"].to_numpy(dtype="int64")
+            uid = new["user_id"].to_numpy(dtype="int64")
+            order = np.lexsort((eid, us, uid))
+            late = us[order] < wm
+            lrows = pd.DataFrame({
+                "event_id": eid[order][late],
+                "ts": pd.Series(us[order][late]).astype("datetime64[us]"),
+            }).sort_values("event_id", kind="mergesort")
+            ltmp = os.path.join(ldir, f"late-{cycle:05d}-{ub:02d}.parquet")
+            lrows.reset_index(drop=True).to_parquet(ltmp + ".tmp",
+                                                    index=False)
+            os.replace(ltmp + ".tmp", ltmp)
+            ch, nxt = _session_cycle_kernel(
+                stp.reset_index(drop=True),
+                uid[order][~late], us[order][~late], gap_us)
+            ch.insert(0, "cycle", np.int64(cycle))
+            ctmp = os.path.join(chdir,
+                                f"changelog-{cycle:05d}-{ub:02d}.parquet")
+            ch.to_parquet(ctmp + ".tmp", index=False)
+            os.replace(ctmp + ".tmp", ctmp)
+            nxt = nxt.copy()
+            nxt["kind"] = np.int8(0)
+            nxt["n_ch"] = np.int64(0)
+            nxt["n_late"] = np.int64(0)
+            summ = pd.DataFrame({
+                "user_id": [np.int64(-1)], "start_us": [np.int64(-1)],
+                "end_us": [np.int64(-1)], "n": [np.int64(-1)],
+                "kind": [np.int8(1)], "n_ch": [np.int64(len(ch))],
+                "n_late": [np.int64(int(late.sum()))],
+            })
+            return pd.concat([nxt, summ], ignore_index=True)
+
+        ds = rd.read_parquet(path, columns=["event_id", "ts", "user_id"])
+        tagged = ds.map_batches(tag, batch_format="pandas")
+        if len(st_t):
+            tagged = tagged.union(rd.from_pandas(st_t))
+        out = (tagged.groupby("_ub")
+               .map_groups(bucket, batch_format="pandas")
+               .to_pandas())
+        max_ts = self._file_max_ts(path)
+        if not len(out):
+            return None, _empty_sess_state(), 0, max_ts
+        summ = out[out["kind"] == 1]
+        nxt = (out[out["kind"] == 0]
+               [["user_id", "start_us", "end_us", "n"]]
+               .reset_index(drop=True))
+        return None, nxt, int(summ["n_late"].sum()), max_ts
+
+    @staticmethod
+    def _file_max_ts(path: str) -> int:
+        from .stream_join import StreamingJoinJob
+        return StreamingJoinJob._file_max_ts(path)
+
+    def run_cycle(self) -> dict | None:
+        pending = self.pending_files()
+        if not pending:
+            return None
+        fname = pending[0]
+        state = self.cp.load()
+        wm = int(state.get("watermark_us", 0))
+        cycle = int(state.get("cycles", 0))
+        st = self._load_state(state)
+        path = os.path.join(self.input_dir, fname)
+
+        import pyarrow.dataset as pads
+        nrows = pads.dataset(path).count_rows()
+        runner = (self._cycle_dataset if nrows > self.RAY_CYCLE_THRESHOLD
+                  else self._cycle_pandas)
+        _, nxt, n_late, max_ts = runner(path, wm, cycle, st)
+
+        new_wm = max(wm, max_ts - self.lateness_us) if max_ts >= 0 else wm
+        # closed sessions (end + gap < wm) can never extend: their last
+        # emitted version is final — evict silently
+        keep = nxt["end_us"].to_numpy(dtype="int64") + self.gap_us >= new_wm
+        new_st = (nxt[keep]
+                  .sort_values(["user_id", "start_us"], kind="mergesort")
+                  .reset_index(drop=True))
+
+        open_fname = self.cp.stage_open_sessions(new_st, cycle)
+        state["open_sessions_file"] = open_fname
+        state["watermark_us"] = int(new_wm)
+        state["processed"] = list(state.get("processed", [])) + [fname]
+        state["late_rows"] = int(state.get("late_rows", 0)) + int(n_late)
+        state["cycles"] = cycle + 1
+        result = {"file": fname, "watermark_us": int(new_wm),
+                  "late": int(n_late), "state_rows": int(len(new_st))}
+        state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
+                                  + [result])
+        self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
+        return result
+
+    def run_all(self) -> dict:
+        totals = {"cycles": 0, "late": 0}
+        while (r := self.run_cycle()) is not None:
+            totals["cycles"] += 1
+            totals["late"] += r["late"]
+        return totals
+
+    def changelog(self) -> pd.DataFrame:
+        parts = [pd.read_parquet(os.path.join(self.changelog_dir, f))
+                 for f in sorted(os.listdir(self.changelog_dir))
+                 if f.endswith(".parquet")]
+        if not parts:
+            return pd.DataFrame({
+                "cycle": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "start_us": pd.Series([], dtype="int64"),
+                "op": pd.Series([], dtype="int8"),
+                "end_us": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(parts, ignore_index=True)
+
+    def folded(self) -> pd.DataFrame:
+        """Last-insert-wins per (user, start) — must equal the batch
+        sessionization after the final cycle."""
+        ch = self.changelog()
+        ins = ch[ch["op"] == 1]
+        last = (ins.sort_values(["cycle"], kind="mergesort")
+                .groupby(["user_id", "start_us"], sort=False).tail(1))
+        return (last[["user_id", "start_us", "end_us", "n"]]
+                .sort_values(["user_id", "start_us"], kind="mergesort")
                 .reset_index(drop=True))

@@ -1525,6 +1525,78 @@ def _stage_event_days_by_type(sf_dir: str) -> tuple:
     return left_dir, right_dir
 
 
+def _q_sessions_update_changelog(sf_dir: str):
+    """UPDATE-mode SESSION windows — the composition of the north
+    rule's two headline features: per-user gap sessions over day
+    micro-batches, emitted as a retract/insert changelog the cycle a
+    session is EXTENDED across a batch boundary (instead of waiting
+    for the watermark to close it). Deterministic day cycles make the
+    full changelog SQL-mirrorable: sessionize every day-prefix, diff
+    consecutive prefixes per (user, session_start) — identity is
+    stable because event-time-ordered batches only extend sessions at
+    the end."""
+    import tempfile
+
+    from .changelog import SessionChangelogJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = SessionChangelogJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_schlog_st_"))
+    job.run_all()
+    ch = job.changelog()
+    return pd.DataFrame({
+        "cycle": ch["cycle"].to_numpy(dtype="int64"),
+        "user_id": ch["user_id"].to_numpy(dtype="int64"),
+        "session_start": pd.Series(ch["start_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "op": ch["op"].to_numpy(dtype="int64"),
+        "session_end": pd.Series(ch["end_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "n_events": ch["n"].to_numpy(dtype="int64"),
+    })
+
+
+_SESSIONS_UPDATE_SQL = """
+WITH days AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) - 1 AS BIGINT) AS cycle
+  FROM (SELECT DISTINCT strftime(ts, '%Y%m%d') AS day FROM events)
+), pref AS (
+  SELECT c.cycle, e.user_id, e.ts, e.event_id
+  FROM events e JOIN days c ON strftime(e.ts, '%Y%m%d') <= c.day
+), g AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      (PARTITION BY cycle, user_id ORDER BY ts, event_id) > 1800000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM pref
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY cycle, user_id
+                             ORDER BY ts, event_id) AS sid
+  FROM g
+), agg AS (
+  SELECT cycle, user_id, min(ts) AS session_start,
+         max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY cycle, user_id, sid
+), d AS (
+  SELECT *, lag(session_end) OVER w AS prev_end,
+            lag(n_events) OVER w AS prev_n,
+            lag(cycle) OVER w AS prev_cycle
+  FROM agg
+  WINDOW w AS (PARTITION BY user_id, session_start ORDER BY cycle)
+), ch AS (
+  SELECT *, (prev_cycle IS NULL OR prev_end <> session_end
+             OR prev_n <> n_events) AS changed
+  FROM d
+)
+SELECT cycle, user_id, session_start, CAST(x.op AS BIGINT) AS op,
+       CASE WHEN x.op = 1 THEN session_end ELSE prev_end END
+         AS session_end,
+       CASE WHEN x.op = 1 THEN n_events ELSE prev_n END AS n_events
+FROM ch CROSS JOIN (VALUES (1), (-1)) AS x(op)
+WHERE changed AND (x.op = 1 OR prev_cycle IS NOT NULL)
+ORDER BY cycle, user_id, session_start, op
+"""
+
+
 def _q_stream_join_two_sources(sf_dir: str):
     """The multiple-watermark join: clicks and purchases arrive as two
     INDEPENDENT micro-batch streams (separate directories advancing on
@@ -3042,6 +3114,7 @@ QUERIES = {
     "stream_stream_left_join": _q_stream_stream_left_join,
     "stream_stream_full_join": _q_stream_stream_full_join,
     "tumbling_update_changelog": _q_tumbling_update_changelog,
+    "sessions_update_changelog": _q_sessions_update_changelog,
     "stream_join_two_sources": _q_stream_join_two_sources,
     "stream_join_two_sources_full": _q_stream_join_two_sources_full,
     "bfs_hops": _q_bfs_hops,
@@ -3239,6 +3312,7 @@ ORACLES = {
     "stream_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "stream_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
+    "sessions_update_changelog": _SESSIONS_UPDATE_SQL,
     # the two-source run must reproduce the single-stream inner join
     "stream_join_two_sources": _STREAM_JOIN_SQL,
     # ... and its outer composition the batch FULL JOIN

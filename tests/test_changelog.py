@@ -146,3 +146,133 @@ class TestStateAndReplay:
         late = pd.read_parquet(
             os.path.join(job.late_dir, "late-00001.parquet"))
         assert list(late["event_id"]) == [2]
+
+
+class TestSessionChangelog:
+    GAP = 1800 * 1_000_000
+
+    def _stage(self, tmp_path, batches):
+        d = tmp_path / "sin"
+        d.mkdir(parents=True, exist_ok=True)
+        for i, rows in enumerate(batches):
+            df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+            df["ts"] = pd.to_datetime(df["ts"], unit="us")
+            df.to_parquet(d / f"batch-{i:03d}.parquet", index=False)
+        return str(d)
+
+    def _job(self, tmp_path, inp, name, **kw):
+        from imagor_ray.pipelines.changelog import SessionChangelogJob
+        return SessionChangelogJob(inp, str(tmp_path / name), **kw)
+
+    def test_extension_retracts_and_reinserts(self, ray_session, tmp_path):
+        G = self.GAP
+        inp = self._stage(tmp_path, [
+            [(1, 0, 7), (2, 10, 7)],        # session A: n=2
+            [(3, G - 100, 7)],              # extends A -> n=3
+            [(4, 10 * G, 7)],               # new session B
+        ])
+        job = self._job(tmp_path, inp, "x1")
+        job.run_all()
+        ch = job.changelog()
+        rows = [(int(r.cycle), int(r.op), int(r.start_us), int(r.n))
+                for r in ch.itertuples()]
+        assert rows == [(0, 1, 0, 2),          # insert A v1
+                        (1, -1, 0, 2),         # retract A v1
+                        (1, 1, 0, 3),          # insert A v2 (same start!)
+                        (2, 1, 10 * G, 1)]     # insert B
+
+    def test_fold_equals_batch_sessionization(self, ray_session,
+                                              tmp_path):
+        import numpy as np
+        rng = np.random.RandomState(5)
+        batches, eid, DAY = [], 0, 86_400 * 1_000_000
+        for c in range(6):
+            rows = []
+            for _ in range(60):
+                rows.append((eid, c * DAY + int(rng.randint(0, DAY)),
+                             int(rng.randint(0, 8))))
+                eid += 1
+            batches.append(rows)
+        inp = self._stage(tmp_path, batches)
+        job = self._job(tmp_path, inp, "x2")
+        job.run_all()
+        folded = job.folded()
+        flat = pd.DataFrame([r for b in batches for r in b],
+                            columns=["event_id", "ts", "user_id"])
+        flat = flat.sort_values(["user_id", "ts", "event_id"])
+        uid = flat["user_id"].to_numpy()
+        us = flat["ts"].to_numpy()
+        import numpy as np
+        new_s = np.ones(len(flat), dtype=np.int64)
+        same = uid[1:] == uid[:-1]
+        new_s[1:] = (~same | (us[1:] - us[:-1] > self.GAP)).astype(int)
+        sid = np.cumsum(new_s) - 1
+        exp = (pd.DataFrame({"user_id": uid, "us": us, "sid": sid})
+               .groupby("sid").agg(user_id=("user_id", "first"),
+                                   start_us=("us", "min"),
+                                   end_us=("us", "max"),
+                                   n=("us", "size"))
+               .reset_index(drop=True)
+               .sort_values(["user_id", "start_us"])
+               .reset_index(drop=True))
+        got = folded.reset_index(drop=True)
+        assert list(got["user_id"]) == list(exp["user_id"])
+        assert list(got["start_us"]) == list(exp["start_us"])
+        assert list(got["end_us"]) == list(exp["end_us"])
+        assert list(got["n"]) == list(exp["n"].astype("int64"))
+
+    def test_closed_sessions_evict(self, ray_session, tmp_path):
+        G = self.GAP
+        inp = self._stage(tmp_path, [
+            [(1, 0, 7)],
+            [(2, 100 * G, 7)],       # wm passes session 1 + gap
+        ])
+        job = self._job(tmp_path, inp, "x3")
+        r0 = job.run_cycle()
+        r1 = job.run_cycle()
+        assert r0["state_rows"] == 1 and r1["state_rows"] == 1
+        st = job.cp.load_open_sessions()
+        assert list(st["start_us"]) == [100 * G]
+
+    def test_replay_overwrites_same_bytes(self, ray_session, tmp_path):
+        G = self.GAP
+        inp = self._stage(tmp_path, [
+            [(1, 0, 7), (2, 5, 8)],
+            [(3, G - 1, 7), (4, 10 * G, 8)],
+        ])
+        job = self._job(tmp_path, inp, "x4")
+        job.run_cycle()
+        job.cp.save = lambda state: (_ for _ in ()).throw(OSError("boom"))
+        with pytest.raises(OSError):
+            job.run_cycle()
+        crashed = _sha(job)
+        fresh = self._job(tmp_path, inp, "x4")
+        fresh.run_all()
+        assert _sha(fresh) == crashed
+
+    def test_dataset_path_matches_pandas(self, ray_session, tmp_path):
+        import numpy as np
+        rng = np.random.RandomState(6)
+        batches, eid, DAY = [], 0, 86_400 * 1_000_000
+        for c in range(4):
+            rows = []
+            for _ in range(50):
+                rows.append((eid, c * DAY + int(rng.randint(0, DAY)),
+                             int(rng.randint(0, 6))))
+                eid += 1
+            batches.append(rows)
+        ia = self._stage(tmp_path / "a", batches)
+        ib = self._stage(tmp_path / "b", batches)
+        jp = self._job(tmp_path, ia, "xp", ray_cycle_threshold=10**9)
+        jd = self._job(tmp_path, ib, "xd", ray_cycle_threshold=0,
+                       num_buckets=4)
+        jp.run_all(); jd.run_all()
+        cp = (jp.changelog().sort_values(
+            ["cycle", "user_id", "start_us", "op"])
+            .reset_index(drop=True))
+        cd = (jd.changelog().sort_values(
+            ["cycle", "user_id", "start_us", "op"])
+            .reset_index(drop=True))
+        pd.testing.assert_frame_equal(cp, cd)
+        pd.testing.assert_frame_equal(jp.cp.load_open_sessions(),
+                                      jd.cp.load_open_sessions())
