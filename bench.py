@@ -374,6 +374,103 @@ def run_stream_scaling() -> dict:
     }
 
 
+def _stage_replicated_events(sf_dir: str, input_dir: str, n_cycles: int,
+                             per_cycle: int) -> int:
+    """Multi-cycle replicated event stream (the flagship replica
+    pattern: disjoint user/id spaces, event time shifted one span per
+    replica so the stream advances). Staging is excluded from every
+    leg's measured window. Returns total rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    events_path = f"{sf_dir}/events.parquet"
+    n_events = _pq.read_metadata(events_path).num_rows
+
+    def replica_events(batch):
+        tbl = _pq.read_table(
+            events_path,
+            columns=["event_id", "ts", "user_id", "event_type"])
+        ts_us = pc.cast(tbl["ts"], pa.timestamp("us")).cast(pa.int64())
+        span = pc.max(ts_us).as_py() - pc.min(ts_us).as_py()
+        stride = span + 86_400_000_000
+        for idx in batch["id"]:
+            r = int(idx)
+            shifted = pa.table({
+                "event_id": pc.add(tbl["event_id"], r * 1_000_000_000),
+                "ts": pc.add(ts_us, r * stride).cast(pa.timestamp("us")),
+                "user_id": pc.add(tbl["user_id"], r * 1_000_000),
+                "event_type": tbl["event_type"],
+            })
+            for i in range(0, len(shifted), 65536):
+                yield shifted.slice(i, 65536)
+
+    for c in range(n_cycles):
+        (rd.range(per_cycle).map_batches(
+            lambda b, c=c: (x for x in replica_events(
+                {"id": b["id"] + c * per_cycle})),
+            batch_size=1, batch_format="numpy")
+         .write_parquet(os.path.join(input_dir, f"batch-{c:05d}.parquet"),
+                        min_rows_per_file=65536))
+    return n_cycles * per_cycle * n_events
+
+
+def run_session_changelog() -> dict:
+    """UPDATE-mode session loop throughput: SessionChangelogJob
+    (retract/insert emission on extension) over the same multi-cycle
+    replicated stream as --stream-join — each cycle exceeds the
+    dataset-path threshold, so this measures the user-bucket grouped
+    kernel with in-task per-bucket changelog writes, state carry and
+    per-cycle commit."""
+    import shutil
+
+    import ray
+    from ray.data import DataContext
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("GRAFT_STREAM_CPUS", "16"))
+    n_cycles = int(os.environ.get("GRAFT_STREAM_CYCLES", "10"))
+    per_cycle = int(os.environ.get("GRAFT_STREAM_REPLICAS_PER_CYCLE", "10"))
+    root = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/imagor_ray_schlog")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(os.environ.get(
+                 "GRAFT_BENCH_OBJ_STORE", str(80_000_000_000))))
+    DataContext.get_current().enable_progress_bars = False
+
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "in")
+    os.makedirs(input_dir)
+    n_rows = _stage_replicated_events(sf_dir, input_dir, n_cycles,
+                                      per_cycle)
+
+    from imagor_ray.pipelines.changelog import SessionChangelogJob
+
+    job = SessionChangelogJob(input_dir, os.path.join(root, "state"),
+                              num_buckets=64)
+    t0 = time.perf_counter()
+    totals = job.run_all()
+    wall = time.perf_counter() - t0
+    ch_rows = sum(
+        1 for f in os.listdir(job.changelog_dir)
+        if f.endswith(".parquet"))
+    shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "session_update_changelog_end_to_end",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_rows": int(n_rows),
+        "cycles": totals["cycles"],
+        "late": totals["late"],
+        "changelog_files": int(ch_rows),
+        "num_cpus": num_cpus,
+        "rows_per_sec": round(n_rows / wall, 1),
+        "sf": sf_dir,
+    }
+
+
 def run_stream_join() -> dict:
     """Stream-stream join loop throughput: the watermark-bounded
     click→purchase join (pipelines/stream_join.py) over a multi-cycle
@@ -405,38 +502,8 @@ def run_stream_join() -> dict:
     input_dir = os.path.join(root, "in")
     os.makedirs(input_dir)
 
-    # stage: the flagship replica pattern (disjoint user/id spaces,
-    # event time shifted one span per replica so the stream advances);
-    # staging is excluded from the measured window
-    events_path = f"{sf_dir}/events.parquet"
-    n_events = _pq.read_metadata(events_path).num_rows
-    n_rows = n_cycles * per_cycle * n_events
-
-    def replica_events(batch):
-        tbl = _pq.read_table(
-            events_path,
-            columns=["event_id", "ts", "user_id", "event_type"])
-        ts_us = pc.cast(tbl["ts"], pa.timestamp("us")).cast(pa.int64())
-        span = pc.max(ts_us).as_py() - pc.min(ts_us).as_py()
-        stride = span + 86_400_000_000
-        for idx in batch["id"]:
-            r = int(idx)
-            shifted = pa.table({
-                "event_id": pc.add(tbl["event_id"], r * 1_000_000_000),
-                "ts": pc.add(ts_us, r * stride).cast(pa.timestamp("us")),
-                "user_id": pc.add(tbl["user_id"], r * 1_000_000),
-                "event_type": tbl["event_type"],
-            })
-            for i in range(0, len(shifted), 65536):
-                yield shifted.slice(i, 65536)
-
-    for c in range(n_cycles):
-        (rd.range(per_cycle).map_batches(
-            lambda b, c=c: (x for x in replica_events(
-                {"id": b["id"] + c * per_cycle})),
-            batch_size=1, batch_format="numpy")
-         .write_parquet(os.path.join(input_dir, f"batch-{c:05d}.parquet"),
-                        min_rows_per_file=65536))
+    n_rows = _stage_replicated_events(sf_dir, input_dir, n_cycles,
+                                      per_cycle)
 
     from imagor_ray.pipelines.stream_join import StreamingJoinJob
 
@@ -470,6 +537,8 @@ if __name__ == "__main__":
         print(json.dumps(run_sortwall()))
     elif "--stream-join" in sys.argv:
         print(json.dumps(run_stream_join()))
+    elif "--session-changelog" in sys.argv:
+        print(json.dumps(run_session_changelog()))
     elif "--stream" in sys.argv:
         print(json.dumps(run_stream()))
     else:
