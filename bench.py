@@ -479,11 +479,7 @@ def run_stream_join() -> dict:
     per-bucket matched writes, state carry and per-cycle commit."""
     import shutil
 
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as _pq
     import ray
-    import ray.data as rd
     from ray.data import DataContext
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -383,6 +383,21 @@ class SessionChangelogJob:
                  gap_s: int = 1800, allowed_lateness_s: int = 0,
                  num_buckets: int = 32,
                  ray_cycle_threshold: int | None = None):
+        if allowed_lateness_s > 0:
+            # The cycle kernel assumes every on-time event is LATER
+            # than every state session (event-time-ordered batches +
+            # wm == max_ts), so sessions only extend at the end. With
+            # lateness the watermark lags max_ts and an on-time event
+            # can land BEFORE a state session's end — sessions would
+            # need retroactive merge, which the kernel does not do
+            # (it would double-count the event into two sessions).
+            # Refuse rather than corrupt; append-mode
+            # StreamingSessionJob handles lateness via late routing.
+            raise ValueError(
+                "SessionChangelogJob does not support "
+                "allowed_lateness_s > 0: update-mode session identity "
+                "(user, start) relies on wm == max_ts so sessions "
+                "never merge retroactively")
         self.input_dir = input_dir
         self.cp = Checkpoint(state_dir)
         self.gap_us = gap_s * 1_000_000
@@ -431,7 +446,7 @@ class SessionChangelogJob:
         ch.insert(0, "cycle", np.int64(cycle))
         self._write_chlog(ch, f"changelog-{cycle:05d}.parquet")
         max_ts = int(us.max()) if len(us) else -1
-        return ch, nxt, int(late.sum()), max_ts
+        return int(len(ch)), nxt, int(late.sum()), max_ts
 
     def _cycle_dataset(self, path: str, wm: int, cycle: int,
                        st: pd.DataFrame):
@@ -508,12 +523,12 @@ class SessionChangelogJob:
                .to_pandas())
         max_ts = self._file_max_ts(path)
         if not len(out):
-            return None, _empty_sess_state(), 0, max_ts
+            return 0, _empty_sess_state(), 0, max_ts
         summ = out[out["kind"] == 1]
         nxt = (out[out["kind"] == 0]
                [["user_id", "start_us", "end_us", "n"]]
                .reset_index(drop=True))
-        return None, nxt, int(summ["n_late"].sum()), max_ts
+        return int(summ["n_ch"].sum()), nxt, int(summ["n_late"].sum()), max_ts
 
     @staticmethod
     def _file_max_ts(path: str) -> int:
@@ -535,7 +550,7 @@ class SessionChangelogJob:
         nrows = pads.dataset(path).count_rows()
         runner = (self._cycle_dataset if nrows > self.RAY_CYCLE_THRESHOLD
                   else self._cycle_pandas)
-        _, nxt, n_late, max_ts = runner(path, wm, cycle, st)
+        n_ch, nxt, n_late, max_ts = runner(path, wm, cycle, st)
 
         new_wm = max(wm, max_ts - self.lateness_us) if max_ts >= 0 else wm
         # closed sessions (end + gap < wm) can never extend: their last
@@ -552,6 +567,7 @@ class SessionChangelogJob:
         state["late_rows"] = int(state.get("late_rows", 0)) + int(n_late)
         state["cycles"] = cycle + 1
         result = {"file": fname, "watermark_us": int(new_wm),
+                  "changelog_rows": int(n_ch),
                   "late": int(n_late), "state_rows": int(len(new_st))}
         state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
                                   + [result])
@@ -560,9 +576,10 @@ class SessionChangelogJob:
         return result
 
     def run_all(self) -> dict:
-        totals = {"cycles": 0, "late": 0}
+        totals = {"cycles": 0, "changelog_rows": 0, "late": 0}
         while (r := self.run_cycle()) is not None:
             totals["cycles"] += 1
+            totals["changelog_rows"] += r["changelog_rows"]
             totals["late"] += r["late"]
         return totals
 

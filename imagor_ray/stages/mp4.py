@@ -517,13 +517,23 @@ def encode_mp4(
         # the 4-byte stream magic)
         meta_blocks = (codec_private[4:]
                        if codec_private[:4] == b"fLaC" else codec_private)
+        # samplesize comes from the STREAMINFO's bps (not a hardcoded
+        # 16), and the samplerate field is 16.16 fixed point — a rate
+        # that doesn't fit 16 bits can't be silently masked, so refuse
+        from .flac import parse_flac_header
+        _, _si = parse_flac_header(b"fLaC" + meta_blocks)
+        if not 0 < sample_rate <= 0xFFFF:
+            raise ValueError(
+                "encode_mp4: fLaC sample_rate must fit the 16.16 "
+                "AudioSampleEntry field (1..65535), got "
+                f"{sample_rate}")
         sample_entry = _box(
             b"fLaC",
             b"\x00" * 6, struct.pack(">H", 1),           # reserved, dri
             b"\x00" * 8,                                 # reserved
-            struct.pack(">HH", channels, 16),            # channels, samplesize
+            struct.pack(">HH", channels, _si["bps"]),    # channels, samplesize
             struct.pack(">HH", 0, 0),                    # predefined, reserved
-            struct.pack(">I", (sample_rate & 0xFFFF) << 16),
+            struct.pack(">I", sample_rate << 16),
             _full(b"dfLa", 0, 0, meta_blocks),
         )
         media_hdr = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))

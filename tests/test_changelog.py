@@ -276,3 +276,33 @@ class TestSessionChangelog:
         pd.testing.assert_frame_equal(cp, cd)
         pd.testing.assert_frame_equal(jp.cp.load_open_sessions(),
                                       jd.cp.load_open_sessions())
+
+    def test_lateness_refused(self, tmp_path):
+        # update-mode session identity (user, start) relies on
+        # wm == max_ts (every on-time event later than all state
+        # sessions); with lateness an on-time event can land before a
+        # state session's end and the kernel would count it into two
+        # sessions — the job refuses rather than corrupt
+        from imagor_ray.pipelines.changelog import SessionChangelogJob
+        with pytest.raises(ValueError, match="allowed_lateness"):
+            SessionChangelogJob(str(tmp_path / "in"),
+                                str(tmp_path / "st"),
+                                allowed_lateness_s=60)
+
+    def test_cycle_metrics_report_changelog_rows(self, ray_session,
+                                                 tmp_path):
+        G = self.GAP
+        inp = self._stage(tmp_path, [
+            [(1, 0, 7), (2, 10, 7)],   # insert A v1 -> 1 row
+            [(3, G - 100, 7)],         # retract+insert A -> 2 rows
+        ])
+        job = self._job(tmp_path, inp, "x5")
+        r0 = job.run_cycle()
+        r1 = job.run_cycle()
+        assert r0["changelog_rows"] == 1
+        assert r1["changelog_rows"] == 2
+        # totals line up with the on-disk changelog, on both engines
+        jb = self._job(tmp_path, inp, "x5d", ray_cycle_threshold=0,
+                       num_buckets=4)
+        t = jb.run_all()
+        assert t["changelog_rows"] == len(jb.changelog()) == 3

@@ -308,3 +308,36 @@ class TestFlacAudio:
 
         with pytest.raises(ValueError, match="codec_private"):
             encode_mp4([b"\x01"], fourcc="fLaC")
+
+    def test_sample_entry_carries_real_bps_and_rate(self):
+        import struct
+
+        import numpy as np
+        from imagor_ray.stages.flac import encode_flac_parts
+        from imagor_ray.stages.mp4 import encode_mp4
+
+        x = np.arange(600, dtype=np.int64) % 100 - 50
+        hdr, frames = encode_flac_parts(x, 8000, bps=8, block_size=200)
+        mp4 = encode_mp4(frames, fourcc="fLaC", codec_private=hdr,
+                         sample_rate=8000, channels=1)
+        # AudioSampleEntry layout after the 'fLaC' fourcc: 6 reserved
+        # + dri(2) + 8 reserved, then channels(2) samplesize(2)
+        # predefined(2) reserved(2) samplerate(16.16)
+        p = mp4.find(b"fLaC", 8)  # skip the ftyp brand occurrence
+        body = mp4[p + 4:]
+        ch, ss = struct.unpack(">HH", body[16:20])
+        rate = struct.unpack(">I", body[24:28])[0]
+        assert (ch, ss) == (1, 8)          # bps from STREAMINFO, not 16
+        assert rate == 8000 << 16          # unmasked 16.16
+
+    def test_oversized_sample_rate_refused(self):
+        import numpy as np
+        import pytest
+        from imagor_ray.stages.flac import encode_flac_parts
+        from imagor_ray.stages.mp4 import encode_mp4
+
+        x = np.zeros(100, dtype=np.int64)
+        hdr, frames = encode_flac_parts(x, 96000, bps=16, block_size=50)
+        with pytest.raises(ValueError, match="16.16"):
+            encode_mp4(frames, fourcc="fLaC", codec_private=hdr,
+                       sample_rate=96000, channels=1)
