@@ -273,6 +273,78 @@ def _sessionize_new(uid: np.ndarray, us: np.ndarray, gap_us: int
     return agg
 
 
+def _empty_sess_chlog() -> pd.DataFrame:
+    return pd.DataFrame({
+        "user_id": pd.Series([], dtype="int64"),
+        "start_us": pd.Series([], dtype="int64"),
+        "op": pd.Series([], dtype="int8"),
+        "end_us": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64"),
+    })
+
+
+def _session_cycle_kernel_merge(st: pd.DataFrame, uid: np.ndarray,
+                                us: np.ndarray, gap_us: int
+                                ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Lateness-capable cycle kernel: state sessions and new on-time
+    events gap-merge as INTERVALS, so an in-horizon out-of-order event
+    may extend a session BACKWARD or bridge two open sessions (which
+    then MERGE: both old versions retract, the merged session
+    inserts — its identity is the merged start, so a consumer must
+    fold retraction-aware, see :meth:`SessionChangelogJob.folded`).
+
+    Hull merging is exact: gap connectivity between point sets depends
+    only on their min/max (an outside point's nearest cluster point is
+    always a hull endpoint), so replacing a session's events by its
+    (start, end, n) summary loses nothing. The changelog is the
+    row-set diff old-state vs new-state on (user, start, end, n) —
+    unchanged sessions emit nothing; with event-time-ordered input
+    this reduces exactly to the ordered kernel's retract-on-extension
+    output."""
+    if not len(uid):
+        return _empty_sess_chlog(), st.copy()
+    items = pd.DataFrame({
+        "user_id": np.concatenate([
+            st["user_id"].to_numpy(dtype="int64"), uid]),
+        "start_us": np.concatenate([
+            st["start_us"].to_numpy(dtype="int64"), us]),
+        "end_us": np.concatenate([
+            st["end_us"].to_numpy(dtype="int64"), us]),
+        "n": np.concatenate([
+            st["n"].to_numpy(dtype="int64"),
+            np.ones(len(uid), dtype="int64")]),
+    }).sort_values(["user_id", "start_us", "end_us"], kind="mergesort")
+    # per-user running hull end (integer-exact; the garbage value a
+    # shift leaks across a user boundary is masked by the ~same flag)
+    hull = (items.groupby("user_id", sort=False)["end_us"]
+            .cummax().to_numpy(dtype="int64"))
+    prev_hull = np.empty_like(hull)
+    prev_hull[0] = np.int64(-(1 << 62))
+    prev_hull[1:] = hull[:-1]
+    same = items["user_id"].eq(items["user_id"].shift(1)).to_numpy()
+    new_s = (~same) | (items["start_us"].to_numpy(dtype="int64")
+                       > prev_hull + gap_us)
+    sid = np.cumsum(new_s) - 1
+    nxt = (items.assign(sid=sid).groupby("sid", sort=True)
+           .agg(user_id=("user_id", "first"),
+                start_us=("start_us", "min"),
+                end_us=("end_us", "max"), n=("n", "sum"))
+           .reset_index(drop=True))
+    # row-set diff (all four columns are join keys — no NaN upcast)
+    m = st.merge(nxt, how="outer", indicator=True,
+                 on=["user_id", "start_us", "end_us", "n"])
+    cols = ["user_id", "start_us", "end_us", "n"]
+    retract = m[m["_merge"] == "left_only"][cols].assign(op=np.int8(-1))
+    insert = m[m["_merge"] == "right_only"][cols].assign(op=np.int8(1))
+    chlog = (pd.concat([retract, insert], ignore_index=True)
+             [["user_id", "start_us", "op", "end_us", "n"]]
+             .sort_values(["user_id", "start_us", "op"], kind="mergesort")
+             .reset_index(drop=True))
+    nxt = (nxt.sort_values(["user_id", "start_us"], kind="mergesort")
+           .reset_index(drop=True))
+    return chlog, nxt
+
+
 def _session_cycle_kernel(st: pd.DataFrame, uid: np.ndarray,
                           us: np.ndarray, gap_us: int
                           ) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -365,11 +437,17 @@ class SessionChangelogJob:
 
     State is the extendable-session table (``end + gap >= watermark``;
     closed sessions evict silently — their latest version was already
-    emitted). Identity (user, session start) is stable because
-    micro-batches are event-time ordered, so sessions extend at the
-    end and never merge retroactively. Exactly-once rides the house
-    discipline: sorted per-cycle changelog files commit before the
-    checkpoint; crash replay overwrites identical bytes.
+    emitted). With ``allowed_lateness_s == 0`` identity (user, session
+    start) is stable — event-time-ordered batches extend sessions at
+    the end only (ordered kernel). With lateness > 0 an in-horizon
+    out-of-order event may extend a session BACKWARD or bridge two
+    open sessions, which then MERGE (merge kernel: both old versions
+    retract, the merged session inserts under the merged start;
+    ``folded()`` is retraction-aware so merged-away keys die). Events
+    older than the watermark still route to the late output in both
+    modes. Exactly-once rides the house discipline: sorted per-cycle
+    changelog files commit before the checkpoint; crash replay
+    overwrites identical bytes.
 
     Scale shape: above RAY_CYCLE_THRESHOLD footer rows the cycle runs
     as one user-bucket groupby whose grouped tasks run the SAME kernel
@@ -383,21 +461,15 @@ class SessionChangelogJob:
                  gap_s: int = 1800, allowed_lateness_s: int = 0,
                  num_buckets: int = 32,
                  ray_cycle_threshold: int | None = None):
-        if allowed_lateness_s > 0:
-            # The cycle kernel assumes every on-time event is LATER
-            # than every state session (event-time-ordered batches +
-            # wm == max_ts), so sessions only extend at the end. With
-            # lateness the watermark lags max_ts and an on-time event
-            # can land BEFORE a state session's end — sessions would
-            # need retroactive merge, which the kernel does not do
-            # (it would double-count the event into two sessions).
-            # Refuse rather than corrupt; append-mode
-            # StreamingSessionJob handles lateness via late routing.
-            raise ValueError(
-                "SessionChangelogJob does not support "
-                "allowed_lateness_s > 0: update-mode session identity "
-                "(user, start) relies on wm == max_ts so sessions "
-                "never merge retroactively")
+        # With lateness 0 every on-time event postdates every state
+        # session (wm == max_ts), so the ordered kernel's extend-at-
+        # the-end fast path applies. With lateness > 0 an on-time
+        # event can land BEFORE a state session's end, so cycles run
+        # the merge kernel: sessions may extend backward or MERGE
+        # (both retract, the merged session inserts) — never the
+        # ordered kernel, which would double-count such an event.
+        self._kernel = (_session_cycle_kernel if allowed_lateness_s == 0
+                        else _session_cycle_kernel_merge)
         self.input_dir = input_dir
         self.cp = Checkpoint(state_dir)
         self.gap_us = gap_s * 1_000_000
@@ -441,8 +513,7 @@ class SessionChangelogJob:
         tmp = os.path.join(self.late_dir, f"late-{cycle:05d}.parquet")
         lrows.to_parquet(tmp + ".tmp", index=False)
         os.replace(tmp + ".tmp", tmp)
-        ch, nxt = _session_cycle_kernel(st, uid[~late], uss[~late],
-                                        self.gap_us)
+        ch, nxt = self._kernel(st, uid[~late], uss[~late], self.gap_us)
         ch.insert(0, "cycle", np.int64(cycle))
         self._write_chlog(ch, f"changelog-{cycle:05d}.parquet")
         max_ts = int(us.max()) if len(us) else -1
@@ -459,6 +530,7 @@ class SessionChangelogJob:
         gap_us = self.gap_us
         chdir = self.changelog_dir
         ldir = self.late_dir
+        kernel = self._kernel
 
         def tag(b: pd.DataFrame) -> pd.DataFrame:
             us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
@@ -494,7 +566,7 @@ class SessionChangelogJob:
             lrows.reset_index(drop=True).to_parquet(ltmp + ".tmp",
                                                     index=False)
             os.replace(ltmp + ".tmp", ltmp)
-            ch, nxt = _session_cycle_kernel(
+            ch, nxt = kernel(
                 stp.reset_index(drop=True),
                 uid[order][~late], us[order][~late], gap_us)
             ch.insert(0, "cycle", np.int64(cycle))
@@ -599,12 +671,17 @@ class SessionChangelogJob:
         return pd.concat(parts, ignore_index=True)
 
     def folded(self) -> pd.DataFrame:
-        """Last-insert-wins per (user, start) — must equal the batch
-        sessionization after the final cycle."""
+        """Retraction-aware fold: per (user, start), the LAST op in
+        (cycle, op) order decides — an insert carries the live
+        version, a trailing retract means the key died (its session
+        merged into an earlier start under lateness). Must equal the
+        batch sessionization after the final cycle; with lateness 0
+        keys never die and this reduces to last-insert-wins."""
         ch = self.changelog()
-        ins = ch[ch["op"] == 1]
-        last = (ins.sort_values(["cycle"], kind="mergesort")
-                .groupby(["user_id", "start_us"], sort=False).tail(1))
-        return (last[["user_id", "start_us", "end_us", "n"]]
+        ordered = ch.sort_values(["cycle", "op"], kind="mergesort")
+        last = ordered.groupby(["user_id", "start_us"],
+                               sort=False).tail(1)
+        alive = last[last["op"] == 1]
+        return (alive[["user_id", "start_us", "end_us", "n"]]
                 .sort_values(["user_id", "start_us"], kind="mergesort")
                 .reset_index(drop=True))

@@ -1597,6 +1597,140 @@ ORDER BY cycle, user_id, session_start, op
 """
 
 
+_SJOIN_JITTER_STAGING: dict = {}
+
+
+def _stage_event_days_jitter(sf_dir: str) -> str:
+    """Out-of-order arrival staging for the lateness entry: arrival
+    day = event day + 1 for every 7th event_id (deterministic), so a
+    slice of each cycle's arrivals carries EARLIER event time than the
+    previous cycle's maximum — exactly the disorder allowed_lateness
+    exists for. Bounded by one day, so a 2-day horizon keeps every
+    event on-time (the oracle then needs no late-drop arm)."""
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    cached = _SJOIN_JITTER_STAGING.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+
+    input_dir = tempfile.mkdtemp(prefix="imray_sjit_in_")
+
+    def add_day(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        b = b.copy()
+        ts = b["ts"].astype("datetime64[us]")
+        delayed = (b["event_id"].to_numpy(dtype="int64") % 7) == 0
+        arrival = ts + pd.to_timedelta(
+            np.where(delayed, 86_400, 0), unit="s")
+        b["_day"] = arrival.dt.strftime("%Y%m%d")
+        return b
+
+    def write_day(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["_day"].iloc[0]
+        (g.drop(columns=["_day"])
+         .sort_values("event_id", kind="mergesort")
+         .to_parquet(os.path.join(input_dir, f"batch-{day}.parquet"),
+                     index=False))
+        return pd.DataFrame({"day": [day], "rows": [len(g)]})
+
+    (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id"])
+        .map_batches(add_day, batch_format="pandas")
+        .groupby("_day")
+        .map_groups(write_day, batch_format="pandas")
+        .count()
+    )
+    _SJOIN_JITTER_STAGING[key] = input_dir
+    return input_dir
+
+
+def _q_sessions_update_changelog_late(sf_dir: str):
+    """UPDATE-mode session windows under ALLOWED LATENESS — the merge
+    kernel: arrivals are deterministically out of event-time order
+    (every 7th event arrives one day-cycle late), so sessions extend
+    BACKWARD and can bridge two open sessions, which then MERGE (both
+    old versions retract, the merged session inserts). The changelog
+    is the row-set diff of consecutive arrival-prefix sessionizations,
+    which is exactly what the oracle mirrors (anti-join each prefix's
+    session table against its predecessor, both ways)."""
+    import tempfile
+
+    from .changelog import SessionChangelogJob
+
+    input_dir = _stage_event_days_jitter(sf_dir)
+    job = SessionChangelogJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_schlogL_st_"),
+        allowed_lateness_s=2 * 86_400)
+    job.run_all()
+    ch = job.changelog()
+    return pd.DataFrame({
+        "cycle": ch["cycle"].to_numpy(dtype="int64"),
+        "user_id": ch["user_id"].to_numpy(dtype="int64"),
+        "session_start": pd.Series(ch["start_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "op": ch["op"].to_numpy(dtype="int64"),
+        "session_end": pd.Series(ch["end_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "n_events": ch["n"].to_numpy(dtype="int64"),
+    })
+
+
+_SESSIONS_UPDATE_LATE_SQL = """
+WITH arr AS (
+  SELECT user_id, ts, event_id,
+         strftime(CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 1 DAY
+                       ELSE ts END, '%Y%m%d') AS aday
+  FROM events
+), days AS (
+  SELECT aday, CAST(dense_rank() OVER (ORDER BY aday) - 1 AS BIGINT)
+           AS cycle
+  FROM (SELECT DISTINCT aday FROM arr)
+), pref AS (
+  SELECT c.cycle, a.user_id, a.ts, a.event_id
+  FROM arr a JOIN days c ON a.aday <= c.aday
+), g AS (
+  SELECT *, CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+      (PARTITION BY cycle, user_id ORDER BY ts, event_id) > 1800000000
+    THEN 1 ELSE 0 END AS new_s
+  FROM pref
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY cycle, user_id
+                             ORDER BY ts, event_id) AS sid
+  FROM g
+), agg AS (
+  SELECT cycle, user_id, min(ts) AS session_start,
+         max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY cycle, user_id, sid
+), ins AS (
+  SELECT c.cycle, c.user_id, c.session_start, c.session_end, c.n_events
+  FROM agg c LEFT JOIN agg p
+    ON p.cycle = c.cycle - 1 AND p.user_id = c.user_id
+   AND p.session_start = c.session_start
+   AND p.session_end = c.session_end AND p.n_events = c.n_events
+  WHERE p.user_id IS NULL
+), ret AS (
+  SELECT p.cycle + 1 AS cycle, p.user_id, p.session_start,
+         p.session_end, p.n_events
+  FROM agg p LEFT JOIN agg c
+    ON c.cycle = p.cycle + 1 AND c.user_id = p.user_id
+   AND c.session_start = p.session_start
+   AND c.session_end = p.session_end AND c.n_events = p.n_events
+  WHERE c.user_id IS NULL
+    AND p.cycle + 1 <= (SELECT max(cycle) FROM days)
+)
+SELECT cycle, user_id, session_start, CAST(1 AS BIGINT) AS op,
+       session_end, n_events FROM ins
+UNION ALL
+SELECT cycle, user_id, session_start, CAST(-1 AS BIGINT) AS op,
+       session_end, n_events FROM ret
+ORDER BY cycle, user_id, session_start, op
+"""
+
+
 def _q_stream_join_two_sources(sf_dir: str):
     """The multiple-watermark join: clicks and purchases arrive as two
     INDEPENDENT micro-batch streams (separate directories advancing on
@@ -3115,6 +3249,7 @@ QUERIES = {
     "stream_stream_full_join": _q_stream_stream_full_join,
     "tumbling_update_changelog": _q_tumbling_update_changelog,
     "sessions_update_changelog": _q_sessions_update_changelog,
+    "sessions_update_changelog_late": _q_sessions_update_changelog_late,
     "stream_join_two_sources": _q_stream_join_two_sources,
     "stream_join_two_sources_full": _q_stream_join_two_sources_full,
     "bfs_hops": _q_bfs_hops,
@@ -3313,6 +3448,7 @@ ORACLES = {
     "stream_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
     "sessions_update_changelog": _SESSIONS_UPDATE_SQL,
+    "sessions_update_changelog_late": _SESSIONS_UPDATE_LATE_SQL,
     # the two-source run must reproduce the single-stream inner join
     "stream_join_two_sources": _STREAM_JOIN_SQL,
     # ... and its outer composition the batch FULL JOIN

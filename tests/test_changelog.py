@@ -277,17 +277,119 @@ class TestSessionChangelog:
         pd.testing.assert_frame_equal(jp.cp.load_open_sessions(),
                                       jd.cp.load_open_sessions())
 
-    def test_lateness_refused(self, tmp_path):
-        # update-mode session identity (user, start) relies on
-        # wm == max_ts (every on-time event later than all state
-        # sessions); with lateness an on-time event can land before a
-        # state session's end and the kernel would count it into two
-        # sessions — the job refuses rather than corrupt
-        from imagor_ray.pipelines.changelog import SessionChangelogJob
-        with pytest.raises(ValueError, match="allowed_lateness"):
-            SessionChangelogJob(str(tmp_path / "in"),
-                                str(tmp_path / "st"),
-                                allowed_lateness_s=60)
+    def test_lateness_backward_extension(self, ray_session, tmp_path):
+        # an out-of-order in-horizon event BEFORE the state session's
+        # start extends it backward: retract old, insert with the new
+        # (earlier) start — the ordered kernel would have corrupted
+        # this into two overlapping sessions
+        G = self.GAP
+        inp = self._stage(tmp_path, [
+            [(1, 10 * G, 7)],              # session at 10G
+            [(2, 10 * G - 100, 7),         # before the open start
+             (3, 11 * G, 8)],              # another user moves max_ts
+        ])
+        job = self._job(tmp_path, inp, "L1", allowed_lateness_s=10**9)
+        job.run_all()
+        ch = job.changelog()
+        rows = [(int(r.cycle), int(r.op), int(r.start_us),
+                 int(r.end_us), int(r.n))
+                for r in ch[ch["user_id"] == 7].itertuples()]
+        # within cycle 1 the file sorts by (user, start, op): the new
+        # earlier start's insert precedes the old start's retract
+        assert rows == [(0, 1, 10 * G, 10 * G, 1),
+                        (1, 1, 10 * G - 100, 10 * G, 2),
+                        (1, -1, 10 * G, 10 * G, 1)]
+
+    def test_lateness_bridging_merges_sessions(self, ray_session,
+                                               tmp_path):
+        # an in-horizon event lands BETWEEN two open sessions within
+        # gap of both: both retract, the merged session inserts; the
+        # retraction-aware fold kills the absorbed key
+        G = self.GAP
+        inp = self._stage(tmp_path, [
+            [(1, 0, 7), (2, int(1.5 * G), 7)],   # two sessions, 1.5G apart
+            [(3, int(0.7 * G), 7),               # bridges both
+             (4, 50 * G, 8)],
+        ])
+        job = self._job(tmp_path, inp, "L2", allowed_lateness_s=10**9)
+        job.run_all()
+        ch = job.changelog()
+        u7 = ch[ch["user_id"] == 7]
+        c1 = [(int(r.op), int(r.start_us), int(r.end_us), int(r.n))
+              for r in u7[u7["cycle"] == 1].itertuples()]
+        assert c1 == [(-1, 0, 0, 1),
+                      (1, 0, int(1.5 * G), 3),
+                      (-1, int(1.5 * G), int(1.5 * G), 1)]
+        folded = job.folded()
+        f7 = folded[folded["user_id"] == 7]
+        assert len(f7) == 1
+        assert (int(f7["start_us"].iloc[0]), int(f7["end_us"].iloc[0]),
+                int(f7["n"].iloc[0])) == (0, int(1.5 * G), 3)
+
+    def test_lateness_fold_equals_batch(self, ray_session, tmp_path):
+        # shuffle events across cycle boundaries (arrival != event-time
+        # order, bounded jitter); retraction-aware fold must equal the
+        # batch sessionization, on both engines
+        import numpy as np
+        rng = np.random.RandomState(11)
+        DAY = 86_400 * 1_000_000
+        rows = [(eid, int(rng.randint(0, 5 * DAY)), int(rng.randint(0, 6)))
+                for eid in range(300)]
+        # arrival cycle = event day + 0/1 jitter (deterministic)
+        batches = [[] for _ in range(7)]
+        for eid, ts, u in rows:
+            batches[ts // DAY + (eid % 3 == 0)].append((eid, ts, u))
+        inp = self._stage(tmp_path, [b for b in batches if b])
+        exp = None
+        for name, kw in [("LP", {"ray_cycle_threshold": 10**9}),
+                         ("LD", {"ray_cycle_threshold": 0,
+                                 "num_buckets": 4})]:
+            job = self._job(tmp_path, inp, name,
+                            allowed_lateness_s=3 * 86_400, **kw)
+            t = job.run_all()
+            assert t["late"] == 0
+            got = job.folded().reset_index(drop=True)
+            if exp is None:
+                flat = pd.DataFrame(rows,
+                                    columns=["event_id", "ts", "user_id"])
+                flat = flat.sort_values(["user_id", "ts", "event_id"])
+                uid = flat["user_id"].to_numpy()
+                us = flat["ts"].to_numpy()
+                new_s = np.ones(len(flat), dtype=np.int64)
+                same = uid[1:] == uid[:-1]
+                new_s[1:] = (~same
+                             | (us[1:] - us[:-1] > self.GAP)).astype(int)
+                sid = np.cumsum(new_s) - 1
+                exp = (pd.DataFrame({"user_id": uid, "us": us, "sid": sid})
+                       .groupby("sid")
+                       .agg(user_id=("user_id", "first"),
+                            start_us=("us", "min"), end_us=("us", "max"),
+                            n=("us", "size"))
+                       .reset_index(drop=True)
+                       .sort_values(["user_id", "start_us"])
+                       .reset_index(drop=True))
+            assert list(got["user_id"]) == list(exp["user_id"])
+            assert list(got["start_us"]) == list(exp["start_us"])
+            assert list(got["end_us"]) == list(exp["end_us"])
+            assert list(got["n"]) == list(exp["n"].astype("int64"))
+
+    def test_lateness_beyond_horizon_still_routes_late(self, ray_session,
+                                                       tmp_path):
+        G = self.GAP
+        H = 86_400 * 1_000_000  # 1-day horizon in µs
+        inp = self._stage(tmp_path, [
+            [(1, 10 * H, 7)],
+            [(2, 10 * H - H - 1, 7),     # older than the horizon: late
+             (3, 10 * H + G, 7)],
+        ])
+        job = self._job(tmp_path, inp, "L4", allowed_lateness_s=86_400)
+        t = job.run_all()
+        assert t["late"] == 1
+        late = pd.read_parquet(
+            os.path.join(job.late_dir, "late-00001.parquet"))
+        assert list(late["event_id"]) == [2]
+        # the late event never entered any session
+        assert int(job.folded()["n"].sum()) == 2
 
     def test_cycle_metrics_report_changelog_rows(self, ray_session,
                                                  tmp_path):
@@ -306,3 +408,21 @@ class TestSessionChangelog:
                        num_buckets=4)
         t = jb.run_all()
         assert t["changelog_rows"] == len(jb.changelog()) == 3
+
+    def test_lateness_replay_overwrites_same_bytes(self, ray_session,
+                                                   tmp_path):
+        G = self.GAP
+        inp = self._stage(tmp_path, [
+            [(1, 10 * G, 7), (2, 0, 8)],
+            [(3, 10 * G - 100, 7),          # backward extension
+             (4, int(0.5 * G), 8)],
+        ])
+        job = self._job(tmp_path, inp, "L5", allowed_lateness_s=10**9)
+        job.run_cycle()
+        job.cp.save = lambda state: (_ for _ in ()).throw(OSError("boom"))
+        with pytest.raises(OSError):
+            job.run_cycle()
+        crashed = _sha(job)
+        fresh = self._job(tmp_path, inp, "L5", allowed_lateness_s=10**9)
+        fresh.run_all()
+        assert _sha(fresh) == crashed
