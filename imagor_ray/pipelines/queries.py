@@ -1638,7 +1638,8 @@ def _stage_event_days_jitter(sf_dir: str) -> str:
 
     (
         rd.read_parquet(f"{sf_dir}/events.parquet",
-                        columns=["event_id", "ts", "user_id"])
+                        columns=["event_id", "ts", "user_id",
+                                 "event_type"])
         .map_batches(add_day, batch_format="pandas")
         .groupby("_day")
         .map_groups(write_day, batch_format="pandas")
@@ -1729,6 +1730,29 @@ SELECT cycle, user_id, session_start, CAST(-1 AS BIGINT) AS op,
        session_end, n_events FROM ret
 ORDER BY cycle, user_id, session_start, op
 """
+
+
+def _q_stream_join_outoforder(sf_dir: str):
+    """Stream-stream join under OUT-OF-ORDER arrivals: the same
+    watermark-bounded click→purchase join, but every 7th event arrives
+    one day-cycle late (within a 2-day lateness horizon, so nothing
+    drops). The match kernel is arrival-order-insensitive by
+    construction — a pair emits in the later-arriving side's cycle,
+    and the eviction bounds prove the earlier side is still in state
+    (a right evicts only at ts <= wm, below any future on-time left;
+    an evicted left's window already excludes every future on-time
+    right) — so the union of per-cycle emissions must STILL equal the
+    batch inner join, which is exactly the unchanged oracle."""
+    import tempfile
+
+    from .stream_join import StreamingJoinJob
+
+    input_dir = _stage_event_days_jitter(sf_dir)
+    job = StreamingJoinJob(input_dir,
+                           tempfile.mkdtemp(prefix="imray_sjoinO_st_"),
+                           allowed_lateness_s=2 * 86_400)
+    job.run_all()
+    return rd.read_parquet(job.matched_dir)
 
 
 def _q_stream_join_two_sources(sf_dir: str):
@@ -3250,6 +3274,7 @@ QUERIES = {
     "tumbling_update_changelog": _q_tumbling_update_changelog,
     "sessions_update_changelog": _q_sessions_update_changelog,
     "sessions_update_changelog_late": _q_sessions_update_changelog_late,
+    "stream_join_outoforder": _q_stream_join_outoforder,
     "stream_join_two_sources": _q_stream_join_two_sources,
     "stream_join_two_sources_full": _q_stream_join_two_sources_full,
     "bfs_hops": _q_bfs_hops,
@@ -3451,6 +3476,7 @@ ORACLES = {
     "sessions_update_changelog_late": _SESSIONS_UPDATE_LATE_SQL,
     # the two-source run must reproduce the single-stream inner join
     "stream_join_two_sources": _STREAM_JOIN_SQL,
+    "stream_join_outoforder": _STREAM_JOIN_SQL,
     # ... and its outer composition the batch FULL JOIN
     "stream_join_two_sources_full": _STREAM_FULL_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,

@@ -579,3 +579,60 @@ class TestTwoSources:
         assert r3["watermark_us"] == 40 * W
         # and the re-arrived rows behind the watermark route late
         assert r3["late"] == 1
+
+
+class TestOutOfOrderArrivals:
+    """With allowed lateness, in-horizon out-of-order arrivals must
+    not lose pairs: the match kernel is arrival-order-insensitive (a
+    pair emits in the later-ARRIVING side's cycle) and the eviction
+    bounds keep the earlier side in state."""
+
+    def test_right_arriving_before_left_still_pairs(self, ray_session,
+                                                    tmp_path):
+        # purchase (event-time AFTER the click) ARRIVES first; the
+        # click arrives next cycle, still on-time under lateness
+        inp = _stage(tmp_path, [
+            [(2, 150, 7, "purchase"), (9, 200, 8, "view")],
+            [(1, 100, 7, "click")],            # ts 100 < wm? no: lateness
+        ])
+        job = _job(tmp_path, inp, "o1", allowed_lateness_s=1)
+        t = job.run_all()
+        assert t["late"] == 0
+        m = _matched(job)
+        assert [(int(r.req_id), int(r.resp_id))
+                for r in m.itertuples()] == [(1, 2)]
+
+    def test_jittered_arrivals_equal_batch_join_both_engines(
+            self, ray_session, tmp_path):
+        rng = np.random.RandomState(13)
+        SEC = 1_000_000
+        rows = []
+        for eid in range(400):
+            rows.append((eid, int(rng.randint(0, 2000)) * SEC,
+                         int(rng.randint(0, 10)),
+                         str(rng.choice(["click", "purchase", "view"]))))
+        # arrival cycle = 500s epoch + 0/1 jitter for every 3rd event
+        batches = [[] for _ in range(6)]
+        for r in rows:
+            batches[r[1] // (500 * SEC) + (r[0] % 3 == 0)].append(r)
+        inp = _stage(tmp_path, [b for b in batches if b])
+        # batch-join expectation (window = 100 s)
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type"])
+        l = df[df["event_type"] == "click"]
+        r = df[df["event_type"] == "purchase"]
+        j = l.merge(r, on="user_id", suffixes=("_l", "_r"))
+        j = j[(j["ts_r"] > j["ts_l"]) & (j["ts_r"] <= j["ts_l"] + W)]
+        exp = sorted(zip(j["event_id_l"], j["event_id_r"]))
+        assert exp, "fixture must produce pairs"
+        for name, kw in [("op", {"ray_cycle_threshold": 10**9}),
+                         ("od", {"ray_cycle_threshold": 0,
+                                 "num_buckets": 4})]:
+            job = _job(tmp_path, inp, name, allowed_lateness_s=600,
+                       **kw)
+            t = job.run_all()
+            assert t["late"] == 0
+            m = _matched(job)
+            got = sorted(zip(m["req_id"].astype(int),
+                             m["resp_id"].astype(int)))
+            assert got == exp
