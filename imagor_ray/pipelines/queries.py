@@ -2877,6 +2877,60 @@ def _q_streaming_sessions(sf_dir: str):
     return out.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
 
 
+def _q_streaming_sessions_outoforder(sf_dir: str):
+    """Arrival-order robustness of the APPEND-mode session loop: the
+    same micro-batch driver over deterministically jittered day files
+    (every 5th turn_idx arrives one day late, within a 2-day lateness
+    horizon so nothing drops). The interval-hull sessionize makes open
+    -session carryover ORDER-INSENSITIVE — an in-horizon turn that
+    predates an open summary's end merges into it, and two open
+    summaries of one conversation (possible only under lateness) merge
+    when a turn bridges them — so the closed output must STILL equal
+    the batch sessionization: the unchanged oracle."""
+    import os
+    import tempfile
+
+    from .streaming import StreamingSessionJob
+
+    d = tempfile.mkdtemp(prefix="imray_streamO_")
+    input_dir = os.path.join(d, "in")
+    os.makedirs(input_dir, exist_ok=True)
+
+    def add_day(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ts = b["ts"].astype("datetime64[us]")
+        delayed = (b["turn_idx"].to_numpy(dtype="int64") % 5) == 0
+        arrival = ts + pd.to_timedelta(
+            np.where(delayed, 86_400, 0), unit="s")
+        b["_day"] = arrival.dt.strftime("%Y%m%d")
+        return b
+
+    def write_day(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["_day"].iloc[0]
+        g.drop(columns=["_day"]).to_parquet(
+            os.path.join(input_dir, f"batch-{day}.parquet"), index=False
+        )
+        return pd.DataFrame({"day": [day], "rows": [len(g)]})
+
+    (
+        derive_transcripts(sf_dir)
+        .map_batches(add_day, batch_format="pandas")
+        .groupby("_day")
+        .map_groups(write_day, batch_format="pandas")
+        .count()
+    )
+    job = StreamingSessionJob(input_dir, os.path.join(d, "state"),
+                              gap_s=1800, allowed_lateness_s=2 * 86_400)
+    job.run_all()
+    job.flush()
+    out = job.closed_sessions()
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
+    out["session_end"] = out["session_end"].astype("datetime64[us]")
+    out["n_turns"] = out["n_turns"].astype("int64")
+    return out.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+
+
 _DOC_META_SQL = f"""
 WITH s AS ({_TEXT_STATS_SQL}), k AS ({_SKETCHES_SQL})
 SELECT s.doc_id, s.n_chars AS width, 1 AS height, s.n_tokens,
@@ -3146,6 +3200,7 @@ QUERIES = {
     "sessions": _q_sessions,
     "sessions_salted": _q_sessions_salted,
     "streaming_sessions": _q_streaming_sessions,
+    "streaming_sessions_outoforder": _q_streaming_sessions_outoforder,
     "tumbling_tool_stats": _q_tumbling,
     "sliding_tool_stats": _q_sliding,
     "enriched_tool_stats": _q_enriched,
@@ -3373,6 +3428,7 @@ ORACLES = {
     "sessions": _SESSIONS_SQL,
     "sessions_salted": _SESSIONS_SQL,
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
+    "streaming_sessions_outoforder": _STREAMING_SESSIONS_SQL,
     "event_props_type": _PROPS_TYPE_SQL,
     "doc_meta": _DOC_META_SQL,
     **{name: f"SELECT doc_id, {spec[1]} AS text FROM documents"

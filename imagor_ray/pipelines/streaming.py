@@ -797,9 +797,23 @@ class StreamingSessionJob:
 
     @staticmethod
     def _sessionize_with_start(turns: pd.DataFrame, gap_s: int) -> pd.DataFrame:
-        """Like _sessionize but carries forward true session_start from
-        re-injected open-session summaries."""
-        df = turns.sort_values(["conv_id", "ts"], kind="mergesort").reset_index(drop=True)
+        """Interval-hull sessionize carrying true session_start from
+        re-injected open-session summaries: every row is an interval
+        ``[_start, ts]`` (a turn is a point, ``_start == ts``; a
+        summary spans its whole session). Rows sort by interval START
+        and gap-check against the per-conv running hull END, which
+        makes the kernel arrival-ORDER-INSENSITIVE: under allowed
+        lateness an in-horizon turn that predates an open summary's
+        end merges into it (and may bridge two open summaries of the
+        same conv, which then merge before ever closing). Hull merging
+        is exact — gap connectivity between point sets depends only on
+        their min/max. With event-time-ordered input this reduces
+        bit-for-bit to the ordered kernel: the (single) summary sorts
+        first and every turn postdates its end, so the flags match
+        the plain consecutive-diff computation."""
+        df = (turns.sort_values(["conv_id", "_start", "ts"],
+                                kind="mergesort")
+              .reset_index(drop=True))
         if len(df) == 0:
             return pd.DataFrame({
                 "conv_id": pd.Series([], dtype=object),
@@ -807,11 +821,22 @@ class StreamingSessionJob:
                 "session_end": pd.Series([], dtype="datetime64[us]"),
                 "n_turns": pd.Series([], dtype="int64"),
             })
-        us = ts_us(df["ts"])
+        s_us = ts_us(df["_start"])
+        e_us = ts_us(df["ts"])
         conv = df["conv_id"].to_numpy()
+        # per-conv running max of interval ends (integer-exact; the
+        # value a global shift leaks across a conv boundary is masked
+        # by the conv-change flag)
+        hull = np.asarray(pd.Series(e_us)
+                          .groupby(pd.Series(conv), sort=False).cummax(),
+                          dtype="int64")
+        prev_hull = np.empty_like(hull)
+        prev_hull[0] = np.int64(-(1 << 62))
+        prev_hull[1:] = hull[:-1]
         new = np.empty(len(df), dtype=bool)
         new[0] = True
-        new[1:] = (conv[1:] != conv[:-1]) | (np.diff(us) > gap_s * 1_000_000)
+        new[1:] = ((conv[1:] != conv[:-1])
+                   | (s_us[1:] > prev_hull[1:] + gap_s * 1_000_000))
         gsid = np.cumsum(new)
         return df.assign(_g=gsid).groupby("_g", sort=True).agg(
             conv_id=("conv_id", "first"),

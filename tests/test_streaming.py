@@ -723,3 +723,121 @@ class TestPipelinedCycles:
         pd.testing.assert_frame_equal(
             jg.closed_sessions().sort_values(key).reset_index(drop=True),
             ref.closed_sessions().sort_values(key).reset_index(drop=True))
+
+
+class TestOutOfOrderSessions:
+    """Under allowed lateness, on-time arrivals may predate open
+    summaries: the interval-hull sessionize must merge them backward,
+    bridge two open summaries of one conversation, and stay
+    byte-identical across all three cycle engines."""
+
+    def test_backward_merge_into_open_summary(self, tmp_path):
+        stream = write_stream(tmp_path, [
+            [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:20:00")],
+            # arrives later but lands INSIDE the open summary's span —
+            # the pre-hull kernel would split it into its own session
+            [("a", "2024-01-01 10:10:00"), ("b", "2024-01-01 11:00:00")],
+            [("c", "2024-01-03 00:00:00")],   # closes everything
+        ])
+        job = StreamingSessionJob(stream, str(tmp_path / "st"),
+                                  gap_s=1800,
+                                  allowed_lateness_s=2 * 86_400)
+        t = job.run_all()
+        assert sum(r["late"] for r in t) == 0
+        job.flush()
+        closed = job.closed_sessions()
+        a = closed[closed["conv_id"] == "a"]
+        assert len(a) == 1
+        assert int(a["n_turns"].iloc[0]) == 3
+        assert str(a["session_start"].iloc[0]) == "2024-01-01 10:00:00"
+        assert str(a["session_end"].iloc[0]) == "2024-01-01 10:20:00"
+
+    def test_bridge_merges_two_open_summaries(self, tmp_path):
+        # two sessions of conv a, 50 min apart (> 30 min gap), BOTH
+        # still open under lateness; a late-arriving turn between them
+        # is within gap of both -> one merged session
+        stream = write_stream(tmp_path, [
+            [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 10:50:00")],
+            [("a", "2024-01-01 10:25:00")],   # bridges the two
+            [("c", "2024-01-03 00:00:00")],
+        ])
+        job = StreamingSessionJob(stream, str(tmp_path / "st"),
+                                  gap_s=1800,
+                                  allowed_lateness_s=2 * 86_400)
+        t = job.run_all()
+        assert sum(r["late"] for r in t) == 0
+        job.flush()
+        a = job.closed_sessions().query("conv_id == 'a'")
+        assert len(a) == 1
+        assert int(a["n_turns"].iloc[0]) == 3
+        assert str(a["session_start"].iloc[0]) == "2024-01-01 10:00:00"
+        assert str(a["session_end"].iloc[0]) == "2024-01-01 10:50:00"
+
+    def test_jittered_closed_equals_batch_three_engines(
+            self, ray_session, tmp_path):
+        from imagor_ray.pipelines.streaming import StreamingFlagshipJob
+
+        rng = np.random.RandomState(17)
+        HOUR = 3600
+        rows = []
+        for eid in range(240):
+            t0 = pd.Timestamp("2024-01-01") + pd.Timedelta(
+                seconds=int(rng.randint(0, 48 * HOUR)))
+            rows.append((f"c{int(rng.randint(0, 12)):02d}",
+                         t0.strftime("%Y-%m-%d %H:%M:%S"), eid))
+        # arrival batch = 12h epoch + 1-batch jitter for every 3rd row
+        batches = [[] for _ in range(6)]
+        for conv, ts, eid in rows:
+            ep = int((pd.Timestamp(ts) - pd.Timestamp("2024-01-01"))
+                     .total_seconds()) // (12 * HOUR)
+            batches[ep + (eid % 3 == 0)].append((conv, ts))
+        stream = write_stream(tmp_path, [b for b in batches if b])
+
+        # batch sessionization expectation
+        flat = pd.DataFrame(rows, columns=["conv_id", "ts", "eid"])
+        flat["ts"] = pd.to_datetime(flat["ts"])
+        flat = flat.sort_values(["conv_id", "ts"])
+        us = flat["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        conv = flat["conv_id"].to_numpy()
+        new = np.ones(len(flat), dtype=bool)
+        new[1:] = (conv[1:] != conv[:-1]) | (np.diff(us) > 1800 * 1_000_000)
+        sid = np.cumsum(new)
+        exp = (flat.assign(_g=sid).groupby("_g")
+               .agg(conv_id=("conv_id", "first"),
+                    session_start=("ts", "min"), session_end=("ts", "max"),
+                    n_turns=("ts", "size"))
+               .reset_index(drop=True)
+               .sort_values(["conv_id", "session_start"])
+               .reset_index(drop=True))
+        exp["n_turns"] = exp["n_turns"].astype("int64")
+
+        old = StreamingSessionJob.RAY_CYCLE_THRESHOLD
+        key = ["conv_id", "session_start"]
+        shas = set()
+        try:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = 0
+            for eng in ("dataset", "tasks"):
+                j = StreamingFlagshipJob(
+                    stream, str(tmp_path / eng), gap_s=1800,
+                    allowed_lateness_s=86_400, num_buckets=2,
+                    cycle_engine=eng)
+                j.run_all()
+                j.flush()
+                got = (j.closed_sessions()[
+                    ["conv_id", "session_start", "session_end", "n_turns"]]
+                    .sort_values(key).reset_index(drop=True))
+                pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+                shas.add(j.processed_sha1())
+        finally:
+            StreamingSessionJob.RAY_CYCLE_THRESHOLD = old
+        jp = StreamingFlagshipJob(stream, str(tmp_path / "pd"),
+                                  gap_s=1800, allowed_lateness_s=86_400,
+                                  num_buckets=2)
+        jp.run_all()
+        jp.flush()
+        got = (jp.closed_sessions()[
+            ["conv_id", "session_start", "session_end", "n_turns"]]
+            .sort_values(key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        shas.add(jp.processed_sha1())
+        assert len(shas) == 1    # sink bytes identical across engines
