@@ -321,7 +321,12 @@ def _session_cycle_kernel_merge(st: pd.DataFrame, uid: np.ndarray,
     prev_hull = np.empty_like(hull)
     prev_hull[0] = np.int64(-(1 << 62))
     prev_hull[1:] = hull[:-1]
-    same = items["user_id"].eq(items["user_id"].shift(1)).to_numpy()
+    # exact int64 comparison — a pandas shift() would upcast to
+    # float64 and collapse user_ids differing beyond 2^53
+    uidv = items["user_id"].to_numpy(dtype="int64")
+    same = np.empty(len(uidv), dtype=bool)
+    same[0] = False
+    same[1:] = uidv[1:] == uidv[:-1]
     new_s = (~same) | (items["start_us"].to_numpy(dtype="int64")
                        > prev_hull + gap_us)
     sid = np.cumsum(new_s) - 1

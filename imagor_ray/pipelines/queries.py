@@ -1381,17 +1381,22 @@ ORDER BY req_id, resp_id
 _SJOIN_STAGING: dict = {}
 
 
-def _stage_event_days(sf_dir: str) -> str:
+def _stage_event_days(sf_dir: str, jitter: bool = False) -> str:
     """Per-day micro-batch staging shared by the stream-join entries
     (distributed writes, one grouped task per day). Staging is a pure
     deterministic function of the input tables, so one copy per
-    sf_dir is cached for the process lifetime — the inner- and
-    outer-join entries (and repeated sweeps) reuse it instead of
-    re-copying the corpus into a fresh tempdir each call."""
+    (sf_dir, jitter) is cached for the process lifetime — the inner-
+    and outer-join entries (and repeated sweeps) reuse it instead of
+    re-copying the corpus into a fresh tempdir each call.
+
+    With ``jitter`` the ARRIVAL day of every 7th event_id is one day
+    after its event day — deterministic out-of-order arrival for the
+    lateness entries, bounded by one day so a 2-day horizon keeps
+    every event on-time (the oracles then need no late-drop arm)."""
     import os
     import tempfile
 
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), jitter)
     cached = _SJOIN_STAGING.get(key)
     if cached and os.path.isdir(cached):
         return cached
@@ -1399,8 +1404,15 @@ def _stage_event_days(sf_dir: str) -> str:
     input_dir = tempfile.mkdtemp(prefix="imray_sjoin_in_")
 
     def add_day(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         b = b.copy()
-        b["_day"] = b["ts"].astype("datetime64[us]").dt.strftime("%Y%m%d")
+        ts = b["ts"].astype("datetime64[us]")
+        if jitter:
+            delayed = (b["event_id"].to_numpy(dtype="int64") % 7) == 0
+            ts = ts + pd.to_timedelta(
+                np.where(delayed, 86_400, 0), unit="s")
+        b["_day"] = ts.dt.strftime("%Y%m%d")
         return b
 
     def write_day(g: pd.DataFrame) -> pd.DataFrame:
@@ -1597,56 +1609,11 @@ ORDER BY cycle, user_id, session_start, op
 """
 
 
-_SJOIN_JITTER_STAGING: dict = {}
-
-
 def _stage_event_days_jitter(sf_dir: str) -> str:
-    """Out-of-order arrival staging for the lateness entry: arrival
-    day = event day + 1 for every 7th event_id (deterministic), so a
-    slice of each cycle's arrivals carries EARLIER event time than the
-    previous cycle's maximum — exactly the disorder allowed_lateness
-    exists for. Bounded by one day, so a 2-day horizon keeps every
-    event on-time (the oracle then needs no late-drop arm)."""
-    import os
-    import tempfile
-
-    key = os.path.abspath(sf_dir)
-    cached = _SJOIN_JITTER_STAGING.get(key)
-    if cached and os.path.isdir(cached):
-        return cached
-
-    input_dir = tempfile.mkdtemp(prefix="imray_sjit_in_")
-
-    def add_day(b: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        b = b.copy()
-        ts = b["ts"].astype("datetime64[us]")
-        delayed = (b["event_id"].to_numpy(dtype="int64") % 7) == 0
-        arrival = ts + pd.to_timedelta(
-            np.where(delayed, 86_400, 0), unit="s")
-        b["_day"] = arrival.dt.strftime("%Y%m%d")
-        return b
-
-    def write_day(g: pd.DataFrame) -> pd.DataFrame:
-        day = g["_day"].iloc[0]
-        (g.drop(columns=["_day"])
-         .sort_values("event_id", kind="mergesort")
-         .to_parquet(os.path.join(input_dir, f"batch-{day}.parquet"),
-                     index=False))
-        return pd.DataFrame({"day": [day], "rows": [len(g)]})
-
-    (
-        rd.read_parquet(f"{sf_dir}/events.parquet",
-                        columns=["event_id", "ts", "user_id",
-                                 "event_type"])
-        .map_batches(add_day, batch_format="pandas")
-        .groupby("_day")
-        .map_groups(write_day, batch_format="pandas")
-        .count()
-    )
-    _SJOIN_JITTER_STAGING[key] = input_dir
-    return input_dir
+    """Out-of-order arrival staging for the lateness entries — the
+    shared day staging with the deterministic 1-day jitter switched
+    on (see :func:`_stage_event_days`)."""
+    return _stage_event_days(sf_dir, jitter=True)
 
 
 def _q_sessions_update_changelog_late(sf_dir: str):
@@ -2830,26 +2797,32 @@ FROM s GROUP BY conv_id, sid
 """
 
 
-def _q_streaming_sessions(sf_dir: str):
-    """End-to-end streaming invariant: the micro-batch driver (watermark +
-    open-session carryover across per-day files) must produce EXACTLY the
-    batch sessionization result. The per-day micro-batch files are
-    written DISTRIBUTED (one grouped task per day — no driver
-    ``to_pandas()`` staging); only the event-time driver loop itself runs
-    on the driver, which is its design (SURVEY §7.4.2). The staging dir
-    is node-local here; a multi-node cluster points it at shared
-    storage (the stream's arrival directory is shared by contract)."""
+def _stage_transcript_days(sf_dir: str, jitter: bool = False) -> str:
+    """Per-day transcript staging for the streaming-session entries:
+    derive the transcripts, write one parquet per ARRIVAL day
+    (distributed, one grouped task per day — no driver ``to_pandas()``
+    staging). With ``jitter`` every 5th turn_idx arrives one day after
+    its event day (deterministic, bounded out-of-order for the
+    lateness entry). Returns the tempdir whose ``in/`` holds the
+    stream; the caller puts state beside it. The staging dir is
+    node-local here; a multi-node cluster points it at shared storage
+    (the stream's arrival directory is shared by contract)."""
     import os
     import tempfile
-
-    from .streaming import StreamingSessionJob
 
     d = tempfile.mkdtemp(prefix="imray_stream_")
     input_dir = os.path.join(d, "in")
     os.makedirs(input_dir, exist_ok=True)
 
     def add_day(b: pd.DataFrame) -> pd.DataFrame:
-        b["_day"] = b["ts"].astype("datetime64[us]").dt.strftime("%Y%m%d")
+        import numpy as np
+
+        ts = b["ts"].astype("datetime64[us]")
+        if jitter:
+            delayed = (b["turn_idx"].to_numpy(dtype="int64") % 5) == 0
+            ts = ts + pd.to_timedelta(
+                np.where(delayed, 86_400, 0), unit="s")
+        b["_day"] = ts.dt.strftime("%Y%m%d")
         return b
 
     def write_day(g: pd.DataFrame) -> pd.DataFrame:
@@ -2867,7 +2840,21 @@ def _q_streaming_sessions(sf_dir: str):
         .map_groups(write_day, batch_format="pandas")
         .count()
     )
-    job = StreamingSessionJob(input_dir, os.path.join(d, "state"), gap_s=1800)
+    return d
+
+
+def _q_streaming_sessions(sf_dir: str):
+    """End-to-end streaming invariant: the micro-batch driver (watermark +
+    open-session carryover across per-day files) must produce EXACTLY the
+    batch sessionization result. Only the event-time driver loop itself
+    runs on the driver, which is its design (SURVEY §7.4.2)."""
+    import os
+
+    from .streaming import StreamingSessionJob
+
+    d = _stage_transcript_days(sf_dir)
+    job = StreamingSessionJob(os.path.join(d, "in"),
+                              os.path.join(d, "state"), gap_s=1800)
     job.run_all()
     job.flush()
     out = job.closed_sessions()
@@ -2888,39 +2875,12 @@ def _q_streaming_sessions_outoforder(sf_dir: str):
     when a turn bridges them — so the closed output must STILL equal
     the batch sessionization: the unchanged oracle."""
     import os
-    import tempfile
 
     from .streaming import StreamingSessionJob
 
-    d = tempfile.mkdtemp(prefix="imray_streamO_")
-    input_dir = os.path.join(d, "in")
-    os.makedirs(input_dir, exist_ok=True)
-
-    def add_day(b: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        ts = b["ts"].astype("datetime64[us]")
-        delayed = (b["turn_idx"].to_numpy(dtype="int64") % 5) == 0
-        arrival = ts + pd.to_timedelta(
-            np.where(delayed, 86_400, 0), unit="s")
-        b["_day"] = arrival.dt.strftime("%Y%m%d")
-        return b
-
-    def write_day(g: pd.DataFrame) -> pd.DataFrame:
-        day = g["_day"].iloc[0]
-        g.drop(columns=["_day"]).to_parquet(
-            os.path.join(input_dir, f"batch-{day}.parquet"), index=False
-        )
-        return pd.DataFrame({"day": [day], "rows": [len(g)]})
-
-    (
-        derive_transcripts(sf_dir)
-        .map_batches(add_day, batch_format="pandas")
-        .groupby("_day")
-        .map_groups(write_day, batch_format="pandas")
-        .count()
-    )
-    job = StreamingSessionJob(input_dir, os.path.join(d, "state"),
+    d = _stage_transcript_days(sf_dir, jitter=True)
+    job = StreamingSessionJob(os.path.join(d, "in"),
+                              os.path.join(d, "state"),
                               gap_s=1800, allowed_lateness_s=2 * 86_400)
     job.run_all()
     job.flush()

@@ -527,6 +527,14 @@ def encode_mp4(
                 "encode_mp4: fLaC sample_rate must fit the 16.16 "
                 "AudioSampleEntry field (1..65535), got "
                 f"{sample_rate}")
+        # the sample entry must agree with the STREAMINFO it wraps —
+        # a contradiction inside one box is a corrupt container
+        if (sample_rate, channels) != (_si["sample_rate"],
+                                       _si["channels"]):
+            raise ValueError(
+                "encode_mp4: sample_rate/channels "
+                f"({sample_rate}, {channels}) contradict the "
+                f"STREAMINFO ({_si['sample_rate']}, {_si['channels']})")
         sample_entry = _box(
             b"fLaC",
             b"\x00" * 6, struct.pack(">H", 1),           # reserved, dri

@@ -426,3 +426,18 @@ class TestSessionChangelog:
         fresh = self._job(tmp_path, inp, "L5", allowed_lateness_s=10**9)
         fresh.run_all()
         assert _sha(fresh) == crashed
+
+    def test_huge_user_ids_stay_distinct(self, ray_session, tmp_path):
+        # user boundary detection must be exact int64: a float upcast
+        # (pandas shift) collapses ids differing beyond 2^53
+        G = self.GAP
+        u1, u2 = 2**53, 2**53 + 1
+        inp = self._stage(tmp_path, [
+            [(1, 0, u1)],
+            [(2, 100, u2), (3, 10 * G, u1)],
+        ])
+        job = self._job(tmp_path, inp, "L6", allowed_lateness_s=10**9)
+        job.run_all()
+        folded = job.folded()
+        assert sorted(folded["user_id"].astype(int)) == [u1, u1, u2]
+        assert list(folded["n"].astype(int)) == [1, 1, 1]
