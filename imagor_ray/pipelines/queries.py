@@ -1699,6 +1699,91 @@ ORDER BY cycle, user_id, session_start, op
 """
 
 
+_SDEDUP_STAGING: dict = {}
+
+
+def _stage_event_halfdays(sf_dir: str) -> str:
+    """Half-day micro-batch staging for the streaming-dedup entry: one
+    file per (day, AM/PM), so a day-granular dedup key straddles two
+    cycles and the cross-cycle key state is load-bearing (whole-day
+    files would confine every key to one cycle). Cached per sf_dir."""
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    cached = _SDEDUP_STAGING.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+
+    input_dir = tempfile.mkdtemp(prefix="imray_sdedup_in_")
+
+    def add_half(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        b = b.copy()
+        ts = b["ts"].astype("datetime64[us]")
+        half = np.where(ts.dt.hour.to_numpy() < 12, "A", "B")
+        b["_half"] = ts.dt.strftime("%Y%m%d") + half
+        return b
+
+    def write_half(g: pd.DataFrame) -> pd.DataFrame:
+        half = g["_half"].iloc[0]
+        (g.drop(columns=["_half"])
+         .sort_values("event_id", kind="mergesort")
+         .to_parquet(os.path.join(input_dir, f"batch-{half}.parquet"),
+                     index=False))
+        return pd.DataFrame({"half": [half], "rows": [len(g)]})
+
+    (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "ts", "user_id",
+                                 "event_type"])
+        .map_batches(add_half, batch_format="pandas")
+        .groupby("_half")
+        .map_groups(write_half, batch_format="pandas")
+        .count()
+    )
+    _SDEDUP_STAGING[key] = input_dir
+    return input_dir
+
+
+def _q_streaming_dedup(sf_dir: str):
+    """Streaming dedup within the watermark (Spark's
+    dropDuplicatesWithinWatermark): first occurrence of every
+    (user_id, event_type, event-day) key emitted exactly once across
+    half-day micro-batch cycles, key state bounded by the
+    day+watermark horizon (the day key is SELF-BOUNDING — recurrences
+    are < 1 day apart — which is what makes bounded-state streaming
+    dedup exact). Half-day files make every key straddle two cycles,
+    so the state carry is load-bearing; the batch oracle is
+    first-row-per-key by (ts, event_id)."""
+    import tempfile
+
+    from .stream_dedup import StreamingDedupJob
+
+    input_dir = _stage_event_halfdays(sf_dir)
+    job = StreamingDedupJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_sdedup_st_"))
+    job.run_all()
+    out = job.emitted()
+    out["day"] = (out["ts"].astype("datetime64[us]")
+                  .dt.floor("D").astype("datetime64[us]"))
+    return out[["event_id", "user_id", "event_type", "day", "ts"]]
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type,
+       date_trunc('day', ts) AS day, ts
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type, date_trunc('day', ts)
+      ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 def _q_stream_join_outoforder(sf_dir: str):
     """Stream-stream join under OUT-OF-ORDER arrivals: the same
     watermark-bounded click→purchase join, but every 7th event arrives
@@ -3290,6 +3375,7 @@ QUERIES = {
     "sessions_update_changelog": _q_sessions_update_changelog,
     "sessions_update_changelog_late": _q_sessions_update_changelog_late,
     "stream_join_outoforder": _q_stream_join_outoforder,
+    "streaming_dedup": _q_streaming_dedup,
     "stream_join_two_sources": _q_stream_join_two_sources,
     "stream_join_two_sources_full": _q_stream_join_two_sources_full,
     "bfs_hops": _q_bfs_hops,
@@ -3493,6 +3579,7 @@ ORACLES = {
     # the two-source run must reproduce the single-stream inner join
     "stream_join_two_sources": _STREAM_JOIN_SQL,
     "stream_join_outoforder": _STREAM_JOIN_SQL,
+    "streaming_dedup": _STREAMING_DEDUP_SQL,
     # ... and its outer composition the batch FULL JOIN
     "stream_join_two_sources_full": _STREAM_FULL_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
