@@ -66,15 +66,30 @@ def _empty_state() -> pd.DataFrame:
 
 class StreamingChangelogJob:
     """Micro-batch weekly-count changelog with retraction emission
-    (module docstring has the full semantics)."""
+    (module docstring has the full semantics).
+
+    ``output_mode`` selects the structured-streaming emission contract:
+
+    - ``"update"`` (default): per cycle, only the (window, key) rows
+      whose aggregate changed, as a retract/insert changelog — the
+      module's headline semantics. Closed windows evict.
+    - ``"complete"``: per cycle, the ENTIRE aggregate table so far
+      (Spark's complete mode). Nothing evicts — state and emission are
+      bounded by the AGGREGATE DOMAIN (windows × keys), never the
+      stream, which is the only regime complete mode is sane in.
+    """
 
     def __init__(self, input_dir: str, state_dir: str,
                  key_col: str = "event_type",
-                 allowed_lateness_s: int = 0):
+                 allowed_lateness_s: int = 0,
+                 output_mode: str = "update"):
+        if output_mode not in ("update", "complete"):
+            raise ValueError(f"unknown output_mode: {output_mode!r}")
         self.input_dir = input_dir
         self.cp = Checkpoint(state_dir)
         self.key_col = key_col
         self.lateness_us = allowed_lateness_s * 1_000_000
+        self.output_mode = output_mode
         self.changelog_dir = os.path.join(state_dir, "changelog")
         self.late_dir = os.path.join(state_dir, "late")
         os.makedirs(self.changelog_dir, exist_ok=True)
@@ -161,6 +176,10 @@ class StreamingChangelogJob:
 
         counts, n_late, max_ts = self._cycle_counts(path, wm, cycle)
 
+        if self.output_mode == "complete":
+            return self._commit_complete(state, st, counts, fname,
+                                         cycle, wm, n_late, max_ts)
+
         # changelog diff against the open-window state (domain-sized)
         merged = counts.merge(st, on=["win_us", "key"], how="left",
                               suffixes=("_new", "_old"))
@@ -201,6 +220,41 @@ class StreamingChangelogJob:
                   "changelog_rows": int(len(chlog)),
                   "retractions": int((chlog["op"] == -1).sum()),
                   "late": int(n_late), "state_rows": int(len(new_st))}
+        state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
+                                  + [result])
+        self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
+        return result
+
+    def _commit_complete(self, state: dict, st: pd.DataFrame,
+                         counts: pd.DataFrame, fname: str, cycle: int,
+                         wm: int, n_late: int, max_ts: int) -> dict:
+        """Complete-mode cycle tail: fold the counts into state, emit
+        the WHOLE aggregate table (sorted, byte-stable) for this cycle,
+        evict nothing (complete mode re-emits every window forever —
+        state is aggregate-domain-sized by design)."""
+        upd = pd.concat([st, counts], ignore_index=True)
+        upd = (upd.groupby(["win_us", "key"], sort=False)["n"]
+               .sum().reset_index()
+               .sort_values(["win_us", "key"], kind="mergesort")
+               .reset_index(drop=True))
+        emission = upd.copy()
+        emission.insert(0, "cycle", np.int64(cycle))
+        tmp = os.path.join(self.changelog_dir,
+                           f"complete-{cycle:05d}.parquet")
+        emission.to_parquet(tmp + ".tmp", index=False)
+        os.replace(tmp + ".tmp", tmp)
+
+        new_wm = max(wm, max_ts - self.lateness_us) if max_ts >= 0 else wm
+        open_fname = self.cp.stage_open_sessions(upd, cycle)
+        state["open_sessions_file"] = open_fname
+        state["watermark_us"] = int(new_wm)
+        state["processed"] = list(state.get("processed", [])) + [fname]
+        state["cycles"] = cycle + 1
+        result = {"file": fname, "watermark_us": int(new_wm),
+                  "changelog_rows": int(len(emission)),
+                  "retractions": 0,
+                  "late": int(n_late), "state_rows": int(len(upd))}
         state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
                                   + [result])
         self.cp.save(state)

@@ -1874,6 +1874,112 @@ def _q_tumbling_update_changelog(sf_dir: str):
     })
 
 
+def _q_tumbling_update_outoforder(sf_dir: str):
+    """UPDATE-mode windowed counts under OUT-OF-ORDER arrivals: the
+    same weekly changelog over jittered day files (every 7th event one
+    arrival-day late, 2-day horizon so nothing drops). Counting is
+    order-insensitive, so the engine needs no change — the changelog
+    must equal lag() over per-ARRIVAL-day cumulative sums, windows
+    still keyed by EVENT time."""
+    import tempfile
+
+    from .changelog import StreamingChangelogJob
+
+    input_dir = _stage_event_days_jitter(sf_dir)
+    job = StreamingChangelogJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_chlogO_st_"),
+        allowed_lateness_s=2 * 86_400)
+    job.run_all()
+    ch = job.changelog()
+    return pd.DataFrame({
+        "cycle": ch["cycle"].to_numpy(dtype="int64"),
+        "win_start": pd.Series(ch["win_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "event_type": ch["key"].to_numpy(),
+        "op": ch["op"].to_numpy(dtype="int64"),
+        "n": ch["n"].to_numpy(dtype="int64"),
+    })
+
+
+_UPDATE_OUTOFORDER_SQL = """
+WITH arr AS (
+  SELECT event_type, ts,
+         strftime(CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 1 DAY
+                       ELSE ts END, '%Y%m%d') AS aday
+  FROM events
+), d AS (
+  SELECT date_trunc('week', ts) AS win_start, event_type,
+         aday AS day, count(*) AS c
+  FROM arr GROUP BY 1, 2, 3
+), days AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) - 1 AS BIGINT)
+           AS cycle
+  FROM (SELECT DISTINCT aday AS day FROM arr)
+), cum AS (
+  SELECT day, win_start, event_type,
+         CAST(SUM(c) OVER (PARTITION BY win_start, event_type
+                           ORDER BY day) AS BIGINT) AS n
+  FROM d
+), ch AS (
+  SELECT day, win_start, event_type, n,
+         lag(n) OVER (PARTITION BY win_start, event_type
+                      ORDER BY day) AS prev_n
+  FROM cum
+)
+SELECT y.cycle, ch.win_start, ch.event_type,
+       CAST(x.op AS BIGINT) AS op,
+       CASE WHEN x.op = 1 THEN ch.n ELSE ch.prev_n END AS n
+FROM ch
+JOIN days y ON y.day = ch.day
+CROSS JOIN (VALUES (1), (-1)) AS x(op)
+WHERE x.op = 1 OR ch.prev_n IS NOT NULL
+ORDER BY cycle, win_start, event_type, op
+"""
+
+
+def _q_tumbling_complete_mode(sf_dir: str):
+    """COMPLETE-mode emission — the third structured-streaming output
+    mode (append = streaming_sessions, update = the changelogs): every
+    cycle re-emits the ENTIRE weekly per-type aggregate table so far.
+    Nothing evicts; state and emission are bounded by the aggregate
+    DOMAIN (weeks × types), never the stream — the only regime
+    complete mode is sane in. The oracle is the per-arrival-prefix
+    aggregate, cross-joined over cycles."""
+    import tempfile
+
+    from .changelog import StreamingChangelogJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingChangelogJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_chlogC_st_"),
+        output_mode="complete")
+    job.run_all()
+    ch = job.changelog()
+    return pd.DataFrame({
+        "cycle": ch["cycle"].to_numpy(dtype="int64"),
+        "win_start": pd.Series(ch["win_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "event_type": ch["key"].to_numpy(),
+        "n": ch["n"].to_numpy(dtype="int64"),
+    })
+
+
+_COMPLETE_MODE_SQL = """
+WITH days AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) - 1 AS BIGINT)
+           AS cycle
+  FROM (SELECT DISTINCT strftime(ts, '%Y%m%d') AS day FROM events)
+), pref AS (
+  SELECT c.cycle, date_trunc('week', e.ts) AS win_start,
+         e.event_type
+  FROM events e JOIN days c ON strftime(e.ts, '%Y%m%d') <= c.day
+)
+SELECT cycle, win_start, event_type, CAST(count(*) AS BIGINT) AS n
+FROM pref GROUP BY cycle, win_start, event_type
+ORDER BY cycle, win_start, event_type
+"""
+
+
 _UPDATE_CHANGELOG_SQL = """
 WITH d AS (
   SELECT date_trunc('week', ts) AS win_start, event_type,
@@ -3372,6 +3478,8 @@ QUERIES = {
     "stream_stream_left_join": _q_stream_stream_left_join,
     "stream_stream_full_join": _q_stream_stream_full_join,
     "tumbling_update_changelog": _q_tumbling_update_changelog,
+    "tumbling_complete_mode": _q_tumbling_complete_mode,
+    "tumbling_update_outoforder": _q_tumbling_update_outoforder,
     "sessions_update_changelog": _q_sessions_update_changelog,
     "sessions_update_changelog_late": _q_sessions_update_changelog_late,
     "stream_join_outoforder": _q_stream_join_outoforder,
@@ -3574,6 +3682,8 @@ ORACLES = {
     "stream_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "stream_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
+    "tumbling_complete_mode": _COMPLETE_MODE_SQL,
+    "tumbling_update_outoforder": _UPDATE_OUTOFORDER_SQL,
     "sessions_update_changelog": _SESSIONS_UPDATE_SQL,
     "sessions_update_changelog_late": _SESSIONS_UPDATE_LATE_SQL,
     # the two-source run must reproduce the single-stream inner join

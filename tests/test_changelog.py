@@ -441,3 +441,65 @@ class TestSessionChangelog:
         folded = job.folded()
         assert sorted(folded["user_id"].astype(int)) == [u1, u1, u2]
         assert list(folded["n"].astype(int)) == [1, 1, 1]
+
+
+class TestCompleteMode:
+    def test_every_cycle_emits_full_prefix_aggregate(self, ray_session,
+                                                     tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, MON + 1, "click"), (2, MON + 2, "view")],
+            [(3, MON + DAY, "click")],
+            [(4, MON + 3 * WEEK, "view")],
+        ])
+        from imagor_ray.pipelines.changelog import StreamingChangelogJob
+        job = StreamingChangelogJob(inp, str(tmp_path / "c1"),
+                                    output_mode="complete")
+        t = job.run_all()
+        assert t["retractions"] == 0
+        ch = job.changelog()
+        rows = [(int(r.cycle), int(r.win_us), str(r.key), int(r.n))
+                for r in ch.itertuples()]
+        W0, W3 = MON, MON + 3 * WEEK
+        assert rows == [
+            (0, W0, "click", 1), (0, W0, "view", 1),
+            (1, W0, "click", 2), (1, W0, "view", 1),
+            (2, W0, "click", 2), (2, W0, "view", 1),
+            (2, W3, "view", 1),                       # old windows re-emit
+        ]
+
+    def test_complete_state_never_evicts(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, MON + 1, "click")],
+            [(2, MON + 10 * WEEK, "click")],   # far future watermark
+        ])
+        from imagor_ray.pipelines.changelog import StreamingChangelogJob
+        job = StreamingChangelogJob(inp, str(tmp_path / "c2"),
+                                    output_mode="complete")
+        job.run_all()
+        st = job.cp.load_open_sessions()
+        assert len(st) == 2                    # week-0 window retained
+
+    def test_complete_replay_same_bytes(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, MON + 1, "click"), (2, MON + 9, "view")],
+            [(3, MON + DAY, "click")],
+        ])
+        from imagor_ray.pipelines.changelog import StreamingChangelogJob
+        job = StreamingChangelogJob(inp, str(tmp_path / "c3"),
+                                    output_mode="complete")
+        job.run_cycle()
+        job.cp.save = lambda state: (_ for _ in ()).throw(OSError("boom"))
+        with pytest.raises(OSError):
+            job.run_cycle()
+        crashed = _sha(job)
+        fresh = StreamingChangelogJob(inp, str(tmp_path / "c3"),
+                                      output_mode="complete")
+        fresh.run_all()
+        assert _sha(fresh) == crashed
+
+    def test_unknown_mode_rejected(self, tmp_path):
+        from imagor_ray.pipelines.changelog import StreamingChangelogJob
+        with pytest.raises(ValueError, match="output_mode"):
+            StreamingChangelogJob(str(tmp_path / "in"),
+                                  str(tmp_path / "c4"),
+                                  output_mode="append")
