@@ -3533,16 +3533,18 @@ _DRIVER_WINDOW = [
     # text analysis
     "text_stats", "vocabulary", "sequence_pack", "inverted_index",
     "q17_small_qty_revenue", "lang_id", "collocations", "doc_sketches",
-    # quality / curriculum
-    "doc_quality", "quality_filter", "quality_percentile",
-    "curriculum_order",
+    # quality / curriculum (percentile + curriculum → sweep; the
+    # round-5 session-6 lateness shapes take the slots — newest first)
+    "doc_quality", "quality_filter", "sessions_update_changelog_late",
+    "streaming_dedup",
     # PII (pii_scan stays sweep-verified; the round-5 Kleene-plus CEP
     # quantifier takes the slot — newest shape first)
     "corpus_clean", "cep_kleene_funnel",
     # ANN / embeddings (knn_accuracy → sweep; FLAC, the round-5
     # predictive-codec entry, takes the slot)
     "ann_topk", "media_flac_roundtrip", "embedding_neardup",
-    "ann_lsh_topk_fullprobe",
+    # (lsh_fullprobe → sweep; complete output mode takes the slot)
+    "tumbling_complete_mode",
     # iterative linear algebra
     "kmeans_train", "pca_power_iter",
     # relational (TPC-H)
