@@ -1425,7 +1425,8 @@ def _stage_event_days(sf_dir: str, jitter: bool = False) -> str:
 
     (
         rd.read_parquet(f"{sf_dir}/events.parquet",
-                        columns=["event_id", "ts", "user_id", "event_type"])
+                        columns=["event_id", "ts", "user_id",
+                                 "event_type", "value"])
         .map_batches(add_day, batch_format="pandas")
         .groupby("_day")
         .map_groups(write_day, batch_format="pandas")
@@ -1805,6 +1806,49 @@ def _q_stream_join_outoforder(sf_dir: str):
                            allowed_lateness_s=2 * 86_400)
     job.run_all()
     return rd.read_parquet(job.matched_dir)
+
+
+def _q_temporal_join(sf_dir: str):
+    """Temporal (versioned-dimension) stream enrichment — Flink's
+    temporal table join: every click is enriched with the user's
+    latest purchase value AS OF the click's EVENT time, while the
+    purchase "dimension" updates arrive interleaved on the same
+    stream. Probes buffer until the watermark passes their event time
+    (only then has every version that could affect them provably
+    arrived), which also makes the join arrival-order-insensitive.
+    Version state is watermark-bounded: in-horizon updates plus one
+    latest-below-watermark row per user. Oracle: the batch as-of join
+    via last_value(IGNORE NULLS) over the interleaved (ts, event_id)
+    order; no-version probes surface as -1.0 on both sides."""
+    import tempfile
+
+    from .temporal_join import TemporalJoinJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = TemporalJoinJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_tjoin_st_"))
+    job.run_all()
+    job.finalize()
+    out = job.emitted()
+    out["asof_value"] = out["asof_value"].fillna(-1.0)
+    return out
+
+
+_TEMPORAL_JOIN_SQL = """
+WITH u AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv
+  FROM events WHERE event_type IN ('click', 'purchase')
+), f AS (
+  SELECT *, last_value(pv IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS asof_value
+  FROM u
+)
+SELECT event_id, user_id, ts, COALESCE(asof_value, -1.0) AS asof_value
+FROM f WHERE event_type = 'click'
+ORDER BY event_id
+"""
 
 
 def _q_stream_join_two_sources(sf_dir: str):
@@ -3484,6 +3528,7 @@ QUERIES = {
     "sessions_update_changelog_late": _q_sessions_update_changelog_late,
     "stream_join_outoforder": _q_stream_join_outoforder,
     "streaming_dedup": _q_streaming_dedup,
+    "temporal_join": _q_temporal_join,
     "stream_join_two_sources": _q_stream_join_two_sources,
     "stream_join_two_sources_full": _q_stream_join_two_sources_full,
     "bfs_hops": _q_bfs_hops,
@@ -3558,7 +3603,8 @@ _DRIVER_WINDOW = [
     "asof_events_orders", "range_join_repeat_orders",
     # window analytics + streaming (stream_stream_join is the round-5
     # watermark-state join; error_context stays sweep-verified)
-    "group_sample", "q13_customer_distribution", "stream_stream_join",
+    # (q13 → sweep; the temporal table join takes the slot)
+    "group_sample", "temporal_join", "stream_stream_join",
     "topk_orders_per_customer", "time_weighted_value",
     "heavy_hitter_tokens", "tumbling_update_changelog",
     "running_customer_revenue",
@@ -3692,6 +3738,7 @@ ORACLES = {
     "stream_join_two_sources": _STREAM_JOIN_SQL,
     "stream_join_outoforder": _STREAM_JOIN_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,
+    "temporal_join": _TEMPORAL_JOIN_SQL,
     # ... and its outer composition the batch FULL JOIN
     "stream_join_two_sources_full": _STREAM_FULL_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
