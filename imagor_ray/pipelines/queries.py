@@ -1808,6 +1808,52 @@ def _q_stream_join_outoforder(sf_dir: str):
     return rd.read_parquet(job.matched_dir)
 
 
+def _q_streaming_cep(sf_dir: str):
+    """STREAMING CEP — the Kleene-plus funnel (``signup click+
+    purchase``, strict contiguity, 6-hour window) evaluated
+    incrementally across day micro-batches: per-user NFA state in
+    closed form (prev-event register + open click-island register)
+    survives cycle boundaries, events enter the match kernel only once
+    the watermark proves their position final, and a match emits in
+    the cycle whose watermark sweeps past the closing purchase.
+    ``finalize()`` drains the buffer so trailing islands die exactly
+    as the batch kernel's unflanked islands. The oracle is the
+    UNCHANGED batch gaps-and-islands SQL."""
+    import tempfile
+
+    from .stream_cep import StreamingCepJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingCepJob(input_dir,
+                          tempfile.mkdtemp(prefix="imray_scep_st_"))
+    job.run_all()
+    job.finalize()
+    return job.matches()
+
+
+def _q_streaming_cep_outoforder(sf_dir: str):
+    """Streaming CEP under OUT-OF-ORDER arrivals: same job over the
+    jittered staging (every 7th event arrives one day late, 2-day
+    lateness horizon so nothing drops). Contiguity patterns are
+    MAXIMALLY order-sensitive — one displaced event changes which
+    islands exist — so this entry is the real test of the
+    watermark-gated buffer: an in-horizon out-of-order event sorts
+    into its event-time position before anything after it processes,
+    and the emission set still equals the batch kernel's. Oracle
+    unchanged."""
+    import tempfile
+
+    from .stream_cep import StreamingCepJob
+
+    input_dir = _stage_event_days_jitter(sf_dir)
+    job = StreamingCepJob(input_dir,
+                          tempfile.mkdtemp(prefix="imray_scepO_st_"),
+                          allowed_lateness_s=2 * 86_400)
+    job.run_all()
+    job.finalize()
+    return job.matches()
+
+
 def _q_temporal_join(sf_dir: str):
     """Temporal (versioned-dimension) stream enrichment — Flink's
     temporal table join: every click is enriched with the user's
@@ -3527,6 +3573,8 @@ QUERIES = {
     "sessions_update_changelog": _q_sessions_update_changelog,
     "sessions_update_changelog_late": _q_sessions_update_changelog_late,
     "stream_join_outoforder": _q_stream_join_outoforder,
+    "streaming_cep": _q_streaming_cep,
+    "streaming_cep_outoforder": _q_streaming_cep_outoforder,
     "streaming_dedup": _q_streaming_dedup,
     "temporal_join": _q_temporal_join,
     "stream_join_two_sources": _q_stream_join_two_sources,
@@ -3584,7 +3632,7 @@ _DRIVER_WINDOW = [
     "streaming_dedup",
     # PII (pii_scan stays sweep-verified; the round-5 Kleene-plus CEP
     # quantifier takes the slot — newest shape first)
-    "corpus_clean", "cep_kleene_funnel",
+    "corpus_clean", "streaming_cep",
     # ANN / embeddings (knn_accuracy → sweep; FLAC, the round-5
     # predictive-codec entry, takes the slot)
     "ann_topk", "media_flac_roundtrip", "embedding_neardup",
@@ -3737,6 +3785,8 @@ ORACLES = {
     # the two-source run must reproduce the single-stream inner join
     "stream_join_two_sources": _STREAM_JOIN_SQL,
     "stream_join_outoforder": _STREAM_JOIN_SQL,
+    "streaming_cep": _CEP_KLEENE_SQL,
+    "streaming_cep_outoforder": _CEP_KLEENE_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,
     "temporal_join": _TEMPORAL_JOIN_SQL,
     # ... and its outer composition the batch FULL JOIN
