@@ -77,14 +77,34 @@ class StreamingChangelogJob:
       (Spark's complete mode). Nothing evicts — state and emission are
       bounded by the AGGREGATE DOMAIN (windows × keys), never the
       stream, which is the only regime complete mode is sane in.
+
+    ``window_s``/``slide_s`` switch the window shape from the default
+    tumbling Monday-snapped week to SLIDING epoch-aligned windows of
+    length ``window_s`` every ``slide_s`` seconds (``window_s`` must be
+    a multiple of ``slide_s``): each event fans out to its
+    ``window_s/slide_s`` covering windows map-side — the bounded
+    fan-out the sliding assignment in ``stages/windows.py`` documents —
+    and everything downstream (changelog diff, eviction at
+    ``win + window > wm``, folding) is window-shape-agnostic.
     """
 
     def __init__(self, input_dir: str, state_dir: str,
                  key_col: str = "event_type",
                  allowed_lateness_s: int = 0,
-                 output_mode: str = "update"):
+                 output_mode: str = "update",
+                 window_s: int | None = None,
+                 slide_s: int | None = None):
         if output_mode not in ("update", "complete"):
             raise ValueError(f"unknown output_mode: {output_mode!r}")
+        if (window_s is None) != (slide_s is None):
+            raise ValueError("window_s and slide_s go together")
+        if window_s is None:
+            self.win_len_us, self.slide_us = _WEEK_US, None
+        else:
+            if window_s % slide_s:
+                raise ValueError("window_s must be a multiple of slide_s")
+            self.win_len_us = window_s * 1_000_000
+            self.slide_us = slide_s * 1_000_000
         self.input_dir = input_dir
         self.cp = Checkpoint(state_dir)
         self.key_col = key_col
@@ -116,14 +136,29 @@ class StreamingChangelogJob:
         import ray.data as rd
 
         key_col = self.key_col
+        slide_us, win_len_us = self.slide_us, self.win_len_us
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
             late = us < wm
-            on = pd.DataFrame({
-                "win_us": _week_start(us[~late]),
-                "key": b[key_col].to_numpy()[~late],
-            })
+            keys = b[key_col].to_numpy()[~late]
+            if slide_us is None:
+                on = pd.DataFrame({
+                    "win_us": _week_start(us[~late]),
+                    "key": keys,
+                })
+            else:
+                # sliding fan-out: every covering window start (the
+                # k = window/slide epoch-aligned grid points at or
+                # before the event, within one window length)
+                k = win_len_us // slide_us
+                base = (us[~late] // slide_us) * slide_us
+                on = pd.DataFrame({
+                    "win_us": (base[:, None]
+                               - np.arange(k, dtype=np.int64)
+                               * slide_us).ravel(),
+                    "key": np.repeat(keys, k),
+                })
             s = (on.groupby(["win_us", "key"], sort=False)
                  .size().reset_index(name="n"))
             s["n"] = s["n"].astype("int64")
@@ -206,7 +241,7 @@ class StreamingChangelogJob:
         upd = (upd.groupby(["win_us", "key"], sort=False)["n"]
                .sum().reset_index())
         new_wm = max(wm, max_ts - self.lateness_us) if max_ts >= 0 else wm
-        open_mask = upd["win_us"].to_numpy() + _WEEK_US > new_wm
+        open_mask = upd["win_us"].to_numpy() + self.win_len_us > new_wm
         new_st = (upd[open_mask]
                   .sort_values(["win_us", "key"], kind="mergesort")
                   .reset_index(drop=True))

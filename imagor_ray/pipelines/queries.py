@@ -2027,6 +2027,68 @@ ORDER BY cycle, win_start, event_type, op
 """
 
 
+def _q_sliding_update_changelog(sf_dir: str):
+    """UPDATE-mode SLIDING windows — the window-shape × output-mode
+    cell the tumbling/session changelogs left open: 3-day windows
+    sliding by 1 day over day micro-batches, so every event fans out
+    map-side to its 3 covering windows (the bounded sliding fan-out)
+    and a window is genuinely updated across up to 3 cycles before the
+    watermark closes it. Everything downstream of the assignment —
+    changelog diff, eviction at win+window <= wm, folding — is
+    window-shape-agnostic, which is exactly what this entry pins."""
+    import tempfile
+
+    from .changelog import StreamingChangelogJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingChangelogJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_chlogS_st_"),
+        window_s=3 * 86_400, slide_s=86_400)
+    job.run_all()
+    ch = job.changelog()
+    return pd.DataFrame({
+        "cycle": ch["cycle"].to_numpy(dtype="int64"),
+        "win_start": pd.Series(ch["win_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "event_type": ch["key"].to_numpy(),
+        "op": ch["op"].to_numpy(dtype="int64"),
+        "n": ch["n"].to_numpy(dtype="int64"),
+    })
+
+
+_SLIDING_UPDATE_SQL = """
+WITH f AS (
+  SELECT event_type, strftime(ts, '%Y%m%d') AS day,
+         date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS win_start
+  FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+), d AS (
+  SELECT win_start, event_type, day, count(*) AS c
+  FROM f GROUP BY 1, 2, 3
+), days AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) - 1 AS BIGINT) AS cycle
+  FROM (SELECT DISTINCT strftime(ts, '%Y%m%d') AS day FROM events)
+), cum AS (
+  SELECT day, win_start, event_type,
+         CAST(SUM(c) OVER (PARTITION BY win_start, event_type
+                           ORDER BY day) AS BIGINT) AS n
+  FROM d
+), ch AS (
+  SELECT day, win_start, event_type, n,
+         lag(n) OVER (PARTITION BY win_start, event_type
+                      ORDER BY day) AS prev_n
+  FROM cum
+)
+SELECT y.cycle, ch.win_start, ch.event_type,
+       CAST(x.op AS BIGINT) AS op,
+       CASE WHEN x.op = 1 THEN ch.n ELSE ch.prev_n END AS n
+FROM ch
+JOIN days y ON y.day = ch.day
+CROSS JOIN (VALUES (1), (-1)) AS x(op)
+WHERE x.op = 1 OR ch.prev_n IS NOT NULL
+ORDER BY cycle, win_start, event_type, op
+"""
+
+
 def _q_tumbling_complete_mode(sf_dir: str):
     """COMPLETE-mode emission — the third structured-streaming output
     mode (append = streaming_sessions, update = the changelogs): every
@@ -3570,6 +3632,7 @@ QUERIES = {
     "tumbling_update_changelog": _q_tumbling_update_changelog,
     "tumbling_complete_mode": _q_tumbling_complete_mode,
     "tumbling_update_outoforder": _q_tumbling_update_outoforder,
+    "sliding_update_changelog": _q_sliding_update_changelog,
     "sessions_update_changelog": _q_sessions_update_changelog,
     "sessions_update_changelog_late": _q_sessions_update_changelog_late,
     "stream_join_outoforder": _q_stream_join_outoforder,
@@ -3778,6 +3841,7 @@ ORACLES = {
     "stream_stream_left_join": _STREAM_LEFT_JOIN_SQL,
     "stream_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
+    "sliding_update_changelog": _SLIDING_UPDATE_SQL,
     "tumbling_complete_mode": _COMPLETE_MODE_SQL,
     "tumbling_update_outoforder": _UPDATE_OUTOFORDER_SQL,
     "sessions_update_changelog": _SESSIONS_UPDATE_SQL,

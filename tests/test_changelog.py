@@ -503,3 +503,93 @@ class TestCompleteMode:
             StreamingChangelogJob(str(tmp_path / "in"),
                                   str(tmp_path / "c4"),
                                   output_mode="append")
+
+
+class TestSlidingWindows:
+    def test_event_fans_out_to_covering_windows(self, ray_session,
+                                                tmp_path):
+        # one event at day 10 + 1us, 3-day/1-day sliding: windows
+        # starting on days 8, 9, 10 each insert n=1
+        inp = _stage(tmp_path, [[(1, 10 * DAY + 1, "click")]])
+        job = _job(tmp_path, inp, "sl1",
+                   window_s=3 * 86_400, slide_s=86_400)
+        job.run_all()
+        ch = job.changelog()
+        assert list(ch["op"]) == [1, 1, 1]
+        assert sorted(ch["win_us"]) == [8 * DAY, 9 * DAY, 10 * DAY]
+        assert list(ch["n"]) == [1, 1, 1]
+
+    def test_window_updated_across_cycles_retracts(self, ray_session,
+                                                   tmp_path):
+        # day-10 and day-11 events share windows 9 and 10:
+        # those retract their cycle-0 value and reinsert n=2
+        inp = _stage(tmp_path, [
+            [(1, 10 * DAY + 1, "click")],
+            [(2, 11 * DAY + 1, "click")],
+        ])
+        job = _job(tmp_path, inp, "sl2",
+                   window_s=3 * 86_400, slide_s=86_400)
+        t = job.run_all()
+        assert t["retractions"] == 2
+        ch = job.changelog()
+        c1 = ch[ch["cycle"] == 1]
+        shared = c1[c1["win_us"].isin([9 * DAY, 10 * DAY])]
+        assert sorted(zip(shared["op"], shared["n"])) == [
+            (-1, 1), (-1, 1), (1, 2), (1, 2)]
+        # window 11 is new: insert only
+        w11 = c1[c1["win_us"] == 11 * DAY]
+        assert list(zip(w11["op"], w11["n"])) == [(1, 1)]
+
+    def test_fold_equals_batch_sliding_aggregate(self, ray_session,
+                                                 tmp_path):
+        import numpy as np
+        rng = np.random.RandomState(4)
+        batches, eid = [], 0
+        for day in range(5):
+            rows = []
+            for _ in range(40):
+                rows.append((eid, day * DAY + int(rng.randint(0, DAY)),
+                             str(rng.choice(["click", "view"]))))
+                eid += 1
+            rows.sort(key=lambda r: r[1])
+            batches.append(rows)
+        inp = _stage(tmp_path, batches)
+        job = _job(tmp_path, inp, "sl3",
+                   window_s=3 * 86_400, slide_s=86_400)
+        job.run_all()
+        folded = job.folded()
+        # brute-force batch sliding counts
+        allr = [r for b in batches for r in b]
+        exp = {}
+        for _, ts, et in allr:
+            base = (ts // DAY) * DAY
+            for k in range(3):
+                exp[(base - k * DAY, et)] = exp.get(
+                    (base - k * DAY, et), 0) + 1
+        got = {(int(r.win_us), r.key): int(r.n)
+               for r in folded.itertuples()}
+        assert got == exp
+
+    def test_sliding_eviction_uses_window_length(self, ray_session,
+                                                 tmp_path):
+        # after the day-13 cycle (wm ~ day 13), windows with
+        # win + 3d <= wm are closed: window 10 evicts, 11+ stay
+        inp = _stage(tmp_path, [
+            [(1, 10 * DAY + 1, "click")],
+            [(2, 13 * DAY + 2, "click")],
+        ])
+        job = _job(tmp_path, inp, "sl4",
+                   window_s=3 * 86_400, slide_s=86_400)
+        job.run_all()
+        st = job.cp.load_open_sessions()
+        assert set(st["win_us"]) == {11 * DAY, 12 * DAY, 13 * DAY}
+
+    def test_bad_window_args_rejected(self, tmp_path):
+        from imagor_ray.pipelines.changelog import StreamingChangelogJob
+        with pytest.raises(ValueError, match="go together"):
+            StreamingChangelogJob(str(tmp_path / "in"),
+                                  str(tmp_path / "sl5"), window_s=3)
+        with pytest.raises(ValueError, match="multiple"):
+            StreamingChangelogJob(str(tmp_path / "in"),
+                                  str(tmp_path / "sl6"),
+                                  window_s=7, slide_s=2)
