@@ -77,6 +77,12 @@ class StreamingChangelogJob:
       (Spark's complete mode). Nothing evicts — state and emission are
       bounded by the AGGREGATE DOMAIN (windows × keys), never the
       stream, which is the only regime complete mode is sane in.
+    - ``"append"``: a window emits ONCE, with its FINAL aggregate, in
+      the cycle whose watermark closes it (``win + window <= wm`` —
+      no on-time arrival can still update it). Emission here is the
+      eviction itself, so nothing ever retracts; windows still open at
+      end of stream stay unemitted (Spark's append contract). The
+      session twin is ``StreamingSessionJob``.
 
     ``window_s``/``slide_s`` switch the window shape from the default
     tumbling Monday-snapped week to SLIDING epoch-aligned windows of
@@ -94,7 +100,7 @@ class StreamingChangelogJob:
                  output_mode: str = "update",
                  window_s: int | None = None,
                  slide_s: int | None = None):
-        if output_mode not in ("update", "complete"):
+        if output_mode not in ("update", "complete", "append"):
             raise ValueError(f"unknown output_mode: {output_mode!r}")
         if (window_s is None) != (slide_s is None):
             raise ValueError("window_s and slide_s go together")
@@ -214,6 +220,9 @@ class StreamingChangelogJob:
         if self.output_mode == "complete":
             return self._commit_complete(state, st, counts, fname,
                                          cycle, wm, n_late, max_ts)
+        if self.output_mode == "append":
+            return self._commit_append(state, st, counts, fname,
+                                       cycle, wm, n_late, max_ts)
 
         # changelog diff against the open-window state (domain-sized)
         merged = counts.merge(st, on=["win_us", "key"], how="left",
@@ -260,6 +269,59 @@ class StreamingChangelogJob:
         self.cp.save(state)
         self.cp.gc_open_sessions(keep=open_fname)
         return result
+
+    def _commit_append(self, state: dict, st: pd.DataFrame,
+                       counts: pd.DataFrame, fname: str, cycle: int,
+                       wm: int, n_late: int, max_ts: int) -> dict:
+        """Append-mode cycle tail: fold the counts into state, emit the
+        windows the new watermark CLOSES (their aggregate is final —
+        emission IS the eviction), keep the still-open remainder."""
+        upd = pd.concat([st, counts], ignore_index=True)
+        upd = (upd.groupby(["win_us", "key"], sort=False)["n"]
+               .sum().reset_index())
+        new_wm = max(wm, max_ts - self.lateness_us) if max_ts >= 0 else wm
+        open_mask = upd["win_us"].to_numpy() + self.win_len_us > new_wm
+        closed = (upd[~open_mask]
+                  .sort_values(["win_us", "key"], kind="mergesort")
+                  .reset_index(drop=True))
+        closed.insert(0, "cycle", np.int64(cycle))
+        tmp = os.path.join(self.changelog_dir,
+                           f"closed-{cycle:05d}.parquet")
+        closed.to_parquet(tmp + ".tmp", index=False)
+        os.replace(tmp + ".tmp", tmp)
+
+        new_st = (upd[open_mask]
+                  .sort_values(["win_us", "key"], kind="mergesort")
+                  .reset_index(drop=True))
+        open_fname = self.cp.stage_open_sessions(new_st, cycle)
+        state["open_sessions_file"] = open_fname
+        state["watermark_us"] = int(new_wm)
+        state["processed"] = list(state.get("processed", [])) + [fname]
+        state["cycles"] = cycle + 1
+        result = {"file": fname, "watermark_us": int(new_wm),
+                  "changelog_rows": int(len(closed)),
+                  "retractions": 0,
+                  "late": int(n_late), "state_rows": int(len(new_st))}
+        state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
+                                  + [result])
+        self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
+        return result
+
+    def closed(self) -> pd.DataFrame:
+        """Append-mode consumer view: the closed-window emissions
+        (cycle, win_us, key, n), one row per window×key ever closed."""
+        parts = [pd.read_parquet(os.path.join(self.changelog_dir, f))
+                 for f in sorted(os.listdir(self.changelog_dir))
+                 if f.startswith("closed-") and f.endswith(".parquet")]
+        if not parts:
+            return pd.DataFrame({
+                "cycle": pd.Series([], dtype="int64"),
+                "win_us": pd.Series([], dtype="int64"),
+                "key": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(parts, ignore_index=True)
 
     def _commit_complete(self, state: dict, st: pd.DataFrame,
                          counts: pd.DataFrame, fname: str, cycle: int,

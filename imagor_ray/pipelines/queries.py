@@ -2089,6 +2089,63 @@ ORDER BY cycle, win_start, event_type, op
 """
 
 
+def _q_sliding_append_counts(sf_dir: str):
+    """APPEND-mode time windows — completing the output-mode trio for
+    the time-window shape (sessions had append via streaming_sessions;
+    time windows only had update/complete): a 3-day/1-day sliding
+    window emits ONCE, with its FINAL per-type count, in the cycle
+    whose watermark closes it (win + window <= wm). Emission is the
+    eviction itself, so nothing retracts; windows still open at end of
+    stream stay unemitted — the oracle mirrors that by joining each
+    window to the first arrival day past its end."""
+    import tempfile
+
+    from .changelog import StreamingChangelogJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingChangelogJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_chlogA_st_"),
+        output_mode="append", window_s=3 * 86_400, slide_s=86_400)
+    job.run_all()
+    cl = job.closed()
+    return pd.DataFrame({
+        "cycle": cl["cycle"].to_numpy(dtype="int64"),
+        "win_start": pd.Series(cl["win_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "event_type": cl["key"].to_numpy(),
+        "n": cl["n"].to_numpy(dtype="int64"),
+    })
+
+
+# a window closes at the first arrival day whose events lie at or past
+# its end (day files make wm >= win+3d exactly then); windows never
+# closed by end of stream are absent on both sides
+_SLIDING_APPEND_SQL = """
+WITH f AS (
+  SELECT event_type, ts,
+         date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS win_start
+  FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+), agg AS (
+  SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM f GROUP BY 1, 2
+), days AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) - 1 AS BIGINT) AS cycle
+  FROM (SELECT DISTINCT strftime(ts, '%Y%m%d') AS day FROM events)
+), close_day AS (
+  SELECT w.win_start, min(d.day) AS cday
+  FROM (SELECT DISTINCT win_start FROM f) w
+  JOIN days d
+    ON d.day >= strftime(w.win_start + INTERVAL 3 DAY, '%Y%m%d')
+  GROUP BY 1
+)
+SELECT y.cycle, agg.win_start, agg.event_type, agg.n
+FROM agg
+JOIN close_day c ON c.win_start = agg.win_start
+JOIN days y ON y.day = c.cday
+ORDER BY cycle, agg.win_start, event_type
+"""
+
+
 def _q_tumbling_complete_mode(sf_dir: str):
     """COMPLETE-mode emission — the third structured-streaming output
     mode (append = streaming_sessions, update = the changelogs): every
@@ -3633,6 +3690,7 @@ QUERIES = {
     "tumbling_complete_mode": _q_tumbling_complete_mode,
     "tumbling_update_outoforder": _q_tumbling_update_outoforder,
     "sliding_update_changelog": _q_sliding_update_changelog,
+    "sliding_append_counts": _q_sliding_append_counts,
     "sessions_update_changelog": _q_sessions_update_changelog,
     "sessions_update_changelog_late": _q_sessions_update_changelog_late,
     "stream_join_outoforder": _q_stream_join_outoforder,
@@ -3842,6 +3900,7 @@ ORACLES = {
     "stream_stream_full_join": _STREAM_FULL_JOIN_SQL,
     "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
     "sliding_update_changelog": _SLIDING_UPDATE_SQL,
+    "sliding_append_counts": _SLIDING_APPEND_SQL,
     "tumbling_complete_mode": _COMPLETE_MODE_SQL,
     "tumbling_update_outoforder": _UPDATE_OUTOFORDER_SQL,
     "sessions_update_changelog": _SESSIONS_UPDATE_SQL,

@@ -502,7 +502,7 @@ class TestCompleteMode:
         with pytest.raises(ValueError, match="output_mode"):
             StreamingChangelogJob(str(tmp_path / "in"),
                                   str(tmp_path / "c4"),
-                                  output_mode="append")
+                                  output_mode="upsert")
 
 
 class TestSlidingWindows:
@@ -593,3 +593,77 @@ class TestSlidingWindows:
             StreamingChangelogJob(str(tmp_path / "in"),
                                   str(tmp_path / "sl6"),
                                   window_s=7, slide_s=2)
+
+
+class TestAppendMode:
+    def test_window_emits_once_when_closed(self, ray_session, tmp_path):
+        # 3d/1d sliding windows over day events: day-10's windows
+        # (8,9,10) close as the watermark passes win+3d
+        inp = _stage(tmp_path, [
+            [(1, 10 * DAY + 1, "click")],
+            [(2, 11 * DAY + 1, "click")],
+            [(3, 13 * DAY + 2, "click")],
+        ])
+        job = _job(tmp_path, inp, "a1", output_mode="append",
+                   window_s=3 * 86_400, slide_s=86_400)
+        t = job.run_all()
+        assert t["retractions"] == 0
+        cl = job.closed()
+        # window 8 closes at cycle 1 (wm = 11d+1us >= 8d+3d); 9 and 10
+        # close at cycle 2 (wm = 13d+2us)
+        got = {(int(r.cycle), int(r.win_us) // DAY, int(r.n))
+               for r in cl.itertuples()}
+        assert got == {(1, 8, 1), (2, 9, 2), (2, 10, 2)}
+        # still-open windows (11..13) unemitted, held in state
+        st = job.cp.load_open_sessions()
+        assert set(st["win_us"] // DAY) == {11, 12, 13}
+
+    def test_final_count_is_batch_aggregate(self, ray_session, tmp_path):
+        import numpy as np
+        rng = np.random.RandomState(6)
+        batches, eid = [], 0
+        for day in range(6):
+            rows = []
+            for _ in range(30):
+                rows.append((eid, day * DAY + int(rng.randint(0, DAY)),
+                             str(rng.choice(["click", "view"]))))
+                eid += 1
+            rows.sort(key=lambda r: r[1])
+            batches.append(rows)
+        inp = _stage(tmp_path, batches)
+        job = _job(tmp_path, inp, "a2", output_mode="append",
+                   window_s=3 * 86_400, slide_s=86_400)
+        job.run_all()
+        cl = job.closed()
+        # every emitted window appears exactly once per key...
+        assert not cl.duplicated(["win_us", "key"]).any()
+        # ...with its full batch count
+        allr = [r for b in batches for r in b]
+        exp = {}
+        for _, ts, et in allr:
+            base = (ts // DAY) * DAY
+            for k in range(3):
+                exp[(base - k * DAY, et)] = exp.get(
+                    (base - k * DAY, et), 0) + 1
+        for r in cl.itertuples():
+            assert exp[(int(r.win_us), r.key)] == int(r.n)
+
+    def test_append_replay_same_bytes(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, 10 * DAY + 1, "click")],
+            [(2, 13 * DAY + 1, "view")],
+        ])
+        from imagor_ray.pipelines.changelog import StreamingChangelogJob
+        job = StreamingChangelogJob(inp, str(tmp_path / "a3"),
+                                    output_mode="append",
+                                    window_s=3 * 86_400, slide_s=86_400)
+        job.run_cycle()
+        job.cp.save = lambda state: (_ for _ in ()).throw(OSError("boom"))
+        with pytest.raises(OSError):
+            job.run_cycle()
+        crashed = _sha(job)
+        fresh = StreamingChangelogJob(inp, str(tmp_path / "a3"),
+                                      output_mode="append",
+                                      window_s=3 * 86_400, slide_s=86_400)
+        fresh.run_all()
+        assert _sha(fresh) == crashed
