@@ -577,6 +577,59 @@ def run_stream_dedup() -> dict:
     }
 
 
+def run_stream_cep() -> dict:
+    """Streaming-CEP loop throughput: the incremental Kleene funnel
+    (pipelines/stream_cep.py) over the same multi-cycle replicated
+    stream as --stream-join — each cycle exceeds the dataset-path
+    threshold, so this measures the user-bucket grouped NFA kernel
+    (closed-form per-user registers + watermark-gated buffer) with
+    in-task per-bucket emission writes and per-cycle commit."""
+    import shutil
+
+    import ray
+    from ray.data import DataContext
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("GRAFT_STREAM_CPUS", "16"))
+    n_cycles = int(os.environ.get("GRAFT_STREAM_CYCLES", "10"))
+    per_cycle = int(os.environ.get("GRAFT_STREAM_REPLICAS_PER_CYCLE", "10"))
+    root = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/imagor_ray_scep")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(os.environ.get(
+                 "GRAFT_BENCH_OBJ_STORE", str(80_000_000_000))))
+    DataContext.get_current().enable_progress_bars = False
+
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "in")
+    os.makedirs(input_dir)
+    n_rows = _stage_replicated_events(sf_dir, input_dir, n_cycles,
+                                      per_cycle)
+
+    from imagor_ray.pipelines.stream_cep import StreamingCepJob
+
+    job = StreamingCepJob(input_dir, os.path.join(root, "state"),
+                          num_buckets=64)
+    t0 = time.perf_counter()
+    totals = job.run_all()
+    job.finalize()
+    wall = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "streaming_cep_end_to_end",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_rows": int(n_rows),
+        "cycles": totals["cycles"],
+        "matches": totals["matches"],
+        "late": totals["late"],
+        "num_cpus": num_cpus,
+        "rows_per_sec": round(n_rows / wall, 1),
+        "sf": sf_dir,
+    }
+
+
 if __name__ == "__main__":
     if "--stream-scaling" in sys.argv:
         print(json.dumps(run_stream_scaling()))
@@ -590,6 +643,8 @@ if __name__ == "__main__":
         print(json.dumps(run_session_changelog()))
     elif "--stream-dedup" in sys.argv:
         print(json.dumps(run_stream_dedup()))
+    elif "--stream-cep" in sys.argv:
+        print(json.dumps(run_stream_cep()))
     elif "--stream" in sys.argv:
         print(json.dumps(run_stream()))
     else:
