@@ -43,7 +43,8 @@ import pandas as pd
 
 from ..state.checkpoint import Checkpoint
 
-__all__ = ["StreamingChangelogJob", "SessionChangelogJob"]
+__all__ = ["StreamingChangelogJob", "SessionChangelogJob",
+           "TopKChangelogJob"]
 
 _WEEK_US = 7 * 86_400 * 1_000_000
 # DuckDB's date_trunc('week', ts) snaps to Monday; epoch (1970-01-01)
@@ -394,6 +395,146 @@ class StreamingChangelogJob:
                 .groupby(["win_us", "key"], sort=False).tail(1))
         return (last[["win_us", "key", "n"]]
                 .sort_values(["win_us", "key"], kind="mergesort")
+                .reset_index(drop=True))
+
+
+class TopKChangelogJob(StreamingChangelogJob):
+    """Continuous TOP-K ranking changelog — the materialized-ranking
+    shape of continuous queries (ksqlDB/Flink Top-N): per open window,
+    the k highest-count keys are a live ranking, and every cycle emits
+    a changelog of the RANK SLOTS whose occupant changed — op=-1
+    retracts (win, rank)'s previous (key, n), op=+1 inserts the new
+    one. A slot changes only when a cycle's arrivals touch its window,
+    so the diff runs over touched windows only; counts are monotone,
+    so rank slots never disappear (a retraction is always paired with
+    an insert). Ties break (n DESC, key ASC) on both engine and
+    oracle. State is the inherited open-window count table
+    (domain-sized, watermark-evicted); emission files commit before
+    the checkpoint (the house exactly-once discipline)."""
+
+    def __init__(self, input_dir: str, state_dir: str,
+                 key_col: str = "event_type",
+                 allowed_lateness_s: int = 0, k: int = 3,
+                 window_s: int | None = None,
+                 slide_s: int | None = None):
+        super().__init__(input_dir, state_dir, key_col=key_col,
+                         allowed_lateness_s=allowed_lateness_s,
+                         output_mode="update", window_s=window_s,
+                         slide_s=slide_s)
+        self.k = k
+
+    def _topk(self, counts: pd.DataFrame) -> pd.DataFrame:
+        """Rank the top-k keys per window: (win_us, rnk, key, n),
+        ties (n DESC, key ASC)."""
+        if not len(counts):
+            return pd.DataFrame({
+                "win_us": pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int64"),
+                "key": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            })
+        s = counts.sort_values(["win_us", "n", "key"],
+                               ascending=[True, False, True],
+                               kind="mergesort").reset_index(drop=True)
+        s["rnk"] = s.groupby("win_us", sort=False).cumcount() + 1
+        return (s[s["rnk"] <= self.k]
+                [["win_us", "rnk", "key", "n"]].reset_index(drop=True))
+
+    def run_cycle(self) -> dict | None:
+        pending = self.pending_files()
+        if not pending:
+            return None
+        fname = pending[0]
+        state = self.cp.load()
+        wm = int(state.get("watermark_us", 0))
+        cycle = int(state.get("cycles", 0))
+        st = self._load_state(state)
+        path = os.path.join(self.input_dir, fname)
+
+        counts, n_late, max_ts = self._cycle_counts(path, wm, cycle)
+
+        touched = counts["win_us"].unique()
+        old_top = self._topk(st[st["win_us"].isin(touched)])
+        upd = pd.concat([st, counts], ignore_index=True)
+        upd = (upd.groupby(["win_us", "key"], sort=False)["n"]
+               .sum().reset_index())
+        new_top = self._topk(upd[upd["win_us"].isin(touched)])
+
+        m = new_top.merge(old_top, on=["win_us", "rnk"], how="left",
+                          suffixes=("", "_old"))
+        changed = (m["key_old"].isna() | (m["key_old"] != m["key"])
+                   | (m["n_old"] != m["n"]))
+        m = m[changed]
+        had_old = m["key_old"].notna()
+        retract = pd.DataFrame({
+            "win_us": m["win_us"].to_numpy(dtype="int64")[had_old],
+            "rnk": m["rnk"].to_numpy(dtype="int64")[had_old],
+            "op": np.full(int(had_old.sum()), -1, dtype=np.int8),
+            "key": m["key_old"].to_numpy()[had_old],
+            "n": m["n_old"].to_numpy()[had_old].astype("int64"),
+        })
+        insert = pd.DataFrame({
+            "win_us": m["win_us"].to_numpy(dtype="int64"),
+            "rnk": m["rnk"].to_numpy(dtype="int64"),
+            "op": np.full(len(m), 1, dtype=np.int8),
+            "key": m["key"].to_numpy(),
+            "n": m["n"].to_numpy(dtype="int64"),
+        })
+        chlog = (pd.concat([retract, insert], ignore_index=True)
+                 .sort_values(["win_us", "rnk", "op"], kind="mergesort")
+                 .reset_index(drop=True))
+        chlog.insert(0, "cycle", np.int64(cycle))
+        tmp = os.path.join(self.changelog_dir,
+                           f"changelog-{cycle:05d}.parquet")
+        chlog.to_parquet(tmp + ".tmp", index=False)
+        os.replace(tmp + ".tmp", tmp)
+
+        new_wm = max(wm, max_ts - self.lateness_us) if max_ts >= 0 else wm
+        open_mask = upd["win_us"].to_numpy() + self.win_len_us > new_wm
+        new_st = (upd[open_mask]
+                  .sort_values(["win_us", "key"], kind="mergesort")
+                  .reset_index(drop=True))
+
+        open_fname = self.cp.stage_open_sessions(new_st, cycle)
+        state["open_sessions_file"] = open_fname
+        state["watermark_us"] = int(new_wm)
+        state["processed"] = list(state.get("processed", [])) + [fname]
+        state["cycles"] = cycle + 1
+        result = {"file": fname, "watermark_us": int(new_wm),
+                  "changelog_rows": int(len(chlog)),
+                  "retractions": int((chlog["op"] == -1).sum()),
+                  "late": int(n_late), "state_rows": int(len(new_st))}
+        state["cycle_metrics"] = (list(state.get("cycle_metrics", []))
+                                  + [result])
+        self.cp.save(state)
+        self.cp.gc_open_sessions(keep=open_fname)
+        return result
+
+    def changelog(self) -> pd.DataFrame:
+        parts = [pd.read_parquet(os.path.join(self.changelog_dir, f))
+                 for f in sorted(os.listdir(self.changelog_dir))
+                 if f.endswith(".parquet")]
+        if not parts:
+            return pd.DataFrame({
+                "cycle": pd.Series([], dtype="int64"),
+                "win_us": pd.Series([], dtype="int64"),
+                "rnk": pd.Series([], dtype="int64"),
+                "op": pd.Series([], dtype="int8"),
+                "key": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(parts, ignore_index=True)
+
+    def folded(self) -> pd.DataFrame:
+        """Consumer view: last insert per (window, rank) — must equal
+        the batch top-k of all data seen, for every window ever
+        touched."""
+        ch = self.changelog()
+        ins = ch[ch["op"] == 1]
+        last = (ins.sort_values(["cycle"], kind="mergesort")
+                .groupby(["win_us", "rnk"], sort=False).tail(1))
+        return (last[["win_us", "rnk", "key", "n"]]
+                .sort_values(["win_us", "rnk"], kind="mergesort")
                 .reset_index(drop=True))
 
 

@@ -2146,6 +2146,72 @@ ORDER BY cycle, agg.win_start, event_type
 """
 
 
+def _q_topk_changelog(sf_dir: str):
+    """Continuous TOP-K ranking changelog (ksqlDB/Flink Top-N): the
+    top-3 event types per weekly window are a live ranking maintained
+    across day micro-batches; every cycle emits the rank SLOTS whose
+    occupant changed (op=-1 retracts the slot's previous (key, n),
+    op=+1 inserts the new one). A slot changes only when arrivals
+    touch its window, counts are monotone so slots never disappear,
+    and ties break (n DESC, key ASC) on both sides. The oracle ranks
+    every per-cycle arrival prefix and diffs consecutive cycles per
+    (window, rank) slot via lag()."""
+    import tempfile
+
+    from .changelog import TopKChangelogJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = TopKChangelogJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_topk_st_"), k=3)
+    job.run_all()
+    ch = job.changelog()
+    return pd.DataFrame({
+        "cycle": ch["cycle"].to_numpy(dtype="int64"),
+        "win_start": pd.Series(ch["win_us"].to_numpy(dtype="int64"))
+        .astype("datetime64[us]"),
+        "rnk": ch["rnk"].to_numpy(dtype="int64"),
+        "op": ch["op"].to_numpy(dtype="int64"),
+        "event_type": ch["key"].to_numpy(),
+        "n": ch["n"].to_numpy(dtype="int64"),
+    })
+
+
+_TOPK_CHANGELOG_SQL = """
+WITH days AS (
+  SELECT day, CAST(dense_rank() OVER (ORDER BY day) - 1 AS BIGINT) AS cycle
+  FROM (SELECT DISTINCT strftime(ts, '%Y%m%d') AS day FROM events)
+), pref AS (
+  SELECT c.cycle, date_trunc('week', e.ts) AS win_start, e.event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events e JOIN days c ON strftime(e.ts, '%Y%m%d') <= c.day
+  GROUP BY 1, 2, 3
+), rk AS (
+  SELECT cycle, win_start, event_type, n,
+         CAST(row_number() OVER (PARTITION BY cycle, win_start
+              ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+  FROM pref
+), top AS (
+  SELECT * FROM rk WHERE rnk <= 3
+), d2 AS (
+  SELECT *, lag(event_type) OVER w AS prev_key,
+            lag(n) OVER w AS prev_n,
+            lag(cycle) OVER w AS prev_cycle
+  FROM top
+  WINDOW w AS (PARTITION BY win_start, rnk ORDER BY cycle)
+), ch AS (
+  SELECT *, (prev_cycle IS NULL OR prev_key <> event_type
+             OR prev_n <> n) AS changed
+  FROM d2
+)
+SELECT cycle, win_start, rnk, CAST(x.op AS BIGINT) AS op,
+       CASE WHEN x.op = 1 THEN event_type ELSE prev_key END AS event_type,
+       CASE WHEN x.op = 1 THEN n ELSE prev_n END AS n
+FROM ch CROSS JOIN (VALUES (1), (-1)) AS x(op)
+WHERE changed AND (x.op = 1 OR prev_cycle IS NOT NULL)
+ORDER BY cycle, win_start, rnk, op
+"""
+
+
 def _q_tumbling_complete_mode(sf_dir: str):
     """COMPLETE-mode emission — the third structured-streaming output
     mode (append = streaming_sessions, update = the changelogs): every
@@ -3691,6 +3757,7 @@ QUERIES = {
     "tumbling_update_outoforder": _q_tumbling_update_outoforder,
     "sliding_update_changelog": _q_sliding_update_changelog,
     "sliding_append_counts": _q_sliding_append_counts,
+    "topk_changelog": _q_topk_changelog,
     "sessions_update_changelog": _q_sessions_update_changelog,
     "sessions_update_changelog_late": _q_sessions_update_changelog_late,
     "stream_join_outoforder": _q_stream_join_outoforder,
@@ -3901,6 +3968,7 @@ ORACLES = {
     "tumbling_update_changelog": _UPDATE_CHANGELOG_SQL,
     "sliding_update_changelog": _SLIDING_UPDATE_SQL,
     "sliding_append_counts": _SLIDING_APPEND_SQL,
+    "topk_changelog": _TOPK_CHANGELOG_SQL,
     "tumbling_complete_mode": _COMPLETE_MODE_SQL,
     "tumbling_update_outoforder": _UPDATE_OUTOFORDER_SQL,
     "sessions_update_changelog": _SESSIONS_UPDATE_SQL,

@@ -667,3 +667,83 @@ class TestAppendMode:
                                       window_s=3 * 86_400, slide_s=86_400)
         fresh.run_all()
         assert _sha(fresh) == crashed
+
+
+class TestTopKChangelog:
+    def _job(self, tmp_path, inp, name, **kw):
+        from imagor_ray.pipelines.changelog import TopKChangelogJob
+        return TopKChangelogJob(inp, str(tmp_path / name), **kw)
+
+    def test_rank_slot_retracts_on_overtake(self, ray_session, tmp_path):
+        # cycle 0: click=2, view=1 -> ranks (1 click 2), (2 view 1)
+        # cycle 1: +2 view -> view=3 overtakes: both slots change
+        inp = _stage(tmp_path, [
+            [(1, MON + 1, "click"), (2, MON + 2, "click"),
+             (3, MON + 3, "view")],
+            [(4, MON + DAY, "view"), (5, MON + DAY + 1, "view")],
+        ])
+        job = self._job(tmp_path, inp, "t1", k=2)
+        t = job.run_all()
+        assert t["retractions"] == 2
+        ch = job.changelog()
+        c1 = ch[ch["cycle"] == 1]
+        rows = sorted((int(r.rnk), int(r.op), r.key, int(r.n))
+                      for r in c1.itertuples())
+        assert rows == [(1, -1, "click", 2), (1, 1, "view", 3),
+                        (2, -1, "view", 1), (2, 1, "click", 2)]
+
+    def test_untouched_window_emits_nothing(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, MON + 1, "click")],
+            [(2, MON + 3 * WEEK, "view")],
+        ])
+        job = self._job(tmp_path, inp, "t2")
+        job.run_all()
+        ch = job.changelog()
+        c1 = ch[ch["cycle"] == 1]
+        assert set(c1["win_us"]) == {MON + 3 * WEEK}
+
+    def test_fold_equals_batch_topk(self, ray_session, tmp_path):
+        import numpy as np
+        rng = np.random.RandomState(8)
+        batches, eid = [], 0
+        for c in range(6):
+            rows = []
+            for _ in range(50):
+                rows.append((eid, c * DAY + int(rng.randint(0, DAY)),
+                             str(rng.choice(["a", "b", "c", "d", "e"]))))
+                eid += 1
+            batches.append(rows)
+        inp = _stage(tmp_path, batches)
+        job = self._job(tmp_path, inp, "t3", k=3)
+        job.run_all()
+        folded = job.folded()
+        flat = pd.DataFrame([r for b in batches for r in b],
+                            columns=["event_id", "ts", "event_type"])
+        flat["win_us"] = ((flat["ts"] - MON) // WEEK) * WEEK + MON
+        cnt = (flat.groupby(["win_us", "event_type"]).size()
+               .reset_index(name="n"))
+        cnt = cnt.sort_values(["win_us", "n", "event_type"],
+                              ascending=[True, False, True])
+        cnt["rnk"] = cnt.groupby("win_us").cumcount() + 1
+        exp = (cnt[cnt["rnk"] <= 3]
+               .sort_values(["win_us", "rnk"]).reset_index(drop=True))
+        assert list(folded["win_us"]) == list(exp["win_us"])
+        assert list(folded["rnk"]) == list(exp["rnk"])
+        assert list(folded["key"]) == list(exp["event_type"])
+        assert [int(x) for x in folded["n"]] == list(exp["n"])
+
+    def test_replay_same_bytes(self, ray_session, tmp_path):
+        inp = _stage(tmp_path, [
+            [(1, MON + 1, "click"), (2, MON + 2, "view")],
+            [(3, MON + DAY, "view")],
+        ])
+        job = self._job(tmp_path, inp, "t4")
+        job.run_cycle()
+        job.cp.save = lambda state: (_ for _ in ()).throw(OSError("boom"))
+        with pytest.raises(OSError):
+            job.run_cycle()
+        crashed = _sha(job)
+        fresh = self._job(tmp_path, inp, "t4")
+        fresh.run_all()
+        assert _sha(fresh) == crashed
