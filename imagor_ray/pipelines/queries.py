@@ -69,10 +69,11 @@ from .window_extras import (SLIDING_DISTINCT_SQL, STREAKS_SQL,
                             TIME_WEIGHTED_SQL, activity_streaks,
                             sliding_distinct_users, time_weighted_value)
 from .heavy_hitters import HEAVY_HITTERS_SQL, heavy_hitter_tokens
-from .tpch_extra import (Q4_SQL, Q6_SQL, Q7_SQL, Q13_SQL, Q15_SQL,
+from .tpch_extra import (Q4_SQL, Q6_SQL, Q7_SQL, Q8_SQL, Q13_SQL, Q15_SQL,
                          Q17_SQL, Q19_SQL, Q21_SQL, Q22_SQL,
                          q4_priority_semi, q6_forecast_revenue,
-                         q7_nation_volume, q13_customer_distribution,
+                         q7_nation_volume, q8_market_share,
+                         q13_customer_distribution,
                          q15_top_supplier, q17_small_qty_revenue,
                          q19_disjunctive_revenue, q21_waiting_suppliers,
                          q22_dormant_customers)
@@ -3725,6 +3726,7 @@ QUERIES = {
     "q4_priority_semi": q4_priority_semi,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -3938,6 +3940,7 @@ ORACLES = {
     "q4_priority_semi": Q4_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q7_nation_volume": Q7_SQL,
+    "q8_market_share": Q8_SQL,
     "q13_customer_distribution": Q13_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_qty_revenue": Q17_SQL,

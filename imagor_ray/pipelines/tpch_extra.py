@@ -1,4 +1,4 @@
-"""Second wave of TPC-H-shaped relational operators (Q4/Q6/Q7/Q13/
+"""Second wave of TPC-H-shaped relational operators (Q4/Q6/Q7/Q8/Q13/
 Q15/Q17/Q19/Q21/Q22 adapted to the synthetic schema, which lacks
 partsupp / l_shipmode / l_commitdate / l_receiptdate — each keeps the
 query's defining *pattern* while substituting available columns).
@@ -9,6 +9,7 @@ shape the first wave didn't exercise):
 - Q4  — EXISTS semi-join: distinct-key dedup feeding a hash join.
 - Q6  — single-scan predicate aggregate (no join, pure map+fold).
 - Q7  — double dim-tagged large-large join, multi-key group.
+- Q8  — grouped FRACTION over an 8-table star (market share).
 - Q13 — LEFT OUTER join with zero-preserving counts, then a second
         aggregation over the first's output (histogram of counts).
 - Q15 — global-max scalar subquery, ties included.
@@ -811,4 +812,142 @@ WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) * s.n > s.sum_c
   AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
                           WHERE o_orderdate >= DATE '1999-01-01')
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------- Q8
+
+def q8_market_share(sf_dir: str):
+    """Q8-shaped national market share: among ASIA-region customers'
+    1995-96 orders for STANDARD-type parts, the yearly revenue share
+    supplied from NATION_8, in exact integer parts-per-million
+    (``nation_m * 1000000 // total_m`` — floor == trunc on the
+    nonnegative sums, so the DuckDB ``//`` mirror hash-matches).
+
+    Plan shape (the one classic pattern the wave lacked: a scalar
+    FRACTION of a grouped aggregate over an 8-table star): every
+    dimension hop is applied MAP-SIDE from broadcast luts — part-type
+    keys gate lineitem, supplier→nation names tag its partials,
+    customer→region gates orders (q5/q7 idiom, measured-crossover
+    broadcast) — so the only large-large exchange is the native hash
+    join of (orderkey, nation, vol_m) lineitem partials against the
+    date-pruned order keys; the per-year share folds from
+    (year, nation) partials.
+
+    Reference semantics: TPC-H spec rev 3.0 Q8 (p_type/region/nation
+    constants adapted to the synthetic dimension values)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    asia_nk = set(nation[nation["n_regionkey"].isin(
+        region[region["r_name"] == "ASIA"]["r_regionkey"])]
+        ["n_nationkey"].astype(int))
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    std_parts = set(part[part["p_type"] == "STANDARD"]
+                    ["p_partkey"].astype(int))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    p_ref = _ray.put(std_parts)
+    s_ref = _ray.put(dict(zip(
+        sup["s_suppkey"].astype(int),
+        sup["s_nationkey"].astype(int).map(nname))))
+    c_ref = _ray.put(set(
+        cust[cust["c_nationkey"].astype(int).isin(asia_nk)]
+        ["c_custkey"].astype(int)))
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1996-12-31")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def line_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pk = _ray.get(p_ref)
+        b = b[b["l_partkey"].isin(pk)]
+        smap = _ray.get(s_ref)
+        ext = b["l_extendedprice"].to_numpy()
+        disc = b["l_discount"].to_numpy()
+        partial = pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy().astype("int64"),
+            "nation": b["l_suppkey"].map(smap).to_numpy(),
+            "vol_m": np.floor(ext * (1 - disc) * 1000).astype("int64"),
+        })
+        return (partial.groupby(["l_orderkey", "nation"], sort=False)
+                ["vol_m"].sum().reset_index())
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def prune_orders(b: pd.DataFrame) -> pd.DataFrame:
+        ck = _ray.get(c_ref)
+        m = ((b["o_orderdate"] >= lo) & (b["o_orderdate"] <= hi)
+             & b["o_custkey"].isin(ck))
+        b = b[m]
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy().astype("int64"),
+            "o_year": b["o_orderdate"].dt.year.to_numpy().astype("int64"),
+        })
+
+    joined = orders.map_batches(prune_orders, batch_format="pandas").join(
+        line.map_batches(line_partial, batch_format="pandas"),
+        "inner", num_partitions=_ncpu(),
+        on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vol = b["vol_m"].to_numpy(dtype="int64")
+        isn = (b["nation"] == "NATION_8").to_numpy()
+        out = pd.DataFrame({"o_year": b["o_year"].to_numpy(dtype="int64"),
+                            "nation_m": np.where(isn, vol, 0),
+                            "total_m": vol})
+        return (out.groupby("o_year", sort=False)[["nation_m", "total_m"]]
+                .sum().reset_index())
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("o_year", sort=True)[["nation_m", "total_m"]]
+               .sum().reset_index())
+        out["nation_m"] = out["nation_m"].astype("int64")
+        out["total_m"] = out["total_m"].astype("int64")
+        out["share_ppm"] = (out["nation_m"] * 1_000_000
+                            // out["total_m"]).astype("int64")
+        return out
+
+    return _global_fold(joined.map_batches(partial, batch_format="pandas"),
+                        merge)
+
+
+Q8_SQL = """
+WITH flat AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+              AS BIGINT) AS vol_m,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                        AND TIMESTAMP '1996-12-31'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_8' THEN vol_m ELSE 0 END)
+            AS BIGINT) AS nation_m,
+       CAST(SUM(vol_m) AS BIGINT) AS total_m,
+       CAST(SUM(CASE WHEN nation = 'NATION_8' THEN vol_m ELSE 0 END)
+            * 1000000 // SUM(vol_m) AS BIGINT) AS share_ppm
+FROM flat GROUP BY o_year ORDER BY o_year
 """
