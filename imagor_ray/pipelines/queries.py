@@ -3845,14 +3845,18 @@ _DRIVER_WINDOW = [
     "group_sample", "temporal_join", "stream_stream_join",
     "topk_orders_per_customer", "time_weighted_value",
     "heavy_hitter_tokens", "tumbling_update_changelog",
-    "running_customer_revenue",
+    # (running_customer_revenue -> sweep; the round-5 session-7
+    # continuous top-k ranking changelog takes the slot)
+    "topk_changelog",
     # profiling / IVM
     "profile_events", "incremental_user_counts",
     # multi-criteria / layout
     "skyline_orders", "zorder_cells",
     # sketches / cohorts / splits
-    "approx_quantiles_by_type", "hll_registers", "cohort_retention",
-    "dataset_split",
+    # (hll_registers -> sweep; append-mode sliding windows take the
+    # slot — the mode-matrix completion)
+    "approx_quantiles_by_type", "sliding_append_counts",
+    "cohort_retention", "dataset_split",
     # media + sampling
     "media_hashes", "deterministic_sample", "stratified_sample",
 ]
