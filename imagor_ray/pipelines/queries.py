@@ -2725,6 +2725,12 @@ def _q_media_flac_mp4_roundtrip(sf_dir: str):
     return media_flac_mp4_roundtrip(sf_dir)
 
 
+def _q_media_h264_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_h264_roundtrip
+
+    return media_h264_roundtrip(sf_dir)
+
+
 def _q_media_g711_roundtrip(sf_dir: str):
     from ..stages.multimodal import media_g711_roundtrip
 
@@ -3654,6 +3660,7 @@ QUERIES = {
     "media_qoi_roundtrip": _q_media_qoi_roundtrip,
     "media_flac_mkv_roundtrip": _q_media_flac_mkv_roundtrip,
     "media_flac_mp4_roundtrip": _q_media_flac_mp4_roundtrip,
+    "media_h264_roundtrip": _q_media_h264_roundtrip,
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
@@ -4055,6 +4062,7 @@ ORACLES = {
     # FLAC in BOTH real containers is lossless end to end too
     "media_flac_mkv_roundtrip": _MEDIA_HASHES_SQL,
     "media_flac_mp4_roundtrip": _MEDIA_HASHES_SQL,
+    "media_h264_roundtrip": _MEDIA_HASHES_SQL,
     "deterministic_sample": _SAMPLE_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "top_customers": _TOP_CUSTOMERS_SQL,

@@ -103,6 +103,11 @@ def sniff_media(payload: bytes) -> str:
         return "flac"
     if payload[:4] == b"qoif":
         return "qoi"
+    if (payload[:4] == b"\x00\x00\x00\x01" and len(payload) > 4
+            and (payload[4] & 0x1F) == 7):
+        # Annex B start code followed by an SPS NAL → raw H.264
+        # elementary stream (stages/h264.py, I_PCM subset)
+        return "h264"
     if payload[:4] == b"IMRF":
         return "imrf"
     return "unknown"

@@ -334,10 +334,12 @@ class Mp4Codec:
     @staticmethod
     def decode_frames(payload: bytes) -> np.ndarray:
         """(n_frames, h, w) uint8 luma for an uncompressed-gray
-        ``'raw '`` track or a Motion-JPEG ``'jpeg'`` track (every
-        sample is a complete baseline JPEG, decoded for real by
-        ``stages/jpeg.py``); other compressed bitstreams (H.264/VP9)
-        raise — the documented decoder-library plug point."""
+        ``'raw '`` track, a Motion-JPEG ``'jpeg'`` track (every sample
+        a complete baseline JPEG, ``stages/jpeg.py``) or an ``'avc1'``
+        H.264 track (avcC record + AVCC samples through
+        ``stages/h264.py`` — I_PCM subset, CAVLC residuals stay
+        gated); other compressed bitstreams (VP9/HEVC) raise — the
+        documented decoder-library plug point."""
         info = _parse(payload)
         vid = next((t for t in info["tracks"] if t.get("handler") == "vide"),
                    None)
@@ -349,6 +351,23 @@ class Mp4Codec:
             raise ValueError("mp4: no samples")
         if fourcc == "jpeg":
             return np.stack([_jpeg_luma(s) for s in samples])
+        if fourcc == "avc1":
+            # real H.264 over the documented plug point: the avcC
+            # configuration record from the sample entry + the AVCC
+            # samples from extract_samples feed stages/h264.py (I_PCM
+            # subset; CAVLC/CABAC residuals stay honestly gated there)
+            from .h264 import decode_h264_samples
+
+            entry = vid.get("sample_entry")
+            if not entry:
+                raise ValueError("mp4: avc1 track without a sample entry")
+            # VisualSampleEntry fixed part is 86 bytes (8 box hdr + 78
+            # fields); codec config boxes (avcC) follow inside the entry
+            kids = _children(entry, 86, len(entry))
+            avcc = kids.get(b"avcC")
+            if avcc is None:
+                raise ValueError("mp4: avc1 entry without avcC box")
+            return decode_h264_samples(entry[avcc[0]: avcc[1]], samples)
         if fourcc != "raw ":
             raise NotImplementedError(
                 f"mp4: compressed video bitstream "
@@ -450,7 +469,18 @@ def encode_mp4(
     """
     video_fourcc = b"raw "
     is_audio = False
-    if isinstance(frames, np.ndarray):
+    avcc_payload = None
+    if isinstance(frames, np.ndarray) and fourcc == "avc1":
+        # real H.264 (I_PCM subset, stages/h264.py): AVCC samples +
+        # avcC configuration record in the sample entry
+        from .h264 import encode_h264_parts
+
+        if frames.ndim != 3 or frames.dtype != np.uint8:
+            raise ValueError("encode_mp4: video frames must be (n,h,w) uint8")
+        n, h, w = frames.shape
+        avcc_payload, samples = encode_h264_parts(frames)
+        handler, is_video, video_fourcc = b"vide", True, b"avc1"
+    elif isinstance(frames, np.ndarray):
         if frames.ndim != 3 or frames.dtype != np.uint8:
             raise ValueError("encode_mp4: video frames must be (n,h,w) uint8")
         n, h, w = frames.shape
@@ -499,6 +529,11 @@ def encode_mp4(
         spc_runs.append((len(chunk_offsets), n % spc))
 
     if is_video:
+        extra = ()
+        comp = bytes([4]) + b"gray" + b"\x00" * 27       # compressorname
+        if avcc_payload is not None:
+            extra = (_box(b"avcC", avcc_payload),)
+            comp = bytes([4]) + b"h264" + b"\x00" * 27
         sample_entry = _box(
             video_fourcc,
             b"\x00" * 6, struct.pack(">H", 1),          # reserved, dri
@@ -506,8 +541,9 @@ def encode_mp4(
             struct.pack(">HH", w, h),
             struct.pack(">II", 0x00480000, 0x00480000),  # 72 dpi
             b"\x00" * 4, struct.pack(">H", 1),           # reserved, frame_count
-            bytes([4]) + b"gray" + b"\x00" * 27,         # compressorname
+            comp,
             struct.pack(">Hh", 8, -1),                   # depth, predefined
+            *extra,
         )
         media_hdr = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
         hdlr_name = b"VideoHandler\x00"

@@ -106,7 +106,7 @@ class TestBoxEdgeCases:
         pixel decode raises NotImplementedError — the documented
         decoder-library seam."""
         fr = _frames()
-        p = encode_mp4(fr).replace(b"raw ", b"avc1")
+        p = encode_mp4(fr).replace(b"raw ", b"vp09")
         samples = Mp4Codec.extract_samples(p)
         assert len(samples) == 5
         assert samples[0] == fr[0].tobytes()
@@ -253,7 +253,7 @@ class TestMjpeg:
 
         payload = encode_mp4(
             np.zeros((2, 8, 8), np.uint8))
-        patched = payload.replace(b"raw ", b"avc1")
+        patched = payload.replace(b"raw ", b"vp09")
         with pytest.raises(NotImplementedError):
             Mp4Codec.decode_frames(patched)
 
