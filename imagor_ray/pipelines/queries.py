@@ -3864,8 +3864,9 @@ _DRIVER_WINDOW = [
     # slot — the mode-matrix completion)
     "approx_quantiles_by_type", "sliding_append_counts",
     "cohort_retention", "dataset_split",
-    # media + sampling
-    "media_hashes", "deterministic_sample", "stratified_sample",
+    # media + sampling (media_hashes -> sweep; the round-5 session-7
+    # H.264 codec entry takes the slot)
+    "media_h264_roundtrip", "deterministic_sample", "stratified_sample",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _DRIVER_WINDOW}}

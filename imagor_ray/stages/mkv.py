@@ -261,6 +261,17 @@ class MkvCodec:
             from .mp4 import _jpeg_luma
 
             return np.stack([_jpeg_luma(blk) for blk in blocks])
+        if codec == "V_MPEG4/ISO/AVC":
+            # spec layout: CodecPrivate = avcC configuration record,
+            # every SimpleBlock AVCC length-prefixed NALs — decoded
+            # for real by stages/h264.py (I_PCM subset)
+            from .h264 import decode_h264_samples
+
+            priv = vid.get("codec_private")
+            if not priv:
+                raise ValueError(
+                    "ebml: V_MPEG4/ISO/AVC track without CodecPrivate")
+            return decode_h264_samples(priv, blocks)
         if codec != "V_UNCOMPRESSED":
             raise NotImplementedError(
                 f"ebml: compressed video bitstream "

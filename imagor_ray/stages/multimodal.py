@@ -1563,18 +1563,20 @@ def media_h264_roundtrip(sf_dir: str) -> rd.Dataset:
     every macroblock is I_PCM because CAVLC residual tables can't be
     reproduced from spec structure). Per document: utf-8 bytes pack
     into per-doc-sized luma frames (dims deliberately NOT multiples
-    of 16, so SPS frame cropping is on the path) — even doc_ids ride
-    an Annex B elementary stream straight through ``H264Codec``, odd
-    doc_ids mux as a real MP4 ``avc1`` track (avcC configuration
-    record + AVCC length-prefixed samples through the demuxer's
-    resolved sample table). Lossless, so the oracle is
-    ``sha256(text)``.
+    of 16, so SPS frame cropping is on the path) — doc_id % 3 routes
+    them: an Annex B elementary stream straight through ``H264Codec``,
+    a real MP4 ``avc1`` track (avcC configuration record + AVCC
+    length-prefixed samples through the demuxer's resolved sample
+    table), or a Matroska ``V_MPEG4/ISO/AVC`` track (avcC in
+    CodecPrivate, one AVCC sample per SimpleBlock — the spec layout).
+    Lossless, so the oracle is ``sha256(text)``.
 
     Output: doc_id, n_bytes, sha256 (media_hashes' shape).
     """
     import hashlib
 
-    from .h264 import H264Codec, encode_h264
+    from .h264 import H264Codec, encode_h264, encode_h264_parts
+    from .mkv import MkvCodec, encode_mkv
     from .mp4 import Mp4Codec, encode_mp4
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1592,11 +1594,17 @@ def media_h264_roundtrip(sf_dir: str) -> rd.Dataset:
             buf = np.zeros(n * per, dtype=np.uint8)
             buf[: len(body)] = np.frombuffer(body, dtype=np.uint8)
             frames = buf.reshape(n, h, w)
-            if doc_id % 2 == 0:
+            route = doc_id % 3
+            if route == 0:
                 payloads.append(encode_h264(frames))
-            else:
+            elif route == 1:
                 payloads.append(encode_mp4(frames, fourcc="avc1",
                                            samples_per_chunk=2))
+            else:
+                avcc, samples = encode_h264_parts(frames)
+                payloads.append(encode_mkv(
+                    samples, codec_id="V_MPEG4/ISO/AVC",
+                    codec_private=avcc, blocks_per_cluster=3))
         return pa.table({
             "doc_id": batch["doc_id"],
             "payload": pa.array(payloads, pa.binary()),
@@ -1605,8 +1613,12 @@ def media_h264_roundtrip(sf_dir: str) -> rd.Dataset:
     def decode(batch: pa.Table) -> pa.Table:
         n_bytes, digests = [], []
         for p in batch["payload"].to_pylist():
-            codec = (H264Codec if p[:4] == b"\x00\x00\x00\x01"
-                     else Mp4Codec)
+            if p[:4] == b"\x00\x00\x00\x01":
+                codec = H264Codec
+            elif p[:4] == b"\x1a\x45\xdf\xa3":
+                codec = MkvCodec
+            else:
+                codec = Mp4Codec
             flat = codec.decode_frames(p).reshape(-1).tobytes()
             (n,) = struct.unpack_from(">I", flat, 0)
             body = flat[4: 4 + n]

@@ -161,3 +161,19 @@ class TestMp4Integration:
         g = decode_h264(small)
         assert g.shape[0] == 2 and max(g.shape[1:]) <= 16
         assert g.shape[1] % 2 == 0 and g.shape[2] % 2 == 0
+
+    def test_mkv_avc_track_roundtrip(self):
+        from imagor_ray.stages.mkv import MkvCodec, encode_mkv
+        rng = np.random.RandomState(8)
+        f = rng.randint(0, 256, size=(5, 18, 26)).astype(np.uint8)
+        avcc, samples = encode_h264_parts(f)
+        p = encode_mkv(samples, codec_id="V_MPEG4/ISO/AVC",
+                       codec_private=avcc, blocks_per_cluster=2)
+        m = MkvCodec.decode_meta(p)
+        assert m["codec_id"] == "V_MPEG4/ISO/AVC" and m["n_frames"] == 5
+        assert (MkvCodec.decode_frames(p) == f).all()
+        # no CodecPrivate -> must refuse, not misdecode
+        p2 = encode_mkv(samples, codec_id="V_MPEG4/ISO/AVC",
+                        blocks_per_cluster=2)
+        with pytest.raises(ValueError, match="CodecPrivate"):
+            MkvCodec.decode_frames(p2)
