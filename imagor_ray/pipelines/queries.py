@@ -1898,6 +1898,72 @@ ORDER BY event_id
 """
 
 
+def _q_broadcast_rules(sf_dir: str):
+    """Broadcast-state (control-stream) enrichment — Flink's broadcast
+    pattern: a low-volume GLOBAL rule stream (purchases; value = the
+    current global threshold) scores every click with the rule valid
+    at its EVENT time; no key relates probe to rule. Probes buffer
+    until the watermark passes their event time (temporal-join
+    discipline), rule state is O(rules-in-horizon) + one
+    latest-below-watermark row — global, never keyed — and the rule
+    side NEVER rides a shuffle: each cycle's rules are collected via a
+    column-pruned distributed filter and broadcast into the scoring
+    tasks' closures. Oracle: the batch global as-of via
+    last_value(IGNORE NULLS) over the interleaved (ts, rule-first,
+    event_id) total order; no-rule probes surface as -1.0."""
+    import tempfile
+
+    from .broadcast_rules import BroadcastRulesJob
+
+    input_dir = _stage_event_days(sf_dir)
+    job = BroadcastRulesJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_brules_st_"))
+    job.run_all()
+    job.finalize()
+    out = job.emitted()
+    out["rule_value"] = out["rule_value"].fillna(-1.0)
+    return out
+
+
+def _q_broadcast_rules_outoforder(sf_dir: str):
+    """Broadcast-rules under OUT-OF-ORDER arrivals: same job over the
+    jittered staging (every 7th event arrives one day late, 2-day
+    horizon so nothing drops). The watermark-gated probe buffer makes
+    the operator arrival-order-insensitive — a displaced rule lands in
+    the global state before any probe it could affect emits — so the
+    oracle is unchanged."""
+    import tempfile
+
+    from .broadcast_rules import BroadcastRulesJob
+
+    input_dir = _stage_event_days_jitter(sf_dir)
+    job = BroadcastRulesJob(
+        input_dir, tempfile.mkdtemp(prefix="imray_brulesO_st_"),
+        allowed_lateness_s=2 * 86_400)
+    job.run_all()
+    job.finalize()
+    out = job.emitted()
+    out["rule_value"] = out["rule_value"].fillna(-1.0)
+    return out
+
+
+_BROADCAST_RULES_SQL = """
+WITH u AS (
+  SELECT event_id, ts, event_type,
+         CASE WHEN event_type = 'purchase' THEN value END AS rv,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS k
+  FROM events WHERE event_type IN ('click', 'purchase')
+), f AS (
+  SELECT *, last_value(rv IGNORE NULLS) OVER (
+      ORDER BY ts, k, event_id ROWS UNBOUNDED PRECEDING) AS rule_value
+  FROM u
+)
+SELECT event_id, ts, COALESCE(rule_value, -1.0) AS rule_value
+FROM f WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
 def _q_stream_join_two_sources(sf_dir: str):
     """The multiple-watermark join: clicks and purchases arrive as two
     INDEPENDENT micro-batch streams (separate directories advancing on
@@ -3774,6 +3840,8 @@ QUERIES = {
     "streaming_cep_outoforder": _q_streaming_cep_outoforder,
     "streaming_dedup": _q_streaming_dedup,
     "temporal_join": _q_temporal_join,
+    "broadcast_rules": _q_broadcast_rules,
+    "broadcast_rules_outoforder": _q_broadcast_rules_outoforder,
     "stream_join_two_sources": _q_stream_join_two_sources,
     "stream_join_two_sources_full": _q_stream_join_two_sources_full,
     "bfs_hops": _q_bfs_hops,
@@ -3848,8 +3916,10 @@ _DRIVER_WINDOW = [
     "asof_events_orders", "range_join_repeat_orders",
     # window analytics + streaming (stream_stream_join is the round-5
     # watermark-state join; error_context stays sweep-verified)
-    # (q13 → sweep; the temporal table join takes the slot)
-    "group_sample", "temporal_join", "stream_stream_join",
+    # (q13 → sweep; the temporal table join takes the slot; the
+    # round-5 session-8 broadcast-state pattern joins it)
+    "group_sample", "temporal_join", "broadcast_rules",
+    "stream_stream_join",
     "topk_orders_per_customer", "time_weighted_value",
     "heavy_hitter_tokens", "tumbling_update_changelog",
     # (running_customer_revenue -> sweep; the round-5 session-7
@@ -3995,6 +4065,8 @@ ORACLES = {
     "streaming_cep_outoforder": _CEP_KLEENE_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,
     "temporal_join": _TEMPORAL_JOIN_SQL,
+    "broadcast_rules": _BROADCAST_RULES_SQL,
+    "broadcast_rules_outoforder": _BROADCAST_RULES_SQL,
     # ... and its outer composition the batch FULL JOIN
     "stream_join_two_sources_full": _STREAM_FULL_JOIN_SQL,
     "bfs_hops": _BFS_HOPS_SQL_REF,
