@@ -48,6 +48,7 @@ __all__ = [
     "dedup_components",
     "contamination",
     "substring_span_coverage",
+    "paragraph_dedup",
     "NUM_HASHES",
     "BAND_SIZE",
 ]
@@ -1282,4 +1283,98 @@ def substring_span_coverage(sf_dir: str, n: int = 8,
                         batch_format="pandas")
             .groupby("_db")
             .map_groups(lambda g: doc_bucket(g.drop(columns=["_db"])),
+                        batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup
+
+def paragraph_dedup(sf_dir: str, para_words: int = 3,
+                    num_buckets: int = 64) -> rd.Dataset:
+    """Sub-document exact deduplication — the paragraph-dedup step of
+    the C4 / RefinedWeb corpus pipelines: documents are segmented into
+    fixed-width word windows ("paragraphs"; the synthetic corpus has no
+    newline structure, so the segmentation is deterministic
+    ``para_words``-word chunks), every paragraph that already occurred
+    ANYWHERE earlier in the corpus (order: doc_id, para_idx) is
+    removed, and each document's surviving paragraphs are reassembled
+    in order. Distinct from :func:`exact_dedup` (whole-doc) — here a
+    partially-duplicated document keeps its novel content.
+
+    Output: doc_id, clean_text (surviving paragraphs joined, '' when
+    everything was a duplicate), n_para, n_dropped.
+
+    Scale topology — two bounded shuffles, text shipped once each:
+
+    - a map explodes docs into paragraph rows routed by the paragraph's
+      content-hash bucket (crc32 % num_buckets) — identical paragraphs
+      co-locate, the all-to-all moves each paragraph once;
+    - each paragraph-bucket task resolves keep-first per identical
+      text with ONE vectorized sort + shift comparison (no per-text
+      groupby), then re-routes rows to the owning doc's bucket —
+      dropped rows travel with empty text (reassembly only needs
+      their count);
+    - each doc-bucket task reassembles clean_text per doc. The final
+      string join is inherently per-doc Python, but linear in output
+      bytes; counts come from one vectorized groupby.
+    """
+    ds = _read_docs(sf_dir)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        doc_ids, idxs, paras, pbs = [], [], [], []
+        for did, t in zip(b["doc_id"].tolist(), b["text"].tolist()):
+            words = t.split(" ")
+            for i in range(0, len(words), para_words):
+                p = " ".join(words[i:i + para_words])
+                doc_ids.append(did)
+                idxs.append(i // para_words + 1)
+                paras.append(p)
+                pbs.append(zlib.crc32(p.encode("utf-8")) % num_buckets)
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "para_idx": pd.Series(idxs, dtype="int64"),
+            "para": paras,
+            "_pb": pd.Series(pbs, dtype="int32"),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        srt = g.sort_values(["para", "doc_id", "para_idx"],
+                            kind="mergesort").reset_index(drop=True)
+        para = srt["para"].to_numpy()
+        first = np.ones(len(srt), dtype=bool)
+        first[1:] = para[1:] != para[:-1]
+        return pd.DataFrame({
+            "doc_id": srt["doc_id"].to_numpy(dtype="int64"),
+            "para_idx": srt["para_idx"].to_numpy(dtype="int64"),
+            "para": np.where(first, para, ""),
+            "keep": first.astype(np.int8),
+            "_db": (srt["doc_id"].to_numpy(dtype="int64")
+                    % num_buckets).astype(np.int32),
+        })
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        srt = g.sort_values(["doc_id", "para_idx"],
+                            kind="mergesort").reset_index(drop=True)
+        stats = (srt.groupby("doc_id", sort=True)
+                 .agg(n_para=("para_idx", "size"), n_kept=("keep", "sum"))
+                 .reset_index())
+        kept = srt[srt["keep"] == 1]
+        clean = (kept.groupby("doc_id", sort=True)["para"]
+                 .agg(" ".join))
+        return pd.DataFrame({
+            "doc_id": stats["doc_id"].to_numpy(dtype="int64"),
+            "clean_text": stats["doc_id"].map(clean).fillna("").to_numpy(),
+            "n_para": stats["n_para"].to_numpy(dtype="int64"),
+            "n_dropped": (stats["n_para"].to_numpy(dtype="int64")
+                          - stats["n_kept"].to_numpy(dtype="int64")),
+        })
+
+    return (ds.map_batches(explode, batch_format="pandas")
+            .groupby("_pb")
+            .map_groups(lambda g: keep_first(g.drop(columns=["_pb"])),
+                        batch_format="pandas")
+            .groupby("_db")
+            .map_groups(lambda g: reassemble(g.drop(columns=["_db"])),
                         batch_format="pandas"))

@@ -35,7 +35,8 @@ from .ann import (
 from .dedup import (
     contamination, dedup_components, exact_dedup, minhash_pairs,
     minhash_signatures,
-    ngram_jaccard_pairs, simhash64_pairs, simhash64_signatures,
+    ngram_jaccard_pairs, paragraph_dedup, simhash64_pairs,
+    simhash64_signatures,
     simhash_pairs, simhash_signatures, source_normalize_stats, typo_pairs,
 )
 from .flagship import processed_turns
@@ -544,6 +545,32 @@ GROUP BY 1, 2
 _DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS doc_id, count(*) AS dup_count
 FROM documents GROUP BY text
+"""
+
+# paragraph = deterministic 3-word window (the synthetic corpus has no
+# newline structure); keep-first order is (doc_id, para_idx), mirrored
+# by the engine's (para, doc_id, para_idx) sort + shift comparison
+_PARAGRAPH_DEDUP_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), paras AS (
+  SELECT doc_id, i AS para_idx,
+         array_to_string(w[(i-1)*3+1 : i*3], ' ') AS para
+  FROM words,
+       UNNEST(generate_series(1, CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(i)
+), keep AS (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, para_idx) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       COALESCE(string_agg(para, ' ' ORDER BY para_idx)
+                FILTER (WHERE rn = 1), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_para,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM keep GROUP BY doc_id
 """
 
 # money aggregates are summed as integer milli-units, floored per row —
@@ -3730,6 +3757,7 @@ QUERIES = {
     "conv_stats": _q_conv_stats,
     # training-data ops
     "dedup_exact": exact_dedup,
+    "paragraph_dedup": paragraph_dedup,
     "minhash_signatures": minhash_signatures,
     "minhash_pairs": minhash_pairs,
     "simhash_signatures": simhash_signatures,
@@ -3960,6 +3988,7 @@ ORACLES = {
     "enriched_tool_stats": _ENRICHED_SQL,
     "cep_funnel": _CEP_FUNNEL_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
+    "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "minhash_signatures": _MINHASH_SQL,
     "minhash_pairs": _MINHASH_PAIRS_SQL,
     "doc_blurhash": _BLURHASH_SQL,
