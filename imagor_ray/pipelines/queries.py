@@ -2830,6 +2830,12 @@ def _q_media_g711_roundtrip(sf_dir: str):
     return media_g711_roundtrip(sf_dir)
 
 
+def _q_media_adpcm_roundtrip(sf_dir: str):
+    from ..stages.multimodal import media_adpcm_roundtrip
+
+    return media_adpcm_roundtrip(sf_dir)
+
+
 def _q_bpe_merges(sf_dir: str):
     from .bpe import bpe_train
 
@@ -3749,6 +3755,7 @@ QUERIES = {
     "media_png_adam7_roundtrip": _q_media_png_adam7,
     "media_mjpeg_roundtrip": _q_media_mjpeg_roundtrip,
     "media_g711_roundtrip": _q_media_g711_roundtrip,
+    "media_adpcm_roundtrip": _q_media_adpcm_roundtrip,
     "media_flac_roundtrip": _q_media_flac_roundtrip,
     "media_qoi_roundtrip": _q_media_qoi_roundtrip,
     "media_flac_mkv_roundtrip": _q_media_flac_mkv_roundtrip,
@@ -4157,6 +4164,7 @@ ORACLES = {
     # compressed-audio WAV; expand→compand is a bijection on all 256
     # codes, so the raw-text hash certifies RIFF framing + both tables
     "media_g711_roundtrip": _MEDIA_HASHES_SQL,
+    "media_adpcm_roundtrip": _MEDIA_HASHES_SQL,
     # FLAC / QOI are lossless predictive codecs: the round trip recovers
     # the exact utf-8 bytes, so both oracles are the raw-text hash
     "media_flac_roundtrip": _MEDIA_HASHES_SQL,

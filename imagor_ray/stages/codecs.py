@@ -43,6 +43,9 @@ __all__ = [
     "WebpCodec",
     "encode_wav",
     "encode_wav_g711",
+    "encode_wav_adpcm",
+    "adpcm_decode_wav",
+    "adpcm_reencode_nibbles",
     "ulaw_encode",
     "ulaw_decode",
     "alaw_encode",
@@ -208,9 +211,10 @@ def _parse_riff_wav(payload: bytes) -> tuple[dict, bytes]:
         body = payload[off + 8: off + 8 + size]
         if cid == b"fmt ":
             tag, ch, rate = struct.unpack_from("<HHI", body, 0)
+            align = struct.unpack_from("<H", body, 12)[0] if size >= 14 else 0
             bits = struct.unpack_from("<H", body, 14)[0] if size >= 16 else 8
             fmt = {"tag": tag, "n_channels": ch, "sample_rate": rate,
-                   "bits": bits}
+                   "bits": bits, "block_align": align}
         elif cid == b"data":
             data = body
         off += 8 + size + (size & 1)
@@ -278,6 +282,9 @@ class WavCodec:
         except wave.Error:
             fmt, data = _parse_riff_wav(payload)
             ch, rate = max(1, fmt["n_channels"]), fmt["sample_rate"]
+            if fmt["tag"] == _WAV_TAG_IMA_ADPCM:
+                samples, rate, _ = adpcm_decode_wav(payload)
+                return samples.reshape(-1, 1), rate
             codes = np.frombuffer(data, dtype=np.uint8)
             if fmt["tag"] == _WAV_TAG_ALAW:
                 pcm = alaw_decode(codes)
@@ -305,6 +312,180 @@ class WavCodec:
         padded = np.zeros(w * n_windows)
         padded[:n] = mono
         return np.sqrt((padded.reshape(n_windows, w) ** 2).mean(axis=1))
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4 / WAV format tag 0x11) — ADAPTIVE PREDICTIVE audio:
+# each 4-bit code is a quantized delta against a running predictor,
+# with the quantizer STEP adapting through the spec's 89-entry table.
+# Unlike G.711 (a memoryless per-sample compander) this is real
+# predictive coding — the decode of code k depends on every code
+# before it in the block. Block layout per the Microsoft/IMA WAV
+# spec: a 4-byte per-block header (initial predictor int16, initial
+# step index uint8, reserved) followed by packed nibbles, LOW nibble
+# first; blocks are independently decodable (the seek property).
+
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+_WAV_TAG_IMA_ADPCM = 0x11
+
+
+def _ima_decode_nibbles(nibbles: np.ndarray, pred: int, index: int
+                        ) -> np.ndarray:
+    """Sequential IMA decode recurrence (the irreducible data
+    dependency of adaptive prediction — each step's quantizer state
+    depends on the previous code): nibble stream + initial (predictor,
+    step index) → int16 samples."""
+    out = np.empty(len(nibbles), dtype=np.int16)
+    step_t, idx_t = _IMA_STEP, _IMA_INDEX
+    for i, n in enumerate(nibbles):
+        step = int(step_t[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(idx_t[n & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_encode_samples(samples: np.ndarray, pred: int, index: int
+                        ) -> np.ndarray:
+    """Sequential IMA encode: quantize each sample's delta against the
+    running predictor, updating state EXACTLY as the decoder will (the
+    standard analysis-by-synthesis loop). On any nibble stream whose
+    decode never clamps and never hits the sign-degenerate case
+    (step index 0 with zero magnitude bits), this is the exact inverse
+    of :func:`_ima_decode_nibbles` — reconstruction levels lie inside
+    their quantization cells, so re-quantizing a reconstructed delta
+    returns the original code."""
+    out = np.empty(len(samples), dtype=np.uint8)
+    step_t, idx_t = _IMA_STEP, _IMA_INDEX
+    for i, s in enumerate(samples):
+        step = int(step_t[index])
+        diff = int(s) - pred
+        n = 0
+        if diff < 0:
+            n = 8
+            diff = -diff
+        if diff >= step:
+            n |= 4
+            diff -= step
+        if diff >= step >> 1:
+            n |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            n |= 1
+        # synthesis: update state exactly like the decoder
+        recon = step >> 3
+        if n & 1:
+            recon += step >> 2
+        if n & 2:
+            recon += step >> 1
+        if n & 4:
+            recon += step
+        pred = pred - recon if n & 8 else pred + recon
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(idx_t[n & 7])))
+        out[i] = n
+    return out
+
+
+def encode_wav_adpcm(nibbles: np.ndarray, sample_rate: int,
+                     block_align: int = 256, init_index: int = 40
+                     ) -> bytes:
+    """IMA-ADPCM WAV (format tag 0x11, mono) from a raw nibble stream:
+    blocks of ``block_align`` bytes (4-byte header + packed data, low
+    nibble first), every block's header resetting the decoder to
+    (predictor 0, ``init_index``) so blocks stay independently
+    decodable. The fmt chunk carries the spec's cbSize=2 extension
+    (wSamplesPerBlock). The last block zero-pads its data bytes —
+    callers frame their own payloads (the catalog entry length-prefixes
+    them), so no ``fact`` chunk is required."""
+    nibbles = np.asarray(nibbles, dtype=np.uint8)
+    data_bytes = block_align - 4
+    per_block = data_bytes * 2
+    spb = per_block + 1  # header carries the first sample
+    blocks = []
+    for off in range(0, max(1, len(nibbles)), per_block):
+        chunk = nibbles[off: off + per_block]
+        padded = np.zeros(per_block, dtype=np.uint8)
+        padded[: len(chunk)] = chunk
+        packed = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+        blocks.append(struct.pack("<hBB", 0, init_index, 0)
+                      + packed.tobytes())
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", _WAV_TAG_IMA_ADPCM, 1, sample_rate,
+                      (sample_rate * block_align + spb - 1) // spb,
+                      block_align, 4, 2, spb)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def adpcm_decode_wav(payload: bytes) -> tuple[np.ndarray, int, list]:
+    """Decode a mono IMA-ADPCM WAV: (int16 samples, sample_rate,
+    per-block (pred, index) headers). Each block decodes independently
+    from its own header (sample 0 of a block IS the header predictor,
+    per spec). Stereo interleave (per-channel 4-byte groups) is a
+    documented gate — the corpus is mono."""
+    fmt, data = _parse_riff_wav(payload)
+    if fmt["tag"] != _WAV_TAG_IMA_ADPCM:
+        raise ValueError(f"not IMA ADPCM (tag {fmt['tag']})")
+    if fmt["n_channels"] != 1:
+        raise NotImplementedError(
+            "IMA ADPCM stereo interleave not implemented (mono corpus)")
+    block_align = fmt.get("block_align") or 256
+    outs, headers = [], []
+    for off in range(0, len(data), block_align):
+        block = data[off: off + block_align]
+        if len(block) < 5:
+            break
+        pred, index, _ = struct.unpack_from("<hBB", block, 0)
+        headers.append((pred, index))
+        packed = np.frombuffer(block[4:], dtype=np.uint8)
+        nibbles = np.empty(len(packed) * 2, dtype=np.uint8)
+        nibbles[0::2] = packed & 0x0F
+        nibbles[1::2] = packed >> 4
+        outs.append(np.concatenate([
+            np.array([pred], dtype=np.int16),
+            _ima_decode_nibbles(nibbles, pred, index)]))
+    samples = (np.concatenate(outs) if outs
+               else np.array([], dtype=np.int16))
+    return samples, fmt["sample_rate"], headers
+
+
+def adpcm_reencode_nibbles(samples: np.ndarray, headers: list,
+                           block_align: int = 256) -> np.ndarray:
+    """Inverse direction of :func:`adpcm_decode_wav` for round-trip
+    certification: re-quantize decoded samples block by block from each
+    block's header state (sample 0 of a block is the header predictor
+    and is skipped, mirroring the encoder's layout). Exact on
+    clamp-free, non-sign-degenerate streams — see
+    :func:`_ima_encode_samples`."""
+    spb = (block_align - 4) * 2 + 1
+    nibs = []
+    for b, (pred, index) in enumerate(headers):
+        seg = samples[b * spb: (b + 1) * spb]
+        nibs.append(_ima_encode_samples(seg[1:], int(pred), int(index)))
+    return (np.concatenate(nibs) if nibs
+            else np.empty(0, dtype=np.uint8))
 
 
 # ---------------------------------------------------------------------------

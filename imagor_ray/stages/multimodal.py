@@ -1041,6 +1041,117 @@ def media_g711_roundtrip(sf_dir: str) -> rd.Dataset:
             .map_batches(decode, batch_format="pyarrow", batch_size=64))
 
 
+_ADPCM_BLOCK = 256
+_ADPCM_INIT_INDEX = 40
+
+
+def _adpcm_safe_nibbles(payload: bytes) -> np.ndarray:
+    """Payload bytes → an IMA-ADPCM nibble stream on the PROVABLY
+    invertible sub-domain (the ADPCM analogue of the JPEG entry's
+    DC-only q=100 trick): 2 payload bits per nibble (magnitude bits
+    b1b0, b2 always 0), the SIGN bit chosen to steer the predictor
+    toward zero. On this domain encode∘decode is the identity because
+    (a) reconstruction levels lie strictly inside their quantization
+    cells (b1/b0 re-quantize exactly for every step ≥ 7), (b) the
+    predictor stays within ±0.875·step(init) so the int16 clamp never
+    fires, and (c) the one sign-degenerate case (zero reconstruction:
+    step index 0 with b1=b0=0) is emitted with sign 0, matching the
+    canonical encoder's zero-diff output. State resets per block to
+    (0, init_index), mirroring the block headers
+    :func:`~imagor_ray.stages.codecs.encode_wav_adpcm` writes."""
+    from .codecs import _IMA_INDEX, _IMA_STEP
+
+    bits = np.frombuffer(payload, dtype=np.uint8)
+    chunks = np.empty(len(bits) * 4, dtype=np.uint8)
+    chunks[0::4] = bits & 3
+    chunks[1::4] = (bits >> 2) & 3
+    chunks[2::4] = (bits >> 4) & 3
+    chunks[3::4] = bits >> 6
+    per_block = (_ADPCM_BLOCK - 4) * 2
+    out = np.empty(len(chunks), dtype=np.uint8)
+    pred = index = 0
+    for i, p in enumerate(chunks):
+        p = int(p)
+        if i % per_block == 0:
+            pred, index = 0, _ADPCM_INIT_INDEX
+        step = int(_IMA_STEP[index])
+        recon = step >> 3
+        if p & 1:
+            recon += step >> 2
+        if p & 2:
+            recon += step >> 1
+        if pred > 0 and recon > 0:
+            out[i] = p | 8
+            pred -= recon
+        else:
+            out[i] = p
+            pred += recon
+        index = max(0, index + int(_IMA_INDEX[p]))
+    return out
+
+
+def media_adpcm_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ORACLE-VERIFIED adaptive-PREDICTIVE audio entry — the step past
+    G.711's memoryless compander: each document's length-prefixed
+    utf-8 bytes become an IMA-ADPCM (WAV format tag 0x11) nibble
+    stream on the invertible sub-domain (see
+    :func:`_adpcm_safe_nibbles`), wrapped in real 256-byte blocks with
+    per-block (predictor, step-index) headers. The decode stage runs
+    the engine's actual adaptive decode recurrence (89-entry step
+    table, per-block reset), then RE-QUANTIZES the decoded PCM through
+    the encoder — exact on this domain — recovering the document bytes
+    bit-for-bit. Equality against DuckDB's sha256(text) certifies RIFF
+    tag-0x11 framing, block headers, the adaptive step walk and the
+    quantize/reconstruct inverse pair jointly.
+
+    Output: doc_id, n_bytes, sha256 (media_hashes' shape).
+    """
+    import hashlib
+
+    from .codecs import (
+        adpcm_decode_wav, adpcm_reencode_nibbles, encode_wav_adpcm,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            body = struct.pack(">I", len(raw := t.encode("utf-8"))) + raw
+            payloads.append(encode_wav_adpcm(
+                _adpcm_safe_nibbles(body), 8000,
+                block_align=_ADPCM_BLOCK, init_index=_ADPCM_INIT_INDEX))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    def decode(batch: pa.Table) -> pa.Table:
+        n_bytes, digests = [], []
+        for p in batch["payload"].to_pylist():
+            samples, _rate, headers = adpcm_decode_wav(p)
+            nib = adpcm_reencode_nibbles(samples, headers,
+                                         block_align=_ADPCM_BLOCK)
+            two = nib & 3  # payload bits (b2 is 0 on this domain)
+            packed = (two[0::4] | (two[1::4] << 2) | (two[2::4] << 4)
+                      | (two[3::4] << 6)).astype(np.uint8)
+            flat = packed.tobytes()
+            (n,) = struct.unpack_from(">I", flat, 0)
+            body = flat[4: 4 + n]
+            n_bytes.append(n)
+            digests.append(hashlib.sha256(body).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+            "sha256": pa.array(digests, pa.string()),
+        })
+
+    return (docs
+            .map_batches(encode, batch_format="pyarrow", batch_size=64)
+            .map_batches(decode, batch_format="pyarrow", batch_size=64))
+
+
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine alternating with G.711
