@@ -44,6 +44,7 @@ __all__ = [
     "encode_wav",
     "encode_wav_g711",
     "encode_wav_adpcm",
+    "adpcm_encode_wav_pcm",
     "adpcm_decode_wav",
     "adpcm_reencode_nibbles",
     "ulaw_encode",
@@ -255,10 +256,16 @@ class WavCodec:
                     "duration_ms": int(n_frames * 1000 / max(1, rate)),
                 }
         except wave.Error:
-            # compressed flavors stdlib wave rejects (G.711 tags 6/7)
+            # compressed flavors stdlib wave rejects (G.711 tags 6/7,
+            # IMA ADPCM tag 0x11)
             fmt, data = _parse_riff_wav(payload)
             ch = max(1, fmt["n_channels"])
-            n_frames = len(data) // ch
+            if fmt["tag"] == _WAV_TAG_IMA_ADPCM:
+                align = fmt.get("block_align") or 256
+                spb = (align - 4) * 2 + 1
+                n_frames = (len(data) // align) * spb
+            else:
+                n_frames = len(data) // ch
             rate = fmt["sample_rate"]
             return {
                 "n_channels": ch,
@@ -373,6 +380,14 @@ def _ima_encode_samples(samples: np.ndarray, pred: int, index: int
     of :func:`_ima_decode_nibbles` — reconstruction levels lie inside
     their quantization cells, so re-quantizing a reconstructed delta
     returns the original code."""
+    return _ima_encode_samples_state(samples, pred, index)[0]
+
+
+def _ima_encode_samples_state(samples: np.ndarray, pred: int, index: int
+                              ) -> tuple[np.ndarray, int, int]:
+    """:func:`_ima_encode_samples` plus the encoder's final
+    (predictor, step index) — block-chained encoding needs the
+    per-step-clamped state walk, not a post-hoc reconstruction."""
     out = np.empty(len(samples), dtype=np.uint8)
     step_t, idx_t = _IMA_STEP, _IMA_INDEX
     for i, s in enumerate(samples):
@@ -402,7 +417,7 @@ def _ima_encode_samples(samples: np.ndarray, pred: int, index: int
         pred = max(-32768, min(32767, pred))
         index = max(0, min(88, index + int(idx_t[n & 7])))
         out[i] = n
-    return out
+    return out, pred, index
 
 
 def encode_wav_adpcm(nibbles: np.ndarray, sample_rate: int,
@@ -428,6 +443,45 @@ def encode_wav_adpcm(nibbles: np.ndarray, sample_rate: int,
         packed = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
         blocks.append(struct.pack("<hBB", 0, init_index, 0)
                       + packed.tobytes())
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", _WAV_TAG_IMA_ADPCM, 1, sample_rate,
+                      (sample_rate * block_align + spb - 1) // spb,
+                      block_align, 4, 2, spb)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def adpcm_encode_wav_pcm(pcm: np.ndarray, sample_rate: int,
+                         block_align: int = 256, init_index: int = 40
+                         ) -> bytes:
+    """True IMA-ADPCM compression of a mono int16 signal: per spec,
+    each block's header stores the block's FIRST raw sample and the
+    encoder's running step index (carried across blocks), and the
+    remaining ``2*(block_align-4)`` samples quantize through the
+    adaptive loop. Lossy in general — the exact-round-trip catalog
+    entry uses the raw-nibble path (:func:`encode_wav_adpcm`) instead."""
+    pcm = np.asarray(pcm, dtype=np.int64).reshape(-1)
+    data_bytes = block_align - 4
+    spb = data_bytes * 2 + 1
+    index = init_index
+    blocks = []
+    for off in range(0, max(1, len(pcm)), spb):
+        seg = pcm[off: off + spb]
+        first = int(seg[0]) if len(seg) else 0
+        # carry the running index into the next block's header via the
+        # per-step-clamped walk (a cumsum+clip would mis-handle walks
+        # that bind at a boundary mid-block)
+        nib, _, next_index = _ima_encode_samples_state(
+            seg[1:], first, index)
+        padded = np.zeros(data_bytes * 2, dtype=np.uint8)
+        padded[: len(nib)] = nib
+        packed = (padded[0::2] | (padded[1::2] << 4)).astype(np.uint8)
+        blocks.append(struct.pack("<hBB", first, index, 0)
+                      + packed.tobytes())
+        index = next_index
     data = b"".join(blocks)
     fmt = struct.pack("<HHIIHHHH", _WAV_TAG_IMA_ADPCM, 1, sample_rate,
                       (sample_rate * block_align + spb - 1) // spb,

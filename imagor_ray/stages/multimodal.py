@@ -1155,7 +1155,8 @@ def media_adpcm_roundtrip(sf_dir: str) -> rd.Dataset:
 def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
     """Deterministic media table whose payloads are REAL containers:
     rows cycle WAV (PCM16 seeded sine alternating with G.711
-    A-law/µ-law compressed flavors, varying rate/length/channels),
+    A-law/µ-law and IMA-ADPCM compressed flavors, varying
+    rate/length/channels),
     24-bit BMP alternating with uncompressed TIFF (seeded pixels,
     varying dims), PNG (seeded pixels, cycling gray/RGB/RGBA color
     types), baseline JPEG (seeded pixels, cycling gray / RGB 4:4:4 /
@@ -1217,13 +1218,16 @@ def gen_real_media(n: int = 48, seed: int = 42) -> pa.Table:
             freq = float(rng.uniform(100, 2000))
             mono = (np.sin(2 * np.pi * freq * t) * 18000).astype("<i2")
             pcm = np.stack([mono] * ch, axis=1)
-            law = (i // 3) % 3               # PCM16 / A-law / µ-law
+            law = (i // 3) % 4       # PCM16 / A-law / µ-law / IMA ADPCM
             if law == 1:
                 payload = encode_wav_g711(alaw_encode(pcm.reshape(-1)),
                                           rate, law="alaw", n_channels=ch)
             elif law == 2:
                 payload = encode_wav_g711(ulaw_encode(pcm.reshape(-1)),
                                           rate, law="ulaw", n_channels=ch)
+            elif law == 3:
+                from .codecs import adpcm_encode_wav_pcm
+                payload = adpcm_encode_wav_pcm(mono, rate)
             else:
                 payload = encode_wav(pcm, rate)
             kind = "audio"
