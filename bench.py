@@ -391,7 +391,7 @@ def _stage_replicated_events(sf_dir: str, input_dir: str, n_cycles: int,
     def replica_events(batch):
         tbl = _pq.read_table(
             events_path,
-            columns=["event_id", "ts", "user_id", "event_type"])
+            columns=["event_id", "ts", "user_id", "event_type", "value"])
         ts_us = pc.cast(tbl["ts"], pa.timestamp("us")).cast(pa.int64())
         span = pc.max(ts_us).as_py() - pc.min(ts_us).as_py()
         stride = span + 86_400_000_000
@@ -402,6 +402,7 @@ def _stage_replicated_events(sf_dir: str, input_dir: str, n_cycles: int,
                 "ts": pc.add(ts_us, r * stride).cast(pa.timestamp("us")),
                 "user_id": pc.add(tbl["user_id"], r * 1_000_000),
                 "event_type": tbl["event_type"],
+                "value": tbl["value"],
             })
             for i in range(0, len(shifted), 65536):
                 yield shifted.slice(i, 65536)
@@ -630,6 +631,61 @@ def run_stream_cep() -> dict:
     }
 
 
+def run_stream_rules() -> dict:
+    """Broadcast-rules loop throughput: the control-stream join
+    (pipelines/broadcast_rules.py) over the same multi-cycle
+    replicated stream as --stream-cep. Each cycle exceeds the
+    dataset-path threshold, so this measures the SHUFFLE-FREE join
+    shape: a column-pruned distributed rule pass, the probe exchange
+    carrying probe rows only (bucketing exists purely for
+    deterministic emission files), the global rule table riding the
+    task closures."""
+    import shutil
+
+    import ray
+    from ray.data import DataContext
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("GRAFT_STREAM_CPUS", "16"))
+    n_cycles = int(os.environ.get("GRAFT_STREAM_CYCLES", "10"))
+    per_cycle = int(os.environ.get("GRAFT_STREAM_REPLICAS_PER_CYCLE", "10"))
+    root = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/imagor_ray_srules")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(os.environ.get(
+                 "GRAFT_BENCH_OBJ_STORE", str(80_000_000_000))))
+    DataContext.get_current().enable_progress_bars = False
+
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "in")
+    os.makedirs(input_dir)
+    n_rows = _stage_replicated_events(sf_dir, input_dir, n_cycles,
+                                      per_cycle)
+
+    from imagor_ray.pipelines.broadcast_rules import BroadcastRulesJob
+
+    job = BroadcastRulesJob(input_dir, os.path.join(root, "state"),
+                            num_buckets=64)
+    t0 = time.perf_counter()
+    totals = job.run_all()
+    job.finalize()
+    wall = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "broadcast_rules_end_to_end",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "n_rows": int(n_rows),
+        "cycles": totals["cycles"],
+        "emitted": totals["emitted"],
+        "late": totals["late"],
+        "num_cpus": num_cpus,
+        "rows_per_sec": round(n_rows / wall, 1),
+        "sf": sf_dir,
+    }
+
+
 if __name__ == "__main__":
     if "--stream-scaling" in sys.argv:
         print(json.dumps(run_stream_scaling()))
@@ -645,6 +701,8 @@ if __name__ == "__main__":
         print(json.dumps(run_stream_dedup()))
     elif "--stream-cep" in sys.argv:
         print(json.dumps(run_stream_cep()))
+    elif "--stream-rules" in sys.argv:
+        print(json.dumps(run_stream_rules()))
     elif "--stream" in sys.argv:
         print(json.dumps(run_stream()))
     else:

@@ -73,33 +73,43 @@ def _empty_probes() -> pd.DataFrame:
     })
 
 
-def _score(probes: pd.DataFrame, rules: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized global as-of: each probe gets the value of the
-    latest rule with ``ts <= p.ts`` under (ts, event_id) order (NaN if
-    none) — one ``merge_asof`` backward over the ts-sorted frames, no
-    key, no loop."""
+def _score_arrays(probes: pd.DataFrame, r_ts: np.ndarray,
+                  r_val: np.ndarray) -> pd.DataFrame:
+    """Vectorized global as-of against a PRESORTED rule table: each
+    probe gets the value of the latest rule with ``ts <= p.ts`` under
+    (ts, event_id) order (NaN if none). One ``searchsorted`` binary
+    probe per batch — ``side='right'`` then ``-1`` lands on the LAST
+    rule at-or-before the probe ts, so among equal-ts rules the
+    (ts, event_id) presort bakes in the max-event_id tie. O(p log r)
+    with no per-call re-sort of the (shared, broadcast) rule side."""
     if not len(probes):
         return pd.DataFrame({
             "event_id": pd.Series([], dtype="int64"),
             "ts": pd.Series([], dtype="datetime64[us]"),
             "rule_value": pd.Series([], dtype="float64"),
         })
-    p = probes.sort_values(["ts_us", "event_id"],
-                           kind="mergesort").reset_index(drop=True)
-    if len(rules):
-        # equal-ts rules: the LAST row at a ts wins in merge_asof, so
-        # the (ts_us, event_id) sort implements the max-event_id tie
-        r = (rules.sort_values(["ts_us", "event_id"], kind="mergesort")
-             [["ts_us", "value"]].reset_index(drop=True))
-        joined = pd.merge_asof(p, r, on="ts_us", direction="backward")
+    ts = probes["ts_us"].to_numpy(dtype="int64")
+    if len(r_ts):
+        pos = np.searchsorted(r_ts, ts, side="right") - 1
+        val = np.where(pos >= 0, r_val[np.maximum(pos, 0)],
+                       np.float64("nan"))
     else:
-        joined = p.assign(value=np.float64("nan"))
+        val = np.full(len(ts), np.float64("nan"))
     return (pd.DataFrame({
-        "event_id": joined["event_id"].to_numpy(dtype="int64"),
-        "ts": pd.Series(joined["ts_us"].to_numpy(dtype="int64"))
-        .astype("datetime64[us]"),
-        "rule_value": joined["value"].to_numpy(dtype="float64"),
+        "event_id": probes["event_id"].to_numpy(dtype="int64"),
+        "ts": pd.Series(ts).astype("datetime64[us]"),
+        "rule_value": val.astype("float64"),
     }).sort_values("event_id", kind="mergesort").reset_index(drop=True))
+
+
+def _score(probes: pd.DataFrame, rules: pd.DataFrame) -> pd.DataFrame:
+    """Frame-input wrapper of :func:`_score_arrays`: sorts the rule
+    side (ts_us, event_id) once and delegates."""
+    r = rules.sort_values(["ts_us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+    return _score_arrays(probes,
+                         r["ts_us"].to_numpy(dtype="int64"),
+                         r["value"].to_numpy(dtype="float64"))
 
 
 def _evict_rules(rules: pd.DataFrame, wm: int) -> pd.DataFrame:
@@ -225,7 +235,9 @@ class BroadcastRulesJob:
         per-bucket emission files, each grouped task scoring against
         the BROADCAST merged rule table captured in its closure. Rule
         rows never ride an exchange."""
+        import ray
         import ray.data as rd
+        import pyarrow.parquet as pq
 
         nb = self.num_buckets
         edir, ldir = self.emitted_dir, self.late_dir
@@ -233,21 +245,36 @@ class BroadcastRulesJob:
 
         cols = ["event_id", "ts", "event_type", "value"]
 
-        def pick_rules(b: pd.DataFrame) -> pd.DataFrame:
-            us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-            m = (b["event_type"].to_numpy() == rtype) & (us >= wm)
-            return pd.DataFrame({
-                "ts_us": us[m],
-                "event_id": b["event_id"].to_numpy(dtype="int64")[m],
-                "value": b["value"].to_numpy(dtype="float64")[m],
-            })
-
-        new_rules = (rd.read_parquet(path, columns=cols)
-                     .map_batches(pick_rules, batch_format="pandas")
-                     .to_pandas())
+        # Rule collection is a driver-side predicate+column-pushdown
+        # read, NOT a Ray Data execution: the control stream is small
+        # by the pattern's own assumption (if the "rules" were
+        # stream-sized, broadcast state is the wrong operator), so a
+        # bounded threaded read beats paying a whole dataset execution
+        # per cycle. Row-group/type pushdown keeps it bounded even
+        # when the cycle file is huge.
+        rtbl = pq.read_table(path, columns=["event_id", "ts", "value"],
+                             filters=[("event_type", "==", rtype)])
+        r_us = (rtbl["ts"].to_pandas().astype("datetime64[us]")
+                .astype("int64").to_numpy())
+        on = r_us >= wm
+        new_rules = pd.DataFrame({
+            "ts_us": r_us[on],
+            "event_id": rtbl["event_id"].to_numpy()[on].astype("int64"),
+            "value": rtbl["value"].to_numpy()[on].astype("float64"),
+        })
         all_rules = (pd.concat([rules, new_rules], ignore_index=True)
                      .sort_values(["ts_us", "event_id"], kind="mergesort")
                      .reset_index(drop=True))
+        # THE broadcast: the global rule table ships to the object
+        # store once per cycle (zero-copy numpy columns); every scoring
+        # task resolves the ref — fetched once per worker, never
+        # re-pickled per task closure
+        rules_ref = ray.put({
+            "ts_us": np.ascontiguousarray(
+                all_rules["ts_us"].to_numpy(dtype="int64")),
+            "value": np.ascontiguousarray(
+                all_rules["value"].to_numpy(dtype="float64")),
+        })  # (ts_us, event_id)-sorted: the tie-break is baked in
 
         def tag(b: pd.DataFrame) -> pd.DataFrame:
             us = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
@@ -284,7 +311,8 @@ class BroadcastRulesJob:
             os.replace(ltmp + ".tmp", ltmp)
             pr = g[side == 2][["event_id", "ts_us"]].reset_index(drop=True)
             ready = pr["ts_us"].to_numpy(dtype="int64") < new_wm
-            emitted = _score(pr[ready], all_rules)
+            rl = ray.get(rules_ref)
+            emitted = _score_arrays(pr[ready], rl["ts_us"], rl["value"])
             etmp = os.path.join(edir, f"emitted-{cycle:05d}-{ub:02d}.parquet")
             emitted.to_parquet(etmp + ".tmp", index=False)
             os.replace(etmp + ".tmp", etmp)
