@@ -3921,8 +3921,9 @@ QUERIES = {
 # by `python -m imagor_ray query --all --verify`.
 _DRIVER_WINDOW = [
     "transcripts", "processed",
-    # dedup/graph breadth beyond the r04 prefix
-    "contamination",
+    # dedup/graph breadth beyond the r04 prefix (paragraph_dedup is
+    # the round-5 session-8 sub-document granularity entry)
+    "contamination", "paragraph_dedup",
     # text analysis
     "text_stats", "vocabulary", "sequence_pack", "inverted_index",
     "q17_small_qty_revenue", "lang_id", "collocations", "doc_sketches",
@@ -3970,8 +3971,10 @@ _DRIVER_WINDOW = [
     "approx_quantiles_by_type", "sliding_append_counts",
     "cohort_retention", "dataset_split",
     # media + sampling (media_hashes -> sweep; the round-5 session-7
-    # H.264 codec entry takes the slot)
-    "media_h264_roundtrip", "deterministic_sample", "stratified_sample",
+    # H.264 codec entry takes the slot; deterministic/stratified
+    # sampling rotate to sweep — group_sample + dataset_split already
+    # certify the sampling family in-window)
+    "media_h264_roundtrip",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_WINDOW},
            **{k: v for k, v in QUERIES.items() if k not in _DRIVER_WINDOW}}
