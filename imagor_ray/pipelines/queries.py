@@ -693,6 +693,123 @@ FROM p
 """
 
 
+# HTTP response-layer surface (imagor.go:886-1030): a deterministic
+# request grid over the transcript stream exercises the expire()
+# pre-scan (410 Gone / Cache-Control overwrite-to-private), getTtl's
+# ceil-to-second + clamp-to-default rule, and the getCacheControl
+# grammar (no-store at ttl 0, public s-maxage vs private, the
+# swr < ttl inclusion rule) plus the RFC 1123 Expires header. A fixed
+# reference instant keeps both sides deterministic.
+_RCH_NOW_MS = 1_700_000_000_000
+# (turn_idx // 3) % 9 → expire(now + delta_ms); j=8 is the
+# unparseable-arg arm (pre-scan + getTtl both skip it).
+_RCH_DELTAS = {0: -5000, 1: 0, 2: 1500, 3: 86_400_000, 4: 86_401_000,
+               5: 604_800_000, 6: 604_801_000, 7: 123_456}
+
+
+def _q_response_cache_headers(sf_dir: str):
+    """Serve-path response headers per turn — the reference's
+    setResponseHeaders cache semantics over the transcript stream.
+
+    Scale shape: a PURE MAP. The response decision depends only on the
+    (filter-prefix, request-Cache-Control) pair, a tiny per-batch
+    domain — each batch dedups that domain and runs the REAL
+    parse → pre-scan → getTtl → header-grammar chain once per distinct
+    combo, then gathers results back to rows (the same unique-kernel
+    pattern the filter chain uses for its dimension cache)."""
+    import numpy as np
+
+    from ..functions import httpheaders as hh
+    from ..functions.imagorpath import parse
+
+    ds = derive_transcripts(sf_dir)
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        ti = b["turn_idx"].astype("int64").to_numpy()
+        j = (ti // 3) % 9
+        has_exp = (ti % 3) == 0
+        no_cache = (ti % 11) == 0
+        prefix = np.full(n, "filters:quality(80)/", dtype=object)
+        for jj in range(9):
+            arg = "never" if jj == 8 else str(_RCH_NOW_MS + _RCH_DELTAS[jj])
+            prefix[has_exp & (j == jj)] = f"filters:expire({arg}):quality(80)/"
+        status = np.empty(n, dtype=np.int64)
+        ttl_out = np.empty(n, dtype=np.int64)
+        cc_out = np.empty(n, dtype=object)
+        exp_out = np.empty(n, dtype=object)
+        combos: dict = {}
+        for pfx in np.unique(prefix.astype("U64")):
+            for nc in (False, True):
+                req = {"Cache-Control": "no-cache"} if nc else {}
+                p = parse("unsafe/" + pfx + "img")
+                if hh.prescan_expire(req, p.filters, _RCH_NOW_MS):
+                    combos[(pfx, nc)] = (410, -1, "", "")
+                    continue
+                ttl = hh.get_ttl(p.filters, hh.DEFAULT_TTL_S, _RCH_NOW_MS)
+                hdrs = hh.set_cache_headers(req, ttl, hh.DEFAULT_SWR_S,
+                                            _RCH_NOW_MS)
+                eff = 0 if "no-cache" in (req.get("Cache-Control") or "") else ttl
+                combos[(pfx, nc)] = (200, eff, hdrs["Cache-Control"],
+                                     hdrs["Expires"])
+        for i in range(n):
+            status[i], ttl_out[i], cc_out[i], exp_out[i] = combos[
+                (prefix[i], bool(no_cache[i]))]
+        return pd.DataFrame({
+            "conv_id": b["conv_id"].to_numpy(),
+            "turn_idx": ti,
+            "status": status,
+            "ttl_s": ttl_out,
+            "cache_control": cc_out.astype(str),
+            "expires_http": exp_out.astype(str),
+        })
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+_RESPONSE_CACHE_HEADERS_SQL = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+x AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN turn_idx % 3 = 0 AND (turn_idx // 3) % 9 <> 8 THEN
+      CASE (turn_idx // 3) % 9
+        WHEN 0 THEN -5000 WHEN 1 THEN 0 WHEN 2 THEN 1500
+        WHEN 3 THEN 86400000 WHEN 4 THEN 86401000
+        WHEN 5 THEN 604800000 WHEN 6 THEN 604801000
+        WHEN 7 THEN 123456 END
+    ELSE NULL END AS delta_ms,
+    (turn_idx % 11 = 0) AS no_cache
+  FROM t
+), s AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN delta_ms IS NOT NULL AND delta_ms < 0 THEN 410 ELSE 200 END
+      AS status,
+    (delta_ms IS NOT NULL) AS is_private,
+    (no_cache AND delta_ms IS NULL) AS eff_no_cache,
+    CASE WHEN delta_ms IS NULL THEN 604800
+         ELSE LEAST((delta_ms + 999) // 1000, 604800) END AS ttl0
+  FROM x
+)
+SELECT conv_id, turn_idx, CAST(status AS BIGINT) AS status,
+  CAST(CASE WHEN status = 410 THEN -1
+            WHEN eff_no_cache THEN 0 ELSE ttl0 END AS BIGINT) AS ttl_s,
+  CASE WHEN status = 410 THEN ''
+       WHEN eff_no_cache OR ttl0 = 0
+         THEN 'private, no-cache, no-store, must-revalidate'
+       WHEN is_private THEN 'private, max-age=' || ttl0 || ', no-transform'
+         || CASE WHEN ttl0 > 86400
+                 THEN ', stale-while-revalidate=86400' ELSE '' END
+       ELSE 'public, s-maxage=604800, max-age=604800, no-transform, stale-while-revalidate=86400'
+  END AS cache_control,
+  CASE WHEN status = 410 THEN ''
+       ELSE strftime(make_timestamp((1700000000000 +
+              (CASE WHEN eff_no_cache THEN 0 ELSE ttl0 END) * 1000) * 1000),
+            '%a, %d %b %Y %H:%M:%S') || ' GMT'
+  END AS expires_http
+FROM s
+"""
+
+
 def _q_signed(sf_dir: str):
     return processed_turns(sf_dir).select_columns(
         ["conv_id", "turn_idx", "path", "signature"]
@@ -3727,6 +3844,7 @@ QUERIES = {
     "params_fields": _q_params_fields,
     "processed": _q_processed,
     "processed_autoformat": _q_processed_autoformat,
+    "response_cache_headers": _q_response_cache_headers,
     "signed": _q_signed,  # rows-only (HMAC not SQL-expressible)
     # streaming
     "sessions": _q_sessions,
@@ -3926,7 +4044,11 @@ _DRIVER_WINDOW = [
     "contamination", "paragraph_dedup",
     # text analysis
     "text_stats", "vocabulary", "sequence_pack", "inverted_index",
-    "q17_small_qty_revenue", "lang_id", "collocations", "doc_sketches",
+    # (doc_sketches → sweep; the round-5 session-9 HTTP response-layer
+    # surface — the last reference API with no analogue — takes the
+    # slot, giving the new family its first driver check)
+    "q17_small_qty_revenue", "lang_id", "collocations",
+    "response_cache_headers",
     # quality / curriculum (percentile + curriculum → sweep; the
     # round-5 session-6 lateness shapes take the slots — newest first)
     "doc_quality", "quality_filter", "sessions_update_changelog_late",
@@ -3985,6 +4107,7 @@ ORACLES = {
     "params_fields": _PARAMS_FIELDS_SQL,
     "processed": _PROCESSED_SQL,
     "processed_autoformat": _PROCESSED_AUTOFORMAT_SQL,
+    "response_cache_headers": _RESPONSE_CACHE_HEADERS_SQL,
     "sessions": _SESSIONS_SQL,
     "sessions_salted": _SESSIONS_SQL,
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
