@@ -349,3 +349,114 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
 FROM m ORDER BY 1
 """
+
+
+# ------------------------------------------------------ SCD type-2
+
+def scd2_dimension(sf_dir: str):
+    """Slowly-changing-dimension (type 2) build: collapse each user's
+    event stream into versioned validity intervals of the tracked
+    attribute (event_type) — consecutive equal values merge into one
+    version row ``[valid_from, valid_to)`` with a per-user version
+    number and an is_current flag. The BUILD side of the temporal
+    table join (`temporal_join` PROBES such a dimension; this entry
+    constructs it from the raw changelog — the warehouse-dimension
+    primitive the catalog lacked).
+
+    Scale shape: ONE user-bucket shuffle of four narrow columns
+    (user, ts, event_id, attr — pruned at the read); inside each
+    bucket the island split is a single vectorized boundary diff +
+    cumsum (no per-user loop), version numbers come from the same run
+    index, and valid_to is the next run's valid_from via one shift.
+    Run boundaries depend only on each user's own ordered rows, so
+    bucket-parallelism is exact. Timestamps ride int64 µs end-to-end
+    (exact hash equality; the open version's valid_to is -1).
+    """
+    import numpy as np
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy().astype("int64"),
+            "ts_us": b["ts"].astype("datetime64[us]").to_numpy()
+                       .astype("int64"),
+            "event_id": b["event_id"].to_numpy().astype("int64"),
+            "attr": b["event_type"].to_numpy(),
+            "_b": (b["user_id"].to_numpy() % 64).astype("int32"),
+        })
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts_us"].to_numpy()
+        a = g["attr"].to_numpy()
+        n = len(g)
+        new_run = np.ones(n, dtype=bool)
+        if n > 1:
+            new_run[1:] = (u[1:] != u[:-1]) | (a[1:] != a[:-1])
+        starts = np.flatnonzero(new_run)
+        uu = u[starts]
+        # per-user 1-based version number: run index minus the index
+        # of the user's first run (runs are user-contiguous post-sort)
+        first_of_user = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            first_of_user[1:] = uu[1:] != uu[:-1]
+        version = (np.arange(len(starts))
+                   - np.maximum.accumulate(
+                       np.where(first_of_user, np.arange(len(starts)), 0))
+                   + 1)
+        vfrom = t[starts]
+        vto = np.empty(len(starts), dtype=np.int64)
+        vto[:-1] = vfrom[1:]
+        # each user's LAST run is the open version: next-run shift
+        # crosses user boundaries, so mask those slots back to -1
+        is_current = np.zeros(len(starts), dtype=bool)
+        is_current[:-1] = first_of_user[1:]
+        if len(starts):
+            is_current[-1] = True
+        vto[is_current] = -1
+        ends = np.append(starts[1:], n)
+        return pd.DataFrame({
+            "user_id": uu,
+            "version": version.astype("int64"),
+            "attr": a[starts],
+            "valid_from_us": vfrom,
+            "valid_to_us": vto,
+            "is_current": is_current.astype("int64"),
+            "n_events": (ends - starts).astype("int64"),
+        })
+
+    return (ev.map_batches(route, batch_format="pandas")
+            .groupby("_b")
+            .map_groups(lambda g: versions(g.drop(columns=["_b"])),
+                        batch_format="pandas"))
+
+
+SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type AS attr,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM e
+), v AS (
+  SELECT user_id, run_id, MIN(attr) AS attr,
+         MIN(ts_us) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS version, attr, valid_from_us,
+       COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY run_id),
+                CAST(-1 AS BIGINT)) AS valid_to_us,
+       CAST(lead(run_id) OVER (PARTITION BY user_id ORDER BY run_id)
+            IS NULL AS BIGINT) AS is_current,
+       n_events
+FROM v
+"""

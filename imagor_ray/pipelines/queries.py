@@ -62,10 +62,11 @@ from .sampling import (WEIGHTED_SAMPLE_SQL, dataset_split,
                        deterministic_sample, group_sample,
                        stratified_sample, weighted_sample)
 from .grouped_extras import (GROUP_MOMENTS_SQL, MODE_SQL, PIVOT_SQL,
-                             SETOP_SQL, USER_JOURNEY_SQL, group_moments,
-                             GROUP_REGRESSION_SQL, group_regression,
-                             mode_event_type, pivot_hour_type,
-                             purchase_periods_setop, user_journey)
+                             SCD2_SQL, SETOP_SQL, USER_JOURNEY_SQL,
+                             GROUP_REGRESSION_SQL, group_moments,
+                             group_regression, mode_event_type,
+                             pivot_hour_type, purchase_periods_setop,
+                             scd2_dimension, user_journey)
 from .window_extras import (SLIDING_DISTINCT_SQL, STREAKS_SQL,
                             TIME_WEIGHTED_SQL, activity_streaks,
                             sliding_distinct_users, time_weighted_value)
@@ -3960,6 +3961,7 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
     "user_journey": user_journey,
+    "scd2_dimension": scd2_dimension,
     "mode_event_type": mode_event_type,
     "pivot_hour_type": pivot_hour_type,
     "purchase_periods_setop": purchase_periods_setop,
@@ -4076,7 +4078,10 @@ _DRIVER_WINDOW = [
     # watermark-state join; error_context stays sweep-verified)
     # (q13 → sweep; the temporal table join takes the slot; the
     # round-5 session-8 broadcast-state pattern joins it)
-    "group_sample", "temporal_join", "broadcast_rules",
+    # (group_sample → sweep, dataset_split keeps the sampling family
+    # in-window; the session-9 SCD2 dimension build — the BUILD side
+    # of the temporal table join — takes the slot)
+    "scd2_dimension", "temporal_join", "broadcast_rules",
     "stream_stream_join",
     "topk_orders_per_customer", "time_weighted_value",
     "heavy_hitter_tokens", "tumbling_update_changelog",
@@ -4192,6 +4197,7 @@ ORACLES = {
     "q21_waiting_suppliers": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
     "user_journey": USER_JOURNEY_SQL,
+    "scd2_dimension": SCD2_SQL,
     "mode_event_type": MODE_SQL,
     "pivot_hour_type": PIVOT_SQL,
     "purchase_periods_setop": SETOP_SQL,

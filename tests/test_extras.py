@@ -168,3 +168,50 @@ class TestRobustValueStats:
             "a": {"n": 4, "median_milli": 2000, "mad_milli": 1000},
             "b": {"n": 3, "median_milli": 5000, "mad_milli": 0},
         }
+
+
+class TestScd2Dimension:
+    def test_hand_built_versions(self, ray_session, tmp_sf):
+        from imagor_ray.pipelines.grouped_extras import scd2_dimension
+
+        us = 1_000_000
+        rows = [
+            # user 1: view view click view  → 3 versions
+            (0, pd.Timestamp(10 * us, unit="us"), 1, "view", 0.0),
+            (1, pd.Timestamp(20 * us, unit="us"), 1, "view", 0.0),
+            (2, pd.Timestamp(30 * us, unit="us"), 1, "click", 0.0),
+            (3, pd.Timestamp(40 * us, unit="us"), 1, "view", 0.0),
+            # user 2: single event → one open version
+            (4, pd.Timestamp(15 * us, unit="us"), 2, "purchase", 0.0),
+            # user 3: ts tie broken by event_id (click then view)
+            (5, pd.Timestamp(50 * us, unit="us"), 3, "click", 0.0),
+            (6, pd.Timestamp(50 * us, unit="us"), 3, "view", 0.0),
+        ]
+        out = scd2_dimension(tmp_sf(events=_events_frame(rows))).to_pandas()
+        out = out.sort_values(["user_id", "version"]).reset_index(drop=True)
+        assert out.to_dict("list") == {
+            "user_id": [1, 1, 1, 2, 3, 3],
+            "version": [1, 2, 3, 1, 1, 2],
+            "attr": ["view", "click", "view", "purchase", "click", "view"],
+            "valid_from_us": [10 * us, 30 * us, 40 * us, 15 * us,
+                              50 * us, 50 * us],
+            "valid_to_us": [30 * us, 40 * us, -1, -1, 50 * us, -1],
+            "is_current": [0, 0, 1, 1, 0, 1],
+            "n_events": [2, 1, 1, 1, 1, 1],
+        }
+
+    def test_single_user_cross_bucket_independence(self, ray_session, tmp_sf):
+        # runs never span users, so the per-user last version must be
+        # open (-1) even when the shift window crosses into the next
+        # user inside one bucket (users 0 and 64 share bucket 0)
+        from imagor_ray.pipelines.grouped_extras import scd2_dimension
+
+        rows = [
+            (0, pd.Timestamp(1, unit="s"), 0, "view", 0.0),
+            (1, pd.Timestamp(2, unit="s"), 64, "view", 0.0),
+        ]
+        out = scd2_dimension(tmp_sf(events=_events_frame(rows))).to_pandas()
+        out = out.sort_values("user_id").reset_index(drop=True)
+        assert out["valid_to_us"].tolist() == [-1, -1]
+        assert out["is_current"].tolist() == [1, 1]
+        assert out["version"].tolist() == [1, 1]
