@@ -460,3 +460,47 @@ SELECT user_id, CAST(run_id AS BIGINT) AS version, attr, valid_from_us,
        n_events
 FROM v
 """
+
+
+# Changelog form of the same versions (the streaming SCD2 oracle):
+# every version opens (+1, valid_to -1, at its valid_from); every
+# version WITH a successor also retracts its open row (-1) and
+# re-inserts it closed (+1, valid_to = successor's valid_from), both
+# at the change instant. The op stream is a pure function of each
+# user's (ts, event_id) order, so the batch derivation mirrors the
+# watermark-gated streaming job exactly.
+SCD2_OPS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type AS attr,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM e
+), v AS (
+  SELECT user_id, run_id, MIN(attr) AS attr,
+         MIN(ts_us) AS valid_from_us
+  FROM r GROUP BY 1, 2
+), w AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS version, attr,
+         valid_from_us,
+         lead(valid_from_us) OVER (PARTITION BY user_id
+                                   ORDER BY run_id) AS next_from
+  FROM v
+)
+SELECT user_id, CAST(1 AS BIGINT) AS op, version, attr, valid_from_us,
+       CAST(-1 AS BIGINT) AS valid_to_us,
+       valid_from_us AS change_ts_us
+FROM w
+UNION ALL
+SELECT user_id, CAST(-1 AS BIGINT), version, attr, valid_from_us,
+       CAST(-1 AS BIGINT), next_from
+FROM w WHERE next_from IS NOT NULL
+UNION ALL
+SELECT user_id, CAST(1 AS BIGINT), version, attr, valid_from_us,
+       next_from, next_from
+FROM w WHERE next_from IS NOT NULL
+"""

@@ -62,11 +62,12 @@ from .sampling import (WEIGHTED_SAMPLE_SQL, dataset_split,
                        deterministic_sample, group_sample,
                        stratified_sample, weighted_sample)
 from .grouped_extras import (GROUP_MOMENTS_SQL, MODE_SQL, PIVOT_SQL,
-                             SCD2_SQL, SETOP_SQL, USER_JOURNEY_SQL,
-                             GROUP_REGRESSION_SQL, group_moments,
-                             group_regression, mode_event_type,
-                             pivot_hour_type, purchase_periods_setop,
-                             scd2_dimension, user_journey)
+                             SCD2_OPS_SQL, SCD2_SQL, SETOP_SQL,
+                             USER_JOURNEY_SQL, GROUP_REGRESSION_SQL,
+                             group_moments, group_regression,
+                             mode_event_type, pivot_hour_type,
+                             purchase_periods_setop, scd2_dimension,
+                             user_journey)
 from .window_extras import (SLIDING_DISTINCT_SQL, STREAKS_SQL,
                             TIME_WEIGHTED_SQL, activity_streaks,
                             sliding_distinct_users, time_weighted_value)
@@ -1998,6 +1999,48 @@ def _q_streaming_cep_outoforder(sf_dir: str):
     job.run_all()
     job.finalize()
     return job.matches()
+
+
+def _q_scd2_changelog(sf_dir: str):
+    """STREAMING SCD type-2 changelog — the continuous maintenance
+    protocol for the versioned dimension `scd2_dimension` builds in
+    batch: each attribute change that becomes watermark-final emits a
+    retraction of the previous open version row, its closed insert,
+    and the next open version. Because the kernel is incremental and
+    exact, the op STREAM is a pure function of each user's global
+    (ts, event_id) order — cycle boundaries never change it, which is
+    exactly what the SQL oracle (3 UNION ALL arms over the batch
+    gaps-and-islands versions) certifies."""
+    import tempfile
+
+    from .stream_scd2 import StreamingScd2Job
+
+    input_dir = _stage_event_days(sf_dir)
+    job = StreamingScd2Job(input_dir,
+                           tempfile.mkdtemp(prefix="imray_scd2_st_"))
+    job.run_all()
+    job.finalize()
+    return job.ops()
+
+
+def _q_scd2_changelog_outoforder(sf_dir: str):
+    """Streaming SCD2 under OUT-OF-ORDER arrivals (jittered staging,
+    2-day lateness horizon): version boundaries are order-sensitive —
+    a displaced event can split or merge runs — so the watermark
+    buffer must sort every in-horizon event into its event-time
+    position before anything after it folds. Op stream (and oracle)
+    unchanged from the in-order entry."""
+    import tempfile
+
+    from .stream_scd2 import StreamingScd2Job
+
+    input_dir = _stage_event_days_jitter(sf_dir)
+    job = StreamingScd2Job(input_dir,
+                           tempfile.mkdtemp(prefix="imray_scd2O_st_"),
+                           allowed_lateness_s=2 * 86_400)
+    job.run_all()
+    job.finalize()
+    return job.ops()
 
 
 def _q_temporal_join(sf_dir: str):
@@ -3993,6 +4036,8 @@ QUERIES = {
     "stream_join_outoforder": _q_stream_join_outoforder,
     "streaming_cep": _q_streaming_cep,
     "streaming_cep_outoforder": _q_streaming_cep_outoforder,
+    "scd2_changelog": _q_scd2_changelog,
+    "scd2_changelog_outoforder": _q_scd2_changelog_outoforder,
     "streaming_dedup": _q_streaming_dedup,
     "temporal_join": _q_temporal_join,
     "broadcast_rules": _q_broadcast_rules,
@@ -4231,6 +4276,8 @@ ORACLES = {
     "stream_join_outoforder": _STREAM_JOIN_SQL,
     "streaming_cep": _CEP_KLEENE_SQL,
     "streaming_cep_outoforder": _CEP_KLEENE_SQL,
+    "scd2_changelog": SCD2_OPS_SQL,
+    "scd2_changelog_outoforder": SCD2_OPS_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,
     "temporal_join": _TEMPORAL_JOIN_SQL,
     "broadcast_rules": _BROADCAST_RULES_SQL,
